@@ -1,0 +1,371 @@
+"""The Table abstraction: snapshot-pinned scans + optimistic atomic commits.
+
+Plays the role Iceberg plays for the reference (every Spark write is a commit;
+Trino reads run concurrently under snapshot isolation — ref: README.md:196-207,
+src/elt/bronze/_bronze_handler.py:50-56) but implemented from scratch:
+
+- **Commit** = write immutable snapshot + manifest JSON files, then swap
+  `metadata/table.json` by atomic rename while holding an exclusive lock file.
+- **Optimistic concurrency**: a committer records the parent snapshot it based
+  its work on. If the table advanced meanwhile, the commit *rebases* when its
+  replaced-file set is still fully live (disjoint maintenance ops both land),
+  else raises `CommitConflictError` (intersecting ops: loser retries) —
+  manifest-level conflict detection, SURVEY §2.8 T4.
+- **Readers** pin a snapshot: a scan resolves the file list from immutable
+  metadata once; concurrent commits never disturb it (T1/T2).
+
+Scans return `ray.data.Dataset` via `ray.data.read_parquet(file_list)` so all
+downstream processing is streaming Ray Data; `scan_arrow()` is a driver-side
+pyarrow path for tests/oracles on small data only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Any, Iterable, Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raylake.core import metadata as md
+from raylake.core.metadata import ManifestEntry, Snapshot
+from raylake.core.schema import schema_from_json, schema_to_json
+
+
+class CommitConflictError(RuntimeError):
+    """Two maintenance ops touched intersecting file sets; caller must retry."""
+
+
+class _CommitLock:
+    """Exclusive advisory lock via O_CREAT|O_EXCL; stale locks broken after TTL.
+
+    Single-filesystem CAS guard. On a real multi-node deployment the rename +
+    lock pair is replaced by a conditional put on the catalog object — the
+    commit protocol above it is unchanged.
+    """
+
+    def __init__(self, root: str, timeout_s: float = 30.0, stale_s: float = 60.0):
+        self.path = os.path.join(root, "metadata", "_commit.lock")
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+        self._fd: int | None = None
+
+    def __enter__(self):
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(self._fd, str(os.getpid()).encode())
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.path) > self.stale_s:
+                        os.unlink(self.path)  # break stale lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock busy: {self.path}")
+                time.sleep(0.01)
+
+    def __exit__(self, *exc):
+        if self._fd is not None:
+            os.close(self._fd)
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
+class Table:
+    def __init__(self, root: str, meta: dict):
+        self.root = root
+        self.meta = meta
+
+    # ------------------------------------------------------------- lifecycle
+
+    @staticmethod
+    def create(
+        root: str,
+        schema: pa.Schema,
+        partition_column: str | None = "conv_id",
+        num_buckets: int = 16,
+        sort_order: Sequence[str] = ("conv_id", "turn_idx"),
+        stats_columns: Sequence[str] | None = None,
+        name: str | None = None,
+        properties: dict | None = None,
+    ) -> "Table":
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        if stats_columns is None:
+            cols = list(sort_order)
+            if partition_column and partition_column not in cols:
+                cols.insert(0, partition_column)
+            if "ts" in schema.names and "ts" not in cols:
+                cols.append("ts")
+            stats_columns = cols
+        meta = {
+            "format_version": 1,
+            "uuid": uuid.uuid4().hex,
+            "name": name or os.path.basename(root.rstrip("/")),
+            "schema": schema_to_json(schema),
+            "partition_spec": {
+                "kind": "hash",
+                "column": partition_column,
+                "num_buckets": int(num_buckets),
+            },
+            "sort_order": list(sort_order),
+            "stats_columns": list(stats_columns),
+            "current_snapshot": 0,
+            "last_sequence": 0,
+            "snapshot_log": [],
+            "properties": properties or {},
+        }
+        md.atomic_write_json(os.path.join(root, "metadata", "table.json"), meta)
+        return Table(root, meta)
+
+    @staticmethod
+    def load(root: str) -> "Table":
+        return Table(root, md.read_json(os.path.join(root, "metadata", "table.json")))
+
+    def refresh(self) -> "Table":
+        self.meta = md.read_json(os.path.join(self.root, "metadata", "table.json"))
+        return self
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def schema(self) -> pa.Schema:
+        return schema_from_json(self.meta["schema"])
+
+    @property
+    def partition_column(self) -> str | None:
+        return self.meta["partition_spec"]["column"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.meta["partition_spec"]["num_buckets"]
+
+    @property
+    def sort_order(self) -> list[str]:
+        return list(self.meta["sort_order"])
+
+    @property
+    def stats_columns(self) -> list[str]:
+        return list(self.meta["stats_columns"])
+
+    @property
+    def current_seq(self) -> int:
+        return self.meta["current_snapshot"]
+
+    # -------------------------------------------------------------- metadata
+
+    def snapshot(self, seq: int | None = None) -> Snapshot | None:
+        seq = self.current_seq if seq is None else seq
+        if seq == 0:
+            return None
+        return Snapshot.from_json(
+            md.read_json(os.path.join(self.root, "metadata", f"snap-{seq}.json"))
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        return [
+            s
+            for e in self.meta["snapshot_log"]
+            if (s := self.snapshot(e["seq"])) is not None
+        ]
+
+    def live_entries(self, snapshot: int | None = None) -> list[ManifestEntry]:
+        snap = self.snapshot(snapshot)
+        if snap is None:
+            return []
+        out: list[ManifestEntry] = []
+        for m in snap.manifests:
+            out.extend(md.read_manifest(self.root, m))
+        return out
+
+    def added_entries(self, after_seq: int, until_seq: int | None = None) -> list[ManifestEntry]:
+        """Incremental/CDC scan support: files added in (after_seq, until_seq].
+
+        Replaces the reference's data-column high-watermark reads
+        (ref: src/elt/silver/_silver_handler.py:31-41) — the snapshot log
+        already records what each commit added (SURVEY §2.8 T8).
+        """
+        return [
+            e
+            for e in self.live_entries(until_seq)
+            if e.seq_added > after_seq
+            and (until_seq is None or e.seq_added <= until_seq)
+        ]
+
+    def row_count(self, snapshot: int | None = None) -> int:
+        """O(metadata) count — no data scan (vs the reference's .count() probes
+        that re-execute the whole Spark plan, ref: _silver_pipeline.py:84-87)."""
+        return sum(e.rows for e in self.live_entries(snapshot))
+
+    # ------------------------------------------------------------------ scan
+
+    def prune(
+        self,
+        entries: Iterable[ManifestEntry] | None = None,
+        partitions: set[int] | None = None,
+        snapshot: int | None = None,
+        **col_ranges: tuple[Any, Any],
+    ) -> list[ManifestEntry]:
+        """Manifest min/max pruning: keep entries overlapping every (lo, hi)."""
+        if entries is None:
+            entries = self.live_entries(snapshot)
+        out = []
+        for e in entries:
+            if partitions is not None and e.partition not in partitions:
+                continue
+            if all(e.overlaps(c, lo, hi) for c, (lo, hi) in col_ranges.items()):
+                out.append(e)
+        return out
+
+    def _paths(self, entries: Iterable[ManifestEntry]) -> list[str]:
+        return [os.path.join(self.root, e.path) for e in entries]
+
+    def scan(
+        self,
+        snapshot: int | None = None,
+        columns: list[str] | None = None,
+        entries: list[ManifestEntry] | None = None,
+        **read_kwargs,
+    ):
+        """Snapshot-pinned streaming scan → ray.data.Dataset."""
+        import ray.data
+
+        if entries is None:
+            entries = self.live_entries(snapshot)
+        paths = self._paths(entries)
+        if not paths:
+            return ray.data.from_arrow(self.schema.empty_table())
+        # partitioning=None: the data/p=<bucket>/ layout must NOT be
+        # hive-inferred into a phantom "p" column — partition identity lives
+        # in the manifest, never in the data schema.
+        read_kwargs.setdefault("partitioning", None)
+        return ray.data.read_parquet(paths, columns=columns, **read_kwargs)
+
+    def scan_arrow(
+        self,
+        snapshot: int | None = None,
+        columns: list[str] | None = None,
+        entries: list[ManifestEntry] | None = None,
+        sort: bool = False,
+    ) -> pa.Table:
+        """Driver-side scan (tests / duckdb oracles / small results ONLY)."""
+        if entries is None:
+            entries = self.live_entries(snapshot)
+        paths = self._paths(entries)
+        if not paths:
+            t = self.schema.empty_table()
+        else:
+            t = pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
+        if sort and len(t):
+            t = t.sort_by([(c, "ascending") for c in self.sort_order if c in t.column_names])
+        return t
+
+    # ---------------------------------------------------------------- commit
+
+    def new_data_path(self, partition: int) -> str:
+        """Root-relative path for a fresh data file in `partition`."""
+        d = f"data/p={partition:05d}" if partition >= 0 else "data/unpartitioned"
+        os.makedirs(os.path.join(self.root, d), exist_ok=True)
+        return f"{d}/{uuid.uuid4().hex}.parquet"
+
+    def commit(
+        self,
+        operation: str,
+        added: list[ManifestEntry],
+        replaced_paths: set[str] | frozenset[str] = frozenset(),
+        expected_parent: int | None = None,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Atomically commit a new snapshot: live' = live - replaced + added.
+
+        `expected_parent`: the snapshot seq this work was planned against. If
+        the table advanced, we rebase iff every replaced path is still live in
+        the current snapshot (no intersecting concurrent rewrite); otherwise
+        CommitConflictError. Pure appends (replaced empty) always rebase.
+        """
+        replaced = set(replaced_paths)
+        with _CommitLock(self.root):
+            self.refresh()
+            cur = self.current_seq
+            if expected_parent is not None and cur != expected_parent and replaced:
+                live_now = {e.path for e in self.live_entries(cur)}
+                if not replaced <= live_now:
+                    raise CommitConflictError(
+                        f"replaced files no longer live (parent {expected_parent}, "
+                        f"current {cur}): {sorted(replaced - live_now)[:5]}"
+                    )
+            new_seq = self.meta["last_sequence"] + 1
+            for e in added:
+                e.seq_added = new_seq
+
+            # Carry forward parent manifests, rewriting only those that
+            # reference replaced files (keeps the metadata tree shallow).
+            manifests: list[str] = []
+            removed_rows = removed_files = 0
+            parent_snap = self.snapshot(cur)
+            if parent_snap is not None:
+                for m in parent_snap.manifests:
+                    entries = md.read_manifest(self.root, m)
+                    if replaced and any(e.path in replaced for e in entries):
+                        kept = [e for e in entries if e.path not in replaced]
+                        dropped = [e for e in entries if e.path in replaced]
+                        removed_rows += sum(e.rows for e in dropped)
+                        removed_files += len(dropped)
+                        if kept:
+                            manifests.append(md.write_manifest(self.root, kept))
+                    else:
+                        manifests.append(m)
+            if added:
+                manifests.append(md.write_manifest(self.root, added))
+
+            snap = Snapshot(
+                seq=new_seq,
+                parent=cur,
+                ts_ms=int(time.time() * 1000),
+                operation=operation,
+                manifests=manifests,
+                summary={
+                    "added_files": len(added),
+                    "added_rows": sum(e.rows for e in added),
+                    "added_bytes": sum(e.bytes for e in added),
+                    "removed_files": removed_files,
+                    "removed_rows": removed_rows,
+                    **(summary or {}),
+                },
+            )
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", f"snap-{new_seq}.json"),
+                snap.to_json(),
+            )
+            self.meta["current_snapshot"] = new_seq
+            self.meta["last_sequence"] = new_seq
+            self.meta["snapshot_log"].append(
+                {"seq": new_seq, "ts_ms": snap.ts_ms, "file": f"metadata/snap-{new_seq}.json"}
+            )
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta
+            )
+            return snap
+
+    # ----------------------------------------------------------------- write
+
+    def write_file(self, table: pa.Table, partition: int) -> ManifestEntry:
+        """Write one immutable Parquet data file + stats → ManifestEntry."""
+        rel = self.new_data_path(partition)
+        abspath = os.path.join(self.root, rel)
+        pq.write_table(table, abspath, compression="zstd")
+        return ManifestEntry(
+            path=rel,
+            partition=partition,
+            rows=len(table),
+            bytes=os.path.getsize(abspath),
+            stats=md.column_stats(table, self.stats_columns),
+        )

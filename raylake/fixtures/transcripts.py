@@ -1,0 +1,196 @@
+"""Deterministic synthetic transcript fixture (FIXTURES.md §1).
+
+Seed-stable, no external data. Conversation lengths are Zipf-skewed so hot
+`conv_id`s exist (exercises MERGE skew splitting); `text` is derived from
+sha256 of (conv_id, turn_idx, salt) so any process can recompute the expected
+bytes — this is the column the north rule checks bit-for-bit.
+
+The writer intentionally produces MANY SMALL Parquet files per partition to
+create compaction work (the reference's bronze layer accrues one small file
+set per append the same way — ref: src/elt/bronze/_bronze_handler.py:50-56).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from raylake.core.hashing import partition_of
+from raylake.core.schema import TRANSCRIPT_SCHEMA
+from raylake.core.table import Table
+
+BASE_TS_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in epoch microseconds
+_TOOLS = ["bash", "search", "browser", "python", "editor"]
+
+
+def turn_text(conv_id: str, turn_idx: int, salt: int = 0) -> str:
+    """Deterministic pseudo-text, 50–2000 chars, byte-exact reproducible."""
+    h = hashlib.sha256(f"{conv_id}:{turn_idx}:{salt}".encode()).hexdigest()
+    n = 50 + (int(h[:8], 16) % 1951)
+    return (h * (n // 64 + 1))[:n]
+
+
+def _conv_sizes(n_turns: int, seed: int) -> np.ndarray:
+    """Zipf(a=1.3)-distributed turns per conversation, clipped to [2, hi].
+
+    hi is capped at 20% of the requested size so small fixtures stay small
+    while hot conversations still dominate the median (skew-split testing).
+    """
+    hi = int(min(2000, max(8, n_turns // 5)))
+    rng = np.random.default_rng(seed)
+    sizes: list[np.ndarray] = []
+    total = 0
+    while total < n_turns:
+        chunk = np.clip(rng.zipf(1.3, size=4096), 2, hi)
+        sizes.append(chunk)
+        total += int(chunk.sum())
+    s = np.concatenate(sizes)
+    cum = np.cumsum(s)
+    k = int(np.searchsorted(cum, n_turns)) + 1
+    return s[:k]
+
+
+def gen_transcripts(n_turns: int, seed: int = 42, salt: int = 0) -> pa.Table:
+    """Build ~n_turns transcript rows, sorted by (conv_id, turn_idx)."""
+    sizes = _conv_sizes(n_turns, seed)
+    conv_ids = np.array([f"conv-{i:08d}" for i in range(len(sizes))], dtype=object)
+    conv_col = np.repeat(conv_ids, sizes)
+    turn_idx = np.concatenate([np.arange(n, dtype=np.int32) for n in sizes])
+
+    rng = np.random.default_rng(seed + 1)
+    conv_start = (rng.integers(0, 30 * 86400, size=len(sizes)) * 1_000_000).astype(np.int64)
+
+    roles = np.empty(len(conv_col), dtype=object)
+    tools = np.empty(len(conv_col), dtype=object)
+    texts = np.empty(len(conv_col), dtype=object)
+    gaps = np.empty(len(conv_col), dtype=np.int64)
+    for i in range(len(conv_col)):
+        cid, t = conv_col[i], int(turn_idx[i])
+        h = hashlib.sha256(f"{cid}:{t}:{salt}".encode()).hexdigest()
+        n = 50 + (int(h[:8], 16) % 1951)
+        texts[i] = (h * (n // 64 + 1))[:n]
+        r = int(h[8:10], 16)
+        if r < 20:
+            roles[i] = "tool"
+            tools[i] = _TOOLS[int(h[12:14], 16) % len(_TOOLS)]
+        else:
+            roles[i] = "user" if t % 2 == 0 else "assistant"
+            tools[i] = None
+        gaps[i] = (1 + int(h[10:12], 16) % 120) * 1_000_000
+
+    # ts = conv start + cumulative per-turn gaps (strictly monotone per conv)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    ts = np.empty(len(conv_col), dtype=np.int64)
+    for ci, (off, n) in enumerate(zip(offsets, sizes)):
+        ts[off : off + n] = BASE_TS_US + conv_start[ci] + np.cumsum(gaps[off : off + n])
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_col, type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(roles, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "tool": pa.array(tools, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+
+
+def gen_late_batch(
+    base: pa.Table, update_frac: float = 0.05, insert_frac: float = 0.02, seed: int = 7
+) -> pa.Table:
+    """Late-arriving turns: updates to existing (conv_id, turn_idx) keys with
+    new text (salt=1) + later ts, plus brand-new turns appended to existing
+    conversations and a few new conversations. MERGE INTO input with
+    last-writer-wins expectation (ref MERGE semantics: _silver_handler.py:195-224).
+    """
+    rng = np.random.default_rng(seed)
+    n = len(base)
+    upd_idx = np.sort(rng.choice(n, size=max(1, int(n * update_frac)), replace=False))
+    conv = np.asarray(base["conv_id"].to_pandas(), dtype=object)[upd_idx]
+    tidx = base["turn_idx"].to_numpy()[upd_idx]
+    ts = base["ts"].cast(pa.int64()).to_numpy()[upd_idx] + 3_600_000_000  # +1h
+
+    rows = {"conv_id": list(conv), "turn_idx": list(tidx.astype(int)), "ts": list(ts)}
+
+    # new turns on existing conversations (turn_idx beyond current max)
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"conv_id": np.asarray(base["conv_id"].to_pandas(), dtype=object),
+         "turn_idx": base["turn_idx"].to_numpy(),
+         "ts": base["ts"].cast(pa.int64()).to_numpy()}
+    )
+    tail = df.groupby("conv_id", sort=False).agg(mx=("turn_idx", "max"), mts=("ts", "max"))
+    picked = tail.sample(n=max(1, int(len(tail) * insert_frac)), random_state=seed)
+    for cid, r in picked.iterrows():
+        rows["conv_id"].append(cid)
+        rows["turn_idx"].append(int(r.mx) + 1)
+        rows["ts"].append(int(r.mts) + 7_200_000_000)
+    # a few brand-new conversations
+    for j in range(max(1, len(picked) // 4)):
+        cid = f"conv-late-{j:06d}"
+        for t in range(3):
+            rows["conv_id"].append(cid)
+            rows["turn_idx"].append(t)
+            rows["ts"].append(BASE_TS_US + 40 * 86400 * 1_000_000 + j * 1_000_000 + t)
+
+    texts, roles, tools = [], [], []
+    for cid, t in zip(rows["conv_id"], rows["turn_idx"]):
+        h = hashlib.sha256(f"{cid}:{t}:1".encode()).hexdigest()
+        nlen = 50 + (int(h[:8], 16) % 1951)
+        texts.append((h * (nlen // 64 + 1))[:nlen])
+        r = int(h[8:10], 16)
+        if r < 20:
+            roles.append("tool")
+            tools.append(_TOOLS[int(h[12:14], 16) % len(_TOOLS)])
+        else:
+            roles.append("user" if t % 2 == 0 else "assistant")
+            tools.append(None)
+
+    out = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], type=pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
+            "role": pa.array(roles, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "tool": pa.array(tools, type=pa.string()),
+            "ts": pa.array(rows["ts"], type=pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def write_transcript_table(
+    root: str,
+    n_turns: int = 10_000,
+    rows_per_file: int = 256,
+    num_buckets: int = 8,
+    seed: int = 42,
+) -> Table:
+    """Create a transcript Table laid out as many small files per partition.
+
+    Driver-side writer (fixtures only — the engine's distributed append lives
+    in raylake/ops/append.py). One append commit registers every file.
+    """
+    data = gen_transcripts(n_turns, seed=seed)
+    tbl = Table.create(root, TRANSCRIPT_SCHEMA, partition_column="conv_id",
+                       num_buckets=num_buckets)
+    part = partition_of(data["conv_id"], num_buckets)
+    entries = []
+    order = np.argsort(part, kind="stable")
+    data = data.take(pa.array(order))
+    part = part[order]
+    bounds = np.flatnonzero(np.diff(part)) + 1
+    for chunk, pvals in zip(
+        np.split(np.arange(len(data)), bounds), np.split(part, bounds)
+    ):
+        p = int(pvals[0])
+        sub = data.slice(int(chunk[0]), len(chunk))
+        for off in range(0, len(sub), rows_per_file):
+            piece = sub.slice(off, rows_per_file)
+            entries.append(tbl.write_file(piece, p))
+    tbl.commit("append", entries, summary={"fixture": True, "n_turns": n_turns})
+    return tbl

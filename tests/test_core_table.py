@@ -1,0 +1,167 @@
+"""Table-format core: commits, snapshot isolation, time travel, pruning.
+
+Metadata invariants per SURVEY §5(c): snapshot log monotonicity, manifest
+stats equal recomputed stats, conflict detection, incremental scan.
+"""
+
+import threading
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from raylake.core.metadata import column_stats
+from raylake.core.table import CommitConflictError, Table
+from raylake.core.schema import TRANSCRIPT_SCHEMA
+from raylake.fixtures.transcripts import gen_transcripts, write_transcript_table
+
+
+def test_create_load_roundtrip(tmp_table_root):
+    t = Table.create(tmp_table_root, TRANSCRIPT_SCHEMA, num_buckets=4)
+    t2 = Table.load(tmp_table_root)
+    assert t2.schema == TRANSCRIPT_SCHEMA
+    assert t2.num_buckets == 4
+    assert t2.current_seq == 0
+    assert t2.live_entries() == []
+    assert t2.row_count() == 0
+
+
+def test_append_commit_and_scan(tmp_table_root):
+    data = gen_transcripts(500)
+    t = write_transcript_table(tmp_table_root, 500, rows_per_file=64, num_buckets=4)
+    assert t.current_seq == 1
+    assert t.row_count() == len(data)
+    scanned = t.scan_arrow(sort=True)
+    expect = data.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert scanned.equals(expect)  # bit-for-bit, incl. text
+
+
+def test_manifest_stats_match_recomputed(tmp_table_root):
+    t = write_transcript_table(tmp_table_root, 300, rows_per_file=50, num_buckets=2)
+    import pyarrow.parquet as pq
+    import os
+
+    for e in t.live_entries():
+        actual = pq.read_table(os.path.join(t.root, e.path))
+        assert e.rows == len(actual)
+        assert e.stats == column_stats(actual, t.stats_columns)
+
+
+def test_time_travel_and_incremental(tmp_table_root):
+    t = Table.create(tmp_table_root, TRANSCRIPT_SCHEMA, num_buckets=2)
+    batch1 = gen_transcripts(100, seed=1)
+    batch2 = gen_transcripts(100, seed=2)
+    e1 = t.write_file(batch1, 0)
+    t.commit("append", [e1])
+    e2 = t.write_file(batch2, 1)
+    t.commit("append", [e2])
+    assert [s.seq for s in t.snapshots()] == [1, 2]
+    # time travel: snapshot 1 sees only batch1
+    assert t.scan_arrow(snapshot=1).equals(batch1)
+    assert t.row_count(snapshot=1) == len(batch1)
+    assert t.row_count(snapshot=2) == len(batch1) + len(batch2)
+    # incremental: files added in (1, 2]
+    inc = t.added_entries(after_seq=1)
+    assert [e.path for e in inc] == [e2.path]
+
+
+def test_replace_commit_rewrites_manifests(tmp_table_root):
+    t = Table.create(tmp_table_root, TRANSCRIPT_SCHEMA, num_buckets=2)
+    b = gen_transcripts(200, seed=3)
+    ents = [t.write_file(b.slice(0, 100), 0), t.write_file(b.slice(100, 100), 0)]
+    t.commit("append", ents)
+    merged = t.scan_arrow(sort=True)
+    new_e = t.write_file(merged, 0)
+    snap = t.commit("compact", [new_e], replaced_paths={e.path for e in ents},
+                    expected_parent=t.current_seq)
+    assert snap.summary["removed_files"] == 2
+    live = t.live_entries()
+    assert [e.path for e in live] == [new_e.path]
+    assert t.scan_arrow(sort=True).equals(merged)
+    # old snapshot still scannable (time travel pre-compaction)
+    assert t.scan_arrow(snapshot=1, sort=True).equals(merged)
+
+
+def test_conflict_detection(tmp_table_root):
+    t = Table.create(tmp_table_root, TRANSCRIPT_SCHEMA, num_buckets=2)
+    b = gen_transcripts(100, seed=4)
+    e1 = t.write_file(b, 0)
+    t.commit("append", [e1])
+    base_seq = t.current_seq
+
+    # committer A rewrites e1
+    ea = t.write_file(b, 0)
+    t.commit("compact", [ea], replaced_paths={e1.path}, expected_parent=base_seq)
+    # committer B also planned against base_seq and replaces e1 → conflict
+    eb = t.write_file(b, 0)
+    with pytest.raises(CommitConflictError):
+        t.commit("merge", [eb], replaced_paths={e1.path}, expected_parent=base_seq)
+    # disjoint concurrent commit (pure append) rebases fine
+    ec = t.write_file(b, 1)
+    t.commit("append", [ec], expected_parent=base_seq)
+    assert t.current_seq == base_seq + 2
+
+
+def test_concurrent_commits_serialize(tmp_table_root):
+    """Two threads committing appends: both land, no lost update."""
+    t = Table.create(tmp_table_root, TRANSCRIPT_SCHEMA, num_buckets=2)
+    b = gen_transcripts(50, seed=5)
+    errs = []
+
+    def worker(p):
+        try:
+            tt = Table.load(tmp_table_root)
+            e = tt.write_file(b, p)
+            tt.commit("append", [e])
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ths = [threading.Thread(target=worker, args=(p,)) for p in range(6)]
+    [th.start() for th in ths]
+    [th.join() for th in ths]
+    assert not errs
+    t.refresh()
+    assert t.current_seq == 6
+    assert t.row_count() == 6 * len(b)
+    assert [s["seq"] for s in t.meta["snapshot_log"]] == list(range(1, 7))
+
+
+def test_pruning_by_stats(tmp_table_root):
+    t = Table.create(tmp_table_root, TRANSCRIPT_SCHEMA, num_buckets=2)
+    b = gen_transcripts(400, seed=6).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    for off in range(0, len(b), 100):
+        t.commit("append", [t.write_file(b.slice(off, 100), 0)])
+    some_conv = b["conv_id"][0].as_py()
+    pruned = t.prune(conv_id=(some_conv, some_conv))
+    assert 0 < len(pruned) < len(t.live_entries())
+    got = t.scan_arrow(entries=pruned)
+    got = got.filter(pc.equal(got["conv_id"], some_conv)).sort_by("turn_idx")
+    expect = b.filter(pc.equal(b["conv_id"], some_conv)).sort_by("turn_idx")
+    assert got.equals(expect)
+
+
+def test_ray_scan_schema_clean(tmp_table_root, ray_session):
+    """Regression: data/p=NNNNN/ layout must not hive-leak a 'p' column."""
+    t = write_transcript_table(tmp_table_root, 200, rows_per_file=64, num_buckets=2)
+    ds = t.scan()
+    assert ds.schema().names == TRANSCRIPT_SCHEMA.names
+    assert ds.count() == t.row_count()
+
+
+def test_fixture_determinism_and_skew():
+    a = gen_transcripts(2000)
+    b = gen_transcripts(2000)
+    assert a.equals(b)
+    sizes = pa.TableGroupBy(a, "conv_id").aggregate([("turn_idx", "count")])
+    counts = sizes["turn_idx_count"].to_numpy()
+    assert counts.max() >= 10 * np.median(counts)  # zipf skew: hot convs exist
+    # ts strictly monotone within conv
+    s = a.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    import pandas as pd
+
+    df = s.select(["conv_id", "ts"]).to_pandas()
+    assert (df.groupby("conv_id", sort=False)["ts"].diff().dropna()
+            > pd.Timedelta(0)).all()
