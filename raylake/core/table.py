@@ -225,6 +225,31 @@ class Table:
                 out.append(e)
         return out
 
+    def prune_point(
+        self, conv_value: str, entries: list[ManifestEntry] | None = None,
+        snapshot: int | None = None,
+    ) -> list[ManifestEntry]:
+        """Files that can contain rows of one partition-key value, using
+        (a) hash-bucket partition pruning, (b) string min/max stats, and
+        (c) hash-space `conv_h32` stats recorded by Z-order rewrites —
+        hashing destroys lexicographic locality, so z-clustered files carry
+        bounds in hash space instead."""
+        from raylake.core.hashing import partition_of, stable_hash64
+
+        if entries is None:
+            entries = self.live_entries(snapshot)
+        col = self.partition_column
+        if col is not None:
+            p = int(partition_of([conv_value], self.num_buckets)[0])
+            entries = [e for e in entries if e.partition in (p, -1)]
+        h32 = int(stable_hash64([conv_value])[0]) >> 32
+        return [
+            e
+            for e in entries
+            if e.overlaps(col or "conv_id", conv_value, conv_value)
+            and e.overlaps("conv_h32", h32, h32)
+        ]
+
     def _paths(self, entries: Iterable[ManifestEntry]) -> list[str]:
         return [os.path.join(self.root, e.path) for e in entries]
 

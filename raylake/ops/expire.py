@@ -1,0 +1,100 @@
+"""Snapshot expiry + reachability-based orphan-file GC (SURVEY §2.8 T7).
+
+Counterpart of Iceberg's `expire_snapshots` / `remove_orphan_files` — which
+the reference's tables depend on for space reclamation but never run.
+
+Expiry drops snapshot-log entries (keep_last / older_than, always keeping the
+current snapshot), then computes the REACHABLE set = union of all data files
+and manifests referenced by the retained snapshots. Anything on disk that is
+not reachable and older than `grace_period_s` (protects in-flight writes of
+a concurrent committer) is deleted. Time travel to retained snapshots keeps
+working — tests assert both directions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from raylake.core import metadata as md
+from raylake.core.table import Table, _CommitLock
+
+
+def expire_snapshots(
+    table: Table,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+    grace_period_s: float = 0.0,
+    dry_run: bool = False,
+) -> dict:
+    """Returns a report: expired snapshot seqs, deleted files, freed bytes."""
+    with _CommitLock(table.root):
+        table.refresh()
+        log = table.meta["snapshot_log"]
+        keep: list[dict] = []
+        for i, entry in enumerate(log):
+            is_current = entry["seq"] == table.current_seq
+            recent = keep_last is not None and i >= len(log) - keep_last
+            young = older_than_ms is not None and entry["ts_ms"] >= older_than_ms
+            if is_current or recent or young or (keep_last is None and older_than_ms is None):
+                keep.append(entry)
+        expired = [e for e in log if e not in keep]
+        if not dry_run and expired:
+            table.meta["snapshot_log"] = keep
+            md.atomic_write_json(
+                os.path.join(table.root, "metadata", "table.json"), table.meta
+            )
+
+    # reachability over retained snapshots
+    reachable_data: set[str] = set()
+    reachable_meta: set[str] = {"metadata/table.json"}
+    for entry in keep:
+        reachable_meta.add(entry["file"])
+        snap = table.snapshot(entry["seq"])
+        for m in snap.manifests:
+            reachable_meta.add(m)
+            for fe in md.read_manifest(table.root, m):
+                reachable_data.add(fe.path)
+
+    deleted, freed = [], 0
+    now = time.time()
+
+    def sweep(relpaths):
+        nonlocal freed
+        for rel in relpaths:
+            p = os.path.join(table.root, rel)
+            try:
+                if now - os.path.getmtime(p) < grace_period_s:
+                    continue
+                sz = os.path.getsize(p)
+                if not dry_run:
+                    os.unlink(p)
+                deleted.append(rel)
+                freed += sz
+            except FileNotFoundError:
+                continue
+
+    on_disk_data = []
+    data_root = os.path.join(table.root, "data")
+    for dirpath, _, files in os.walk(data_root):
+        for fn in files:
+            rel = os.path.relpath(os.path.join(dirpath, fn), table.root)
+            if rel not in reachable_data:
+                on_disk_data.append(rel)
+    sweep(on_disk_data)
+
+    meta_root = os.path.join(table.root, "metadata")
+    orphan_meta = []
+    for fn in os.listdir(meta_root):
+        rel = f"metadata/{fn}"
+        if fn.startswith(("manifest-", "snap-")) and rel not in reachable_meta:
+            orphan_meta.append(rel)
+    sweep(orphan_meta)
+
+    return {
+        "expired_snapshots": [e["seq"] for e in expired],
+        "retained_snapshots": [e["seq"] for e in keep],
+        "deleted_files": deleted,
+        "freed_bytes": freed,
+        "dry_run": dry_run,
+    }

@@ -1,0 +1,359 @@
+"""MERGE INTO — late-arriving turn upserts (SURVEY §2.7 MG1/MG3/MG4).
+
+Semantics cloned from the reference's Spark-SQL MERGE
+(ref: src/elt/silver/_silver_handler.py:195-224):
+
+    WHEN MATCHED AND any column differs (null-safe)  THEN UPDATE
+    WHEN NOT MATCHED                                  THEN INSERT
+    (mode="delete": WHEN MATCHED THEN DELETE — the soft-delete/J4 shape,
+     ref: transform_company_shareholders.py:70-73)
+
+Last-writer-wins per (conv_id, turn_idx): source beats target; among
+duplicate source keys the greater `ts` (then later row) wins — the keyed
+keep-first dedup D1 (ref: _silver_handler.py:124-143) with commit-order
+priority.
+
+Execution plan (no all-to-all shuffle — the shuffle is replaced by
+manifest-pruned co-partitioning):
+
+1. **Stage**: source batches are hash-routed to `bucket = hash(conv_id)%P`
+   staging Parquet files via `map_batches` (stateless, streaming). Per-conv
+   key stats (conv_id, turn min/max) come back as a tiny side stream.
+2. **Prune**: manifest min/max stats select only target files whose
+   (conv_id, turn_idx) range can contain a source key — untouched files are
+   never read or rewritten.
+3. **Plan with explicit skew splitting** (north_rule): affected files are
+   clustered by overlapping composite key intervals
+   [(conv_min, turn_min), (conv_max, turn_max)]. Clusters larger than
+   `max_task_bytes` are split at interval-disjoint file boundaries — a hot
+   conv_id laid out across many files (sorted/z-ordered layout ⇒ disjoint
+   turn ranges) parallelizes across turn-range subtasks while keys can never
+   straddle two tasks. Each task owns the half-open key range up to the next
+   cluster's lower bound, so inserts (brand-new keys) route deterministically.
+4. **Execute**: actor-pool rewrite tasks (raylake/ops/rewrite.py) read their
+   file group + their slice of the staged source, combine last-writer-wins in
+   Arrow, and skip the rewrite entirely when the result is bit-identical
+   (null-safe change detection, MG4). One atomic replace-commit; resumable
+   from the per-task ledger with the plan persisted in the job metadata.
+"""
+
+from __future__ import annotations
+
+import bisect
+import glob
+import json
+import os
+import uuid
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raylake.core.hashing import partition_of
+from raylake.core.table import Table
+from raylake.functions.cleaning import normalize_schema
+from raylake.ops.rewrite import (
+    DEFAULT_TARGET_FILE_BYTES,
+    RewriteTask,
+    cut_and_write,
+    read_task_inputs,
+    run_rewrite_job,
+)
+from raylake.state.ledger import Ledger
+
+KEYS = ("conv_id", "turn_idx")
+
+
+# --------------------------------------------------------------------- stage
+
+
+class _StageWriter:
+    """map_batches callable: split a source batch by bucket, write staging
+    parquet, emit per-(bucket, conv) key stats as the return rows."""
+
+    def __init__(self, table_root: str, staging_dir: str):
+        self.table = Table.load(table_root)
+        self.staging = staging_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.table
+        batch = normalize_schema(batch, t.schema)
+        part = partition_of(batch[t.partition_column], t.num_buckets)
+        order = np.argsort(part, kind="stable")
+        batch = batch.take(pa.array(order))
+        part = part[order]
+        bounds = np.flatnonzero(np.diff(part)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(part)]])
+        stats_rows = {"bucket": [], "conv_id": [], "tmin": [], "tmax": [], "rows": []}
+        for s, e in zip(starts, ends):
+            p = int(part[s])
+            sub = batch.slice(int(s), int(e - s))
+            d = os.path.join(self.staging, f"b={p:05d}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+            agg = pa.TableGroupBy(sub.select(list(KEYS)), "conv_id").aggregate(
+                [("turn_idx", "min"), ("turn_idx", "max"), ("turn_idx", "count")]
+            )
+            stats_rows["bucket"].extend([p] * len(agg))
+            stats_rows["conv_id"].extend(agg["conv_id"].to_pylist())
+            stats_rows["tmin"].extend(agg["turn_idx_min"].to_pylist())
+            stats_rows["tmax"].extend(agg["turn_idx_max"].to_pylist())
+            stats_rows["rows"].extend(agg["turn_idx_count"].to_pylist())
+        return pa.table(stats_rows)
+
+
+def _stage_source(table: Table, source, staging_dir: str) -> pd.DataFrame:
+    """Write source to per-bucket staging files; return per-conv key stats.
+
+    The stats stream is one row per (bucket, conv_id) — small relative to the
+    source (convs ≪ turns); it is the only thing the driver materializes.
+    """
+    import ray
+    import ray.data
+
+    if isinstance(source, pa.Table):
+        source = ray.data.from_arrow(source)
+    stats = source.map_batches(
+        _StageWriter,
+        fn_constructor_kwargs={"table_root": table.root, "staging_dir": staging_dir},
+        batch_format="pyarrow",
+        batch_size=64 * 1024,
+        concurrency=(1, max(1, int(ray.cluster_resources().get("CPU", 4)))),
+        num_cpus=1,
+    ).to_pandas()
+    if len(stats) == 0:
+        return stats
+    return (
+        stats.groupby(["bucket", "conv_id"], sort=True)
+        .agg(tmin=("tmin", "min"), tmax=("tmax", "max"), rows=("rows", "sum"))
+        .reset_index()
+    )
+
+
+# ---------------------------------------------------------------------- plan
+
+
+def _file_interval(e) -> tuple[tuple, tuple]:
+    """Conservative composite (conv_id, turn_idx) interval enclosing a file's
+    keys, derived from independent per-column manifest stats."""
+    cs = e.stats.get("conv_id") or [None, None]
+    ts = e.stats.get("turn_idx") or [None, None]
+    lo = (cs[0] if cs[0] is not None else "", ts[0] if ts[0] is not None else -(2**31))
+    hi = (cs[1] if cs[1] is not None else "\U0010ffff", ts[1] if ts[1] is not None else 2**31)
+    return lo, hi
+
+
+def _plan_merge_tasks(
+    table: Table, key_stats: pd.DataFrame, max_task_bytes: int
+) -> list[RewriteTask]:
+    live_by_part = defaultdict(list)
+    for e in table.live_entries():
+        live_by_part[e.partition].append(e)
+
+    tasks: list[RewriteTask] = []
+    for bucket, grp in key_stats.groupby("bucket"):
+        bucket = int(bucket)
+        convs = sorted(grp["conv_id"].tolist())
+        # prune: files that can contain at least one source conv
+        affected = []
+        for e in live_by_part.get(bucket, []):
+            cs = e.stats.get("conv_id")
+            if not cs or cs[0] is None:
+                affected.append(e)
+                continue
+            i = bisect.bisect_left(convs, cs[0])
+            if i < len(convs) and convs[i] <= cs[1]:
+                affected.append(e)
+
+        # cluster affected files by composite-interval overlap; split hot
+        # clusters at interval-disjoint boundaries (the skew split)
+        files = sorted(affected, key=lambda e: _file_interval(e)[0])
+        clusters: list[dict] = []
+        for e in files:
+            lo, hi = _file_interval(e)
+            cur = clusters[-1] if clusters else None
+            if cur is not None and (
+                lo <= cur["hi"]  # overlapping intervals MUST share a task
+                or cur["bytes"] + e.bytes <= max_task_bytes  # pack small ones
+            ):
+                cur["files"].append(e)
+                cur["hi"] = max(cur["hi"], hi)
+                cur["bytes"] += e.bytes
+            else:
+                # cut point: interval-disjoint AND size budget exceeded —
+                # this is the explicit skew split (a hot conv_id whose files
+                # cover disjoint turn ranges parallelizes here)
+                clusters.append({"files": [e], "lo": lo, "hi": hi, "bytes": e.bytes})
+        if not clusters:
+            clusters = [{"files": [], "lo": None, "hi": None, "bytes": 0}]
+
+        for i, cl in enumerate(clusters):
+            lo = None if i == 0 else list(clusters[i]["lo"])
+            hi = None if i == len(clusters) - 1 else list(clusters[i + 1]["lo"])
+            tasks.append(
+                RewriteTask(
+                    task_id=f"m{bucket:05d}-{i:04d}",
+                    partition=bucket,
+                    input_paths=[e.path for e in cl["files"]],
+                    input_bytes=sum(e.bytes for e in cl["files"]),
+                    input_rows=sum(e.rows for e in cl["files"]),
+                    extra={"bucket": bucket, "lo": lo, "hi": hi},
+                )
+            )
+    return tasks
+
+
+# ------------------------------------------------------------------- execute
+
+
+def _key_ge(conv: pa.ChunkedArray, turn: pa.ChunkedArray, bound: list):
+    c, t = bound
+    return pc.or_(
+        pc.greater(conv, c), pc.and_(pc.equal(conv, c), pc.greater_equal(turn, t))
+    )
+
+
+def _filter_key_range(tbl: pa.Table, lo, hi) -> pa.Table:
+    mask = None
+    if lo is not None:
+        mask = _key_ge(tbl["conv_id"], tbl["turn_idx"], lo)
+    if hi is not None:
+        m2 = pc.invert(_key_ge(tbl["conv_id"], tbl["turn_idx"], hi))
+        mask = m2 if mask is None else pc.and_(mask, m2)
+    return tbl if mask is None else tbl.filter(mask)
+
+
+def last_writer_wins(
+    tgt: pa.Table, src: pa.Table, keys=KEYS, order_col: str = "ts"
+) -> pa.Table:
+    """Combine target+source, keep one row per key: source beats target;
+    among source duplicates greater `order_col` then later row wins.
+    Pure Arrow (no pandas round-trip — `text` bytes must not drift)."""
+    n_t, n_s = len(tgt), len(src)
+    comb = pa.concat_tables([tgt, src]).combine_chunks()
+    prio = np.concatenate(
+        [np.zeros(n_t, dtype=np.int64), np.ones(n_s, dtype=np.int64)]
+    )
+    ordc = np.arange(n_t + n_s, dtype=np.int64)
+    comb = comb.append_column("__prio", pa.array(prio)).append_column(
+        "__ord", pa.array(ordc)
+    )
+    comb = comb.sort_by(
+        [(k, "ascending") for k in keys]
+        + [("__prio", "ascending"), (order_col, "ascending"), ("__ord", "ascending")]
+    )
+    if len(comb) == 0:
+        return comb.drop(["__prio", "__ord"])
+    # keep the LAST row of each key run
+    last = None
+    for k in keys:
+        a = comb[k].combine_chunks()
+        neq = pc.not_equal(a.slice(0, len(a) - 1), a.slice(1))
+        last = neq if last is None else pc.or_(last, neq)
+    last_np = np.concatenate(
+        [last.to_numpy(zero_copy_only=False).astype(bool), [True]]
+    )
+    return comb.filter(pa.array(last_np)).drop(["__prio", "__ord"])
+
+
+def _merge_task(table: Table, task: dict, params: dict) -> dict:
+    tgt = read_task_inputs(table, task)
+    staged = sorted(
+        glob.glob(os.path.join(params["staging_dir"], f"b={task['partition']:05d}", "*.parquet"))
+    )
+    src = (
+        pa.concat_tables([pq.read_table(p) for p in staged]).combine_chunks()
+        if staged
+        else table.schema.empty_table()
+    )
+    src = _filter_key_range(src, task["extra"]["lo"], task["extra"]["hi"])
+
+    sort_keys = [(c, "ascending") for c in table.sort_order]
+    tgt_sorted = tgt.sort_by(sort_keys).combine_chunks()
+    if params["mode"] == "delete":
+        if len(src) == 0:
+            return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
+        key = pd.MultiIndex.from_arrays(
+            [tgt_sorted["conv_id"].to_pandas(), tgt_sorted["turn_idx"].to_pandas()]
+        )
+        skey = pd.MultiIndex.from_arrays(
+            [src["conv_id"].to_pandas(), src["turn_idx"].to_pandas()]
+        )
+        result = tgt_sorted.filter(pa.array(~key.isin(skey)))
+    else:
+        result = last_writer_wins(tgt, src, order_col=params["order_col"])
+
+    # null-safe change detection (MG4): bit-identical result → skip rewrite
+    if result.equals(tgt_sorted):
+        return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
+    bpr = (
+        task["input_bytes"] / max(1, task["input_rows"])
+        if task["input_rows"]
+        else max(1.0, result.nbytes / max(1, len(result)) / 3)
+    )
+    entries = cut_and_write(
+        table, result, task["partition"], params["target_file_bytes"], bpr
+    )
+    return {"entries": entries, "replaced": task["input_paths"], "rows": len(result)}
+
+
+# ----------------------------------------------------------------- top level
+
+
+def merge_into(
+    table: Table,
+    source,
+    mode: str = "upsert",
+    order_col: str = "ts",
+    job_id: str | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    max_task_bytes: int | None = None,
+    concurrency: int | None = None,
+    max_tasks: int | None = None,
+):
+    """MERGE source (ray Dataset | pa.Table) into table. Returns the committed
+    Snapshot, or None (no-op / incomplete — resume by re-calling with the
+    same job_id)."""
+    assert mode in ("upsert", "delete")
+    job_id = job_id or f"merge-{uuid.uuid4().hex[:12]}"
+    ledger = Ledger(table.root, job_id)
+    staging_dir = os.path.join(ledger.dir, "staging")
+    meta = ledger.read_meta()
+
+    if meta is None or "tasks" not in meta:
+        key_stats = _stage_source(table, source, staging_dir)
+        if len(key_stats) == 0:
+            ledger.clear()
+            return None
+        tasks = _plan_merge_tasks(
+            table, key_stats, max_task_bytes or target_file_bytes * 4
+        )
+        meta = {
+            "operation": f"merge:{mode}",
+            "parent_seq": table.current_seq,
+            "task_ids": [t.task_id for t in tasks],
+            "tasks": [json.loads(json.dumps(t.__dict__)) for t in tasks],
+        }
+        ledger.write_meta(meta)
+    else:
+        tasks = [RewriteTask(**t) for t in meta["tasks"]]
+
+    return run_rewrite_job(
+        table,
+        "merge",
+        tasks,
+        _merge_task,
+        job_id=job_id,
+        params={
+            "mode": mode,
+            "order_col": order_col,
+            "staging_dir": staging_dir,
+            "target_file_bytes": target_file_bytes,
+        },
+        concurrency=concurrency,
+        max_tasks=max_tasks,
+    )

@@ -1,0 +1,279 @@
+"""Golden-scan invariance for every maintenance op (SURVEY §5a,c,d).
+
+The north rule: post-maintenance scans are bit-for-bit identical to
+pre-maintenance scans — per-turn `text` equality under stable
+(conv_id, turn_idx) ordering. The duckdb oracle recomputes MERGE from
+first principles.
+"""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from raylake.core.table import Table
+from raylake.fixtures.transcripts import (
+    gen_late_batch,
+    gen_transcripts,
+    write_transcript_table,
+)
+from raylake.ops import compact, expire_snapshots, merge_into, plan_compaction, zorder
+from raylake.ops.append import append
+
+
+@pytest.fixture()
+def small_table(tmp_table_root):
+    return write_transcript_table(
+        tmp_table_root, n_turns=4000, rows_per_file=96, num_buckets=4
+    )
+
+
+def _golden(t: Table) -> pa.Table:
+    return t.scan_arrow(sort=True)
+
+
+def test_compact_bitforbit_and_fewer_files(small_table, ray_session):
+    t = small_table
+    pre = _golden(t)
+    n_files_before = len(t.live_entries())
+    snap = compact(t, target_file_bytes=512 * 1024, concurrency=2)
+    assert snap is not None and snap.operation == "compact"
+    assert len(t.live_entries()) < n_files_before
+    assert _golden(t).equals(pre)  # bit-for-bit, text included
+    assert t.row_count() == len(pre)
+    # idempotent: nothing left to compact at this threshold
+    assert plan_compaction(t, target_file_bytes=512 * 1024) == []
+
+
+def test_zorder_bitforbit_and_pruning(small_table, ray_session):
+    t = small_table
+    pre = _golden(t)
+    compact(t, target_file_bytes=512 * 1024, concurrency=2)
+    snap = zorder(t, target_file_bytes=64 * 1024, concurrency=2)
+    assert snap is not None
+    assert _golden(t).equals(pre)
+    # pruning: a conv_id point lookup must skip most files
+    conv = pre["conv_id"][len(pre) // 2].as_py()
+    pruned = t.prune_point(conv)
+    assert len(pruned) < len(t.live_entries())
+    got = t.scan_arrow(entries=pruned)
+    got = got.filter(pc.equal(got["conv_id"], conv)).sort_by("turn_idx")
+    expect = pre.filter(pc.equal(pre["conv_id"], conv)).sort_by("turn_idx")
+    assert got.equals(expect)
+
+
+def _merge_oracle(pre: pa.Table, late: pa.Table) -> pa.Table:
+    """DuckDB full-recompute oracle for last-writer-wins MERGE."""
+    con = duckdb.connect()
+    con.register("tgt", pre)
+    con.register("src", late)
+    out = con.sql(
+        """
+        WITH src_dedup AS (
+          SELECT * EXCLUDE (rn) FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY conv_id, turn_idx ORDER BY ts DESC) AS rn
+            FROM src) WHERE rn = 1
+        )
+        SELECT * FROM src_dedup
+        UNION ALL
+        SELECT * FROM tgt WHERE (conv_id, turn_idx) NOT IN
+          (SELECT (conv_id, turn_idx) FROM src_dedup)
+        ORDER BY conv_id, turn_idx
+        """
+    ).arrow()
+    con.close()
+    return out.cast(pre.schema)
+
+
+def test_merge_upsert_matches_oracle(small_table, ray_session):
+    t = small_table
+    pre = _golden(t)
+    late = gen_late_batch(pre, update_frac=0.05, insert_frac=0.05, seed=9)
+    files_before = {e.path for e in t.live_entries()}
+    snap = merge_into(t, late, concurrency=2)
+    assert snap is not None and snap.operation == "merge"
+    got = _golden(t)
+    expect = _merge_oracle(pre, late)
+    assert got.equals(expect)
+    assert snap.summary["rewritten_rows"] > 0
+    del files_before  # widespread updates legitimately touch every small file
+
+
+def test_merge_pruning_untouched_files_survive(small_table, ray_session):
+    """Updates confined to ONE conv must leave other files un-rewritten."""
+    t = small_table
+    pre = _golden(t)
+    conv = pre["conv_id"][0].as_py()
+    one = pre.filter(pc.equal(pre["conv_id"], conv)).slice(0, 5)
+    # bump ts so last-writer-wins picks the new text
+    import pyarrow as pa_
+
+    late = one.set_column(
+        one.column_names.index("text"),
+        "text",
+        pa_.array(["CHANGED-" + s for s in one["text"].to_pylist()]),
+    ).set_column(
+        one.column_names.index("ts"),
+        "ts",
+        pc.add(one["ts"].cast(pa_.int64()), 10**9).cast(pa_.timestamp("us")),
+    )
+    files_before = {e.path for e in t.live_entries()}
+    snap = merge_into(t, late, concurrency=2)
+    assert snap is not None
+    files_after = {e.path for e in t.live_entries()}
+    survivors = files_before & files_after
+    assert len(survivors) > len(files_before) * 0.5, "pruning broken"
+    got = _golden(t)
+    assert got.equals(_merge_oracle(pre, late))
+
+
+def test_merge_noop_skips_rewrite(small_table, ray_session):
+    """Re-delivering identical rows must be a no-op (null-safe MG4)."""
+    t = small_table
+    pre = _golden(t)
+    identical = pre.slice(0, 200)  # same keys, same bytes, same ts
+    seq_before = t.current_seq
+    snap = merge_into(t, identical, concurrency=2)
+    assert snap is None  # nothing changed → no commit at all
+    assert t.current_seq == seq_before
+    assert _golden(t).equals(pre)
+
+
+def test_merge_delete(small_table, ray_session):
+    t = small_table
+    pre = _golden(t)
+    victims = pre.slice(0, 150).select(["conv_id", "turn_idx"])
+    snap = merge_into(t, pre.slice(0, 150), mode="delete", concurrency=2)
+    assert snap is not None
+    got = _golden(t)
+    assert len(got) == len(pre) - 150
+    import pandas as pd
+
+    key = pd.MultiIndex.from_arrays(
+        [got["conv_id"].to_pandas(), got["turn_idx"].to_pandas()]
+    )
+    vkey = pd.MultiIndex.from_arrays(
+        [victims["conv_id"].to_pandas(), victims["turn_idx"].to_pandas()]
+    )
+    assert not key.isin(vkey).any()
+
+
+def test_merge_skew_split_parallelizes_hot_conv(tmp_path, ray_session):
+    """A hot conv spanning many files must split into multiple merge tasks."""
+    root = str(tmp_path / "hot")
+    t = Table.create(
+        root,
+        gen_transcripts(10).schema,
+        partition_column="conv_id",
+        num_buckets=1,
+    )
+    # one conversation, 4000 turns, written as 20 disjoint turn-range files
+    import numpy as np
+    from raylake.fixtures.transcripts import BASE_TS_US, turn_text
+
+    n = 4000
+    data = pa.table(
+        {
+            "conv_id": pa.array(["conv-hot"] * n),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": pa.array(["user", "assistant"] * (n // 2)),
+            "text": pa.array([turn_text("conv-hot", i) for i in range(n)]),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(BASE_TS_US + np.arange(n, dtype=np.int64) * 1_000_000).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    entries = [t.write_file(data.slice(i * 200, 200), 0) for i in range(20)]
+    t.commit("append", entries)
+    pre = t.scan_arrow(sort=True)
+
+    late = gen_late_batch(pre, update_frac=0.2, insert_frac=0.0, seed=3)
+    from raylake.ops.merge import _plan_merge_tasks, _stage_source
+    from raylake.state.ledger import Ledger
+
+    ledger = Ledger(root, "plan-probe")
+    stats = _stage_source(t, late, os.path.join(ledger.dir, "staging"))
+    tasks = _plan_merge_tasks(t, stats, max_task_bytes=256 * 1024)
+    ledger.clear()
+    assert len(tasks) > 1, "hot conv_id was not skew-split into turn ranges"
+
+    snap = merge_into(t, late, max_task_bytes=256 * 1024, concurrency=2)
+    assert snap is not None
+    assert _golden_equals(t, _merge_oracle(pre, late))
+
+
+def _golden_equals(t, expect):
+    return t.scan_arrow(sort=True).equals(expect)
+
+
+def test_resume_after_partial_job(small_table, ray_session):
+    """Kill a compaction halfway (max_tasks) → resume with same job_id →
+    identical final state as an uninterrupted run (SURVEY §5d)."""
+    t = small_table
+    pre = _golden(t)
+    all_tasks = plan_compaction(t, target_file_bytes=512 * 1024)
+    assert len(all_tasks) >= 2
+    half = compact(
+        t, target_file_bytes=512 * 1024, job_id="job-x", max_tasks=len(all_tasks) // 2,
+        concurrency=2,
+    )
+    assert half is None  # incomplete: no commit yet
+    assert t.current_seq == 1  # snapshot unchanged mid-job
+    snap = compact(t, target_file_bytes=512 * 1024, job_id="job-x", concurrency=2)
+    assert snap is not None
+    assert _golden(t).equals(pre)
+    assert plan_compaction(t, target_file_bytes=512 * 1024) == []
+    # ledger cleaned up after commit
+    assert not os.path.exists(os.path.join(t.root, "metadata", "jobs", "job-x"))
+
+
+def test_distributed_append(tmp_table_root, ray_session):
+    import ray.data
+
+    t = Table.create(
+        tmp_table_root, gen_transcripts(10).schema, partition_column="conv_id",
+        num_buckets=4,
+    )
+    data = gen_transcripts(3000, seed=11)
+    snap = append(t, ray.data.from_arrow(data), batch_size=512, concurrency=2)
+    assert snap is not None and snap.operation == "append"
+    got = t.scan_arrow(sort=True)
+    expect = data.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.equals(expect)
+    # every file is partition-pure
+    for e in t.live_entries():
+        import pyarrow.parquet as pq
+        from raylake.core.hashing import partition_of
+
+        f = pq.read_table(os.path.join(t.root, e.path), columns=["conv_id"])
+        buckets = set(partition_of(f["conv_id"], t.num_buckets).tolist())
+        assert buckets == {e.partition}
+
+
+def test_expire_and_orphan_gc(small_table, ray_session):
+    t = small_table
+    pre = _golden(t)
+    compact(t, target_file_bytes=512 * 1024, concurrency=2)
+    zorder(t, target_file_bytes=512 * 1024, concurrency=2)
+    assert t.current_seq == 3
+    # drop an orphan (simulated failed write) into the data dir
+    orphan = os.path.join(t.root, "data", "p=00000", "orphan.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(pre.slice(0, 10), orphan)
+    report = expire_snapshots(t, keep_last=2)
+    assert report["expired_snapshots"] == [1]
+    assert "data/p=00000/orphan.parquet" in report["deleted_files"]
+    assert not os.path.exists(orphan)
+    # retained snapshots still scan; current scan still bit-for-bit
+    assert _golden(t).equals(pre)
+    assert t.scan_arrow(snapshot=2, sort=True).equals(pre)
+    # expired snapshot is gone
+    assert not os.path.exists(os.path.join(t.root, "metadata", "snap-1.json"))
+    # GC never deleted a reachable file
+    for e in t.live_entries():
+        assert os.path.exists(os.path.join(t.root, e.path))
