@@ -1,0 +1,116 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the part that matters at 100 TB):
+- exact dedup: hash the content INSIDE map_batches (cheap, streaming), then
+  shuffle only the 16-byte digest + key — `groupby(digest)` never moves the
+  text column when the caller projects first.
+- MinHash LSH: shingle→minhash per batch (stateless, vectorized numpy),
+  explode to (band_id, band_hash, doc_id) rows — the only shuffled payload —
+  `groupby([band_id, band_hash])` emits candidate pairs, verified by true
+  Jaccard. Connected components would be min-label propagation rounds; here
+  we emit verified pairs (the representative-choice policy is the caller's).
+- SimHash: 64-bit signature per doc from token hashes; near-dup = small
+  Hamming distance, bucketed by the 4×16-bit band trick.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_hashes(text: str, shingle: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < shingle:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+class MinHasher:
+    """Stateless-per-batch minhash signatures. num_perm universal-hash
+    permutations h_i(x) = (a_i * x + b_i) mod p, seeds fixed → deterministic."""
+
+    def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 1):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+
+    def signature(self, text: str) -> np.ndarray:
+        hv = _token_hashes(text, self.shingle)
+        # (num_perm, n_grams) universal hashing in uint64 (mod 2^64 wrap ok)
+        x = (self.a[:, None] * hv[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return x.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in batch[text_col]])
+        batch = batch[[c for c in batch.columns if c != text_col]].copy()
+        batch["minhash"] = list(sigs)
+        return batch
+
+
+def lsh_band_rows(
+    batch: pd.DataFrame, id_col: str, bands: int = 16
+) -> pd.DataFrame:
+    """Explode signatures to (band_id, band_hash, id) rows — the ONLY payload
+    that enters the LSH groupby shuffle."""
+    sigs = np.stack(batch["minhash"].to_numpy())
+    rows_per_band = sigs.shape[1] // bands
+    out = {"band_id": [], "band_hash": [], id_col: []}
+    ids = batch[id_col].to_numpy()
+    for b in range(bands):
+        chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+        bh = [hashlib.blake2b(c.tobytes(), digest_size=8).hexdigest() for c in chunk]
+        out["band_id"].extend([b] * len(ids))
+        out["band_hash"].extend(bh)
+        out[id_col].extend(ids.tolist())
+    return pd.DataFrame(out)
+
+
+def jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
+    a = set(map(int, _token_hashes(text_a, shingle)))
+    b = set(map(int, _token_hashes(text_b, shingle)))
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(1, len(a | b))
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (unit weights)."""
+    hv = _token_hashes(text, 1)
+    if len(hv) == 0:
+        return 0
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+class SimHasher:
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = [
+            np.int64(np.uint64(simhash64(t)).astype(np.int64))
+            for t in batch[self.text_col]
+        ]
+        return batch

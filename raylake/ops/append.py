@@ -62,10 +62,13 @@ def append(
     summary: dict | None = None,
 ):
     """Append a ray.data.Dataset (or pa.Table) to the table; one commit."""
+    import ray
     import ray.data
 
     if isinstance(ds, pa.Table):
         ds = ray.data.from_arrow(ds)
+    if concurrency is None:
+        concurrency = (1, max(1, int(ray.cluster_resources().get("CPU", 4))))
     entry_rows = ds.map_batches(
         AppendWriter,
         fn_constructor_kwargs={"table_root": table.root},

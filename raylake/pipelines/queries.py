@@ -1,0 +1,1053 @@
+"""Driver-facing query catalog: Ray Data implementations + DuckDB oracle SQL.
+
+Every entry maps to an operator family from SURVEY §2 (or the training-data
+additions: dedup / similarity / text analysis / multimodal). Implementations
+are Ray-Data-first: column-pruned `read_parquet`, vectorized `map_batches`
+(pyarrow.compute / numpy / pandas), broadcast small sides, pre-aggregation
+before shuffles. Column names match the oracle SQL exactly (driver hashes by
+sorted column name). Floating aggregates are rounded identically on both
+sides to absorb summation-order differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _rd():
+    import ray.data
+
+    return ray.data
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.2 — aggregation with partial pre-aggregation (TPC-H Q1 shape, M18+A)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch partial aggregation: each batch emits
+    one row per (returnflag, linestatus), so the groupby shuffle moves ~10
+    rows per block instead of every lineitem row."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("l_quantity_count", alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas()  # ~6 rows
+    # NOTE no avg columns: rounded rationals hit exact .5 ties where numpy
+    # (banker's) and DuckDB (half-away) disagree; sums of exact-decimal
+    # inputs round identically, counts are integers.
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        df[c] = df[c].round(2)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                      AS sum_qty,
+       round(sum(l_extendedprice), 2)                 AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)                                        AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# M11/M13/M18 — pruned read + filter + derived-column chain
+# ---------------------------------------------------------------------------
+
+def q_filter_project(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(pd.Timestamp("1995-01-01")))
+        & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1996-01-01"))),
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "revenue": rev})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+"""
+
+
+def q_derived_chain(sf_dir: str):
+    """Chained arithmetic derived columns (ref fact_quarterly_ratio.py:39-96
+    M18) — one map_batches computes all of them column-at-a-time."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        one = pa.scalar(1.0)
+        revenue = pc.multiply(t["l_extendedprice"], pc.subtract(one, t["l_discount"]))
+        charge = pc.multiply(revenue, pc.add(one, t["l_tax"]))
+        unit_price = pc.divide(t["l_extendedprice"], t["l_quantity"])
+        high_tax = pc.greater(t["l_tax"], 0.05)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"],
+            "revenue": revenue, "charge": charge,
+            "unit_price": unit_price, "high_tax": high_tax,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DERIVED_CHAIN = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount)                 AS revenue,
+       (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge,
+       l_extendedprice / l_quantity                       AS unit_price,
+       l_tax > 0.05                                       AS high_tax
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — joins: broadcast left join, semi, anti
+# ---------------------------------------------------------------------------
+
+def q_join_agg(sf_dir: str):
+    """orders ⟕ customer (small dim broadcast via ray.put; J1 — ref
+    dim_company.py:41-51) → revenue per market segment."""
+    import ray
+
+    from raylake.stages.joins import BroadcastLookup
+
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    mapping = dict(zip(cust["c_custkey"].to_pylist(),
+                       cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(mapping)
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(
+        BroadcastLookup,
+        fn_constructor_kwargs={"mapping_ref": ref, "key_col": "o_custkey",
+                               "out_col": "c_mktsegment"},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="total_price"),
+        Count(alias_name="n_orders"),
+    )
+    df = agg.to_pandas()
+    df["total_price"] = df["total_price"].round(2)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_JOIN_AGG = """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """lineitem ⋉ finished orders via broadcast key set (J3 — ref
+    transform_daily_ohlcv.py:75)."""
+    import ray
+
+    from raylake.stages.joins import KeySetFilter
+
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    orders = pq.read_table(_pq(sf_dir, "orders"),
+                           columns=["o_orderkey", "o_orderstatus"])
+    keys = set(
+        orders.filter(pc.equal(orders["o_orderstatus"], "F"))["o_orderkey"]
+        .to_pylist()
+    )
+    ref = ray.put(keys)
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_returnflag"])
+    semi = ds.map_batches(
+        KeySetFilter,
+        fn_constructor_kwargs={"keys_ref": ref, "key_col": "l_orderkey",
+                               "keep": True},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    return semi.groupby("l_returnflag").aggregate(Count(alias_name="n"))
+
+
+SQL_SEMI_JOIN = """
+SELECT l_returnflag, count(*) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY l_returnflag
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """customers with no 'P'-status orders (J4 / left-anti — ref
+    transform_company_shareholders.py:70-73)."""
+    import ray
+
+    from raylake.stages.joins import KeySetFilter
+
+    rd = _rd()
+    ot = pq.read_table(_pq(sf_dir, "orders"),
+                       columns=["o_custkey", "o_orderstatus"])
+    okeys = set(
+        ot.filter(pc.equal(ot["o_orderstatus"], "P"))["o_custkey"].to_pylist()
+    )
+    ref = ray.put(okeys)
+    ds = rd.read_parquet(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+    return ds.map_batches(
+        KeySetFilter,
+        fn_constructor_kwargs={"keys_ref": ref, "key_col": "c_custkey",
+                               "keep": False},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — dedup / top-k / sort / limit / union
+# ---------------------------------------------------------------------------
+
+def q_dedup_events(sf_dir: str):
+    """Keyed keep-first dedup (D1 — ref _silver_handler.py:124-143): one row
+    per (user_id, event_type), latest (ts, event_id) wins."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts",
+                                  "value"])
+
+    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], kind="mergesort").tail(1)
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(
+        keep_last, batch_format="pandas"
+    )
+
+
+SQL_DEDUP_EVENTS = """
+SELECT event_id, user_id, event_type, ts, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_grouped_topk(sf_dir: str):
+    """Last 3 events per user (A4 — ref fact_daily_ohlcv.py:44-57)."""
+    from raylake.stages.window import grouped_tail
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(
+        lambda g: grouped_tail(g, ["ts", "event_id"], 3), batch_format="pandas"
+    )
+
+
+SQL_GROUPED_TOPK = """
+SELECT event_id, user_id, ts FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+def q_sort_limit(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_union_counts(sf_dir: str):
+    """union-by-name (D2 — ref transform_daily_ohlcv.py:64) of two filtered
+    branches, then count per status (UNION ALL semantics)."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    a = rd.read_parquet(_pq(sf_dir, "orders"), columns=cols).filter(
+        expr="o_totalprice > 300000.0"
+    )
+    b = rd.read_parquet(_pq(sf_dir, "orders"), columns=cols).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    return a.union(b).groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+SQL_UNION_COUNTS = """
+SELECT o_orderstatus, count(*) AS n FROM (
+  SELECT * FROM orders WHERE o_totalprice > 300000.0
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+) GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 — surrogate keys, date attributes, quarter→date, min/max
+# ---------------------------------------------------------------------------
+
+def q_surrogate_key(sf_dir: str):
+    """Concat + hash surrogate key (M14 — ref _gold_handler.py:72-88)."""
+    import hashlib
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        sk = pc.binary_join_element_wise(
+            pc.cast(t["user_id"], pa.string()), pc.cast(t["event_id"], pa.string()),
+            ":",
+        )
+        hashed = pa.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in sk.to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table({"event_id": t["event_id"], "sk": sk, "sk_hash": hashed})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_SURROGATE_KEY = """
+SELECT event_id, concat(user_id, ':', event_id) AS sk,
+       md5(concat(user_id, ':', event_id)) AS sk_hash
+FROM events
+"""
+
+
+def q_date_attrs(sf_dir: str):
+    """Date dimension attributes (M19 — ref dim_date.py:51-66)."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        isodow = pc.add(pc.day_of_week(d), 1)  # pyarrow: Monday=0 → ISO 1..7
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "year": pc.cast(pc.year(d), pa.int32()),
+            "quarter": pc.cast(pc.quarter(d), pa.int32()),
+            "month": pc.cast(pc.month(d), pa.int32()),
+            "month_abbr": pc.strftime(d, "%b"),
+            "isodow": pc.cast(isodow, pa.int32()),
+            "is_weekend": pc.greater_equal(isodow, 6),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DATE_ATTRS = """
+SELECT o_orderkey,
+       year(o_orderdate)::INT    AS year,
+       quarter(o_orderdate)::INT AS quarter,
+       month(o_orderdate)::INT   AS month,
+       strftime(o_orderdate, '%b') AS month_abbr,
+       isodow(o_orderdate)::INT  AS isodow,
+       isodow(o_orderdate) >= 6  AS is_weekend
+FROM orders
+"""
+
+
+def q_quarter_end(sf_dir: str):
+    """quarter → quarter-end date (M15 — ref _gold_handler.py:91-108)."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "year": pc.cast(pc.year(t["o_orderdate"]), pa.int32()),
+            "quarter": pc.cast(pc.quarter(t["o_orderdate"]), pa.int32()),
+        })
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby(["year", "quarter"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    df = pairs.to_pandas().drop(columns=["_n"])
+    md = {1: "-03-31", 2: "-06-30", 3: "-09-30", 4: "-12-31"}
+    df["quarter_end"] = df["year"].astype(str) + df["quarter"].map(md)
+    df = df.sort_values(["year", "quarter"])
+    return pa.table({
+        "year": pa.array(df["year"], pa.int32()),
+        "quarter": pa.array(df["quarter"], pa.int32()),
+        "quarter_end": pa.array(df["quarter_end"], pa.string()),
+    })
+
+
+SQL_QUARTER_END = """
+SELECT DISTINCT year(o_orderdate)::INT AS year, quarter(o_orderdate)::INT AS quarter,
+  strftime(CASE quarter(o_orderdate)
+    WHEN 1 THEN make_date(year(o_orderdate)::INT, 3, 31)
+    WHEN 2 THEN make_date(year(o_orderdate)::INT, 6, 30)
+    WHEN 3 THEN make_date(year(o_orderdate)::INT, 9, 30)
+    ELSE make_date(year(o_orderdate)::INT, 12, 31) END, '%Y-%m-%d')
+  AS quarter_end
+FROM orders
+"""
+
+
+def q_minmax(sf_dir: str):
+    """Global min/max + O(1) count probes (A1/A3 — ref dim_date.py:33-36)."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderdate"])
+    mn, mx, n = ds.min("o_orderdate"), ds.max("o_orderdate"), ds.count()
+    return pa.table({
+        "min_date": pa.array([mn], pa.timestamp("us")),
+        "max_date": pa.array([mx], pa.timestamp("us")),
+        "n": pa.array([n], pa.int64()),
+    })
+
+
+SQL_MINMAX = """
+SELECT min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+       count(*) AS n
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — forward fill, as-of join, tumbling window aggregate
+# ---------------------------------------------------------------------------
+
+def q_window_ffill(sf_dir: str):
+    """Per-user forward fill of gapped values (W1 — ref
+    transform_daily_ohlcv.py:58-76): values < 50 are 'missing'."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].where(g["value"] >= 50)
+        g = g[["event_id", "user_id"]].copy()
+        g["filled_value"] = v.ffill()
+        return g
+
+    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+SQL_WINDOW_FFILL = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN value >= 50 THEN value END IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM events
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (J2 — ref fact_share_issue.py:63-72): each purchase event
+    matched to the user's latest view event at-or-before it."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        from raylake.stages.joins import asof_join_group
+
+        g = g[g["event_type"].isin(["purchase", "view"])].copy()
+        g["is_left"] = g["event_type"] == "purchase"
+        if not g["is_left"].any():
+            return pd.DataFrame(columns=["event_id", "user_id", "view_event_id"])
+        out = asof_join_group(
+            g, "is_left", on="ts", right_cols={"event_id": "view_event_id"},
+            by_tiebreak="event_id",
+        )
+        out = out[["event_id", "user_id", "view_event_id"]]
+        out["view_event_id"] = out["view_event_id"].astype("Int64")
+        return out
+
+    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+SELECT p.event_id, p.user_id,
+       (SELECT v.event_id FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_event_id
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+def q_window_agg(sf_dir: str):
+    """Tumbling 1h event-time windows per type (streaming-shaped batch
+    equivalent, SURVEY §2.10): floor(ts) to the hour + grouped aggregate."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        win = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": pc.cast(win, pa.timestamp("us")),
+            "value": t["value"],
+        })
+
+    agg = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df["sum_value"].round(2)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_WINDOW_AGG = """
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+def q_text_stats(sf_dir: str):
+    from raylake.functions.text import token_count_ws
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = token_count_ws(t)
+        uniq = pa.array(
+            [len(set(s.split(" "))) for s in t["text"].to_pylist()], pa.int64()
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "n_tokens": t["n_tokens"],
+            "n_unique_tokens": uniq,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+FROM documents
+"""
+
+
+def q_token_bpe(sf_dir: str):
+    from raylake.functions.text import token_count_bpe
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(token_count_bpe, batch_format="pandas")
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+SQL_TOKEN_BPE = r"""
+SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_score(sf_dir: str):
+    from raylake.functions.text import QualityScorer
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScorer, batch_format="pandas",
+                         concurrency=(1, 4))
+    return out.select_columns(
+        ["doc_id", "n_chars", "n_punct", "n_tokens", "n_stopwords",
+         "sum_token_len"]
+    )
+
+
+SQL_QUALITY_SCORE = r"""
+SELECT doc_id, length(text) AS n_chars,
+  length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+  greatest(len(string_split(text, ' ')), 1) AS n_tokens,
+  len(list_filter(string_split(text, ' '),
+      x -> list_contains(['the','a','of','and','to','in','is','it','that','for',
+                          'der','die','das','und','ist','ein','zu','mit','von','für',
+                          'el','la','de','y','es','un','una','en','que','por',
+                          'le','et','est','dans','pour',
+                          '的','是','了','在','我','有','和','就','不','人'], x)))
+    AS n_stopwords,
+  list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+    AS sum_token_len
+FROM documents
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from raylake.functions.text import doc_fingerprint
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(doc_fingerprint, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+"""
+
+
+def q_dedup_docs_exact(sf_dir: str):
+    """Exact dedup: one survivor (min doc_id) per distinct text. The shuffle
+    key is the md5 digest computed inside map_batches, so the groupby moves
+    32-byte digests + ids, never the text column."""
+    from raylake.functions.text import doc_fingerprint
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "text"])
+    hashed = ds.map_batches(doc_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang", "fingerprint"]
+    )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="mergesort").head(1)[["doc_id", "lang"]]
+
+    return hashed.groupby("fingerprint").map_groups(keep_min, batch_format="pandas")
+
+
+SQL_DEDUP_DOCS_EXACT = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def q_lang_stats(sf_dir: str):
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+    return agg
+
+
+SQL_LANG_STATS = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding: broadcast query,
+    per-batch numpy matmul + local top-k, tiny driver-side merge."""
+    import ray
+
+    from raylake.functions.similarity import BruteForceTopK, embedding_matrix
+
+    rd = _rd()
+    emb0 = pq.read_table(_pq(sf_dir, "embeddings"))
+    q = embedding_matrix(
+        emb0.filter(pc.equal(emb0["vec_id"], 0)), "embedding"
+    )[0]
+    ref = ray.put(q)
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"query_ref": ref, "k": 10},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    ).to_pandas()
+    top = partials.sort_values(["cosine", "vec_id"],
+                               ascending=[False, True]).head(10)
+    top["cosine"] = top["cosine"].round(6)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(cosine, 6) AS cosine FROM (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qe) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.qe, q.qe))) AS cosine
+  FROM embeddings e, q)
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs within label buckets: groupby(label)
+    → per-group numpy pairwise. The bucket key bounds the quadratic blow-up
+    (the LSH/IVF-bucketed scale path; all-pairs across buckets is avoided)."""
+    from raylake.functions.similarity import embedding_matrix, pairwise_neardup
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "label", "embedding"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        mat, ids = mat[order], ids[order]
+        a, b, cos = pairwise_neardup(mat, ids, threshold=0.3)
+        return pd.DataFrame({
+            "vec_id_a": a.astype("int64"), "vec_id_b": b.astype("int64"),
+            "cosine": np.round(cos, 6),
+        })
+
+    return ds.groupby("label").map_groups(fn, batch_format="pandas")
+
+
+SQL_EMBED_NEARDUP = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (deterministic fake decode — SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(sf_dir: str):
+    from raylake.stages.multimodal import MediaFeatureExtractor, encode_payload
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    payloads = ds.map_batches(encode_payload, batch_format="pyarrow")
+    out = payloads.map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["item_id", "media_type", "n_bytes"])
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS item_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+       strlen(text) AS n_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup candidates verified by true 3-gram Jaccard ≥ 0.5.
+    shingle→minhash per batch → explode to (band_id, band_hash, doc_id) →
+    groupby bands → candidate pairs → verify. Not SQL-expressible."""
+    import itertools
+
+    from raylake.functions.dedup import MinHasher, jaccard, lsh_band_rows
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher(num_perm=64, shingle=3),
+                          batch_format="pandas")
+    bands = sigs.map_batches(lambda b: lsh_band_rows(b, "doc_id", bands=16),
+                             batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique().tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        combos = list(itertools.combinations(ids, 2))
+        return pd.DataFrame({"doc_a": [a for a, _ in combos],
+                             "doc_b": [b for _, b in combos]})
+
+    cand = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.drop_duplicates().reset_index(drop=True)
+    texts = dict(
+        zip(
+            *(lambda t: (t["doc_id"].to_pylist(), t["text"].to_pylist()))(
+                pq.read_table(_pq(sf_dir, "documents"),
+                              columns=["doc_id", "text"])
+            )
+        )
+    )
+    rows = []
+    for a, b in zip(cand.get("doc_a", []), cand.get("doc_b", [])):
+        j = jaccard(texts[a], texts[b])
+        if j >= 0.5:
+            rows.append((a, b, round(j, 4)))
+    rows.sort()
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (rows-only; determinism is the contract)."""
+    from raylake.functions.dedup import SimHasher
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def q_lang_id(sf_dir: str):
+    """Stopword-profile language ID vs the labeled lang column (rows-only)."""
+    from raylake.functions.text import LangId
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "text"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang", "pred_lang"])
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 for the vec_id=0 query: coarse
+    centroids from a driver-side sample, nprobe=4 buckets probed. Approximate
+    by design → rows-only check."""
+    import ray
+
+    from raylake.functions.similarity import (
+        IVFAssign,
+        cosine_scores,
+        embedding_matrix,
+        kmeans_lite,
+    )
+
+    rd = _rd()
+    full = pq.read_table(_pq(sf_dir, "embeddings"))
+    mat_sample = embedding_matrix(full.slice(0, min(2000, len(full))))
+    cents = kmeans_lite(mat_sample, k=8, iters=5, seed=0)
+    q = embedding_matrix(full.filter(pc.equal(full["vec_id"], 0)))[0]
+    probe = np.argsort(((cents - q) ** 2).sum(1))[:4].tolist()
+
+    cref = ray.put(cents)
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_kwargs={"centroids_ref": cref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    probe_set = pa.array(sorted(int(p) for p in probe), type=pa.int32())
+    probed = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_bucket"], value_set=probe_set)),
+        batch_format="pyarrow",
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        mat = embedding_matrix(t)
+        cos = cosine_scores(mat, q)
+        k = min(10, len(cos))
+        idx = np.argpartition(-cos, k - 1)[:k]
+        return pa.table({"vec_id": t["vec_id"].take(pa.array(idx)),
+                         "cosine": pa.array(np.round(cos[idx], 6))})
+
+    parts = probed.map_batches(topk, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(["cosine", "vec_id"],
+                            ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def q_transcript_maintenance(sf_dir: str):
+    """The flagship lakehouse pipeline at query scale: build a transcript
+    table (deterministic fixture), compact → zorder → merge late turns,
+    return the post-maintenance scan sorted by (conv_id, turn_idx).
+    The bit-for-bit invariant itself is asserted in pytest; the driver
+    records a rows-only check here (not expressible over the SQL views)."""
+    import re
+    import shutil
+
+    from raylake.fixtures.transcripts import gen_late_batch, gen_transcripts
+    from raylake.core.schema import TRANSCRIPT_SCHEMA
+    from raylake.core.table import Table
+    from raylake.ops import compact, merge_into, zorder
+    from raylake.core.hashing import partition_of
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    n_turns = max(2_000, int(400_000 * sf))
+    root = f"/tmp/raylake_query_maint/sf{sf}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    data = gen_transcripts(n_turns, seed=42)
+    tbl = Table.create(root, TRANSCRIPT_SCHEMA, partition_column="conv_id",
+                       num_buckets=8)
+    part = partition_of(data["conv_id"], 8)
+    order = np.argsort(part, kind="stable")
+    data_sorted = data.take(pa.array(order))
+    part = part[order]
+    bounds = np.flatnonzero(np.diff(part)) + 1
+    entries = []
+    for chunk, pv in zip(np.split(np.arange(len(data_sorted)), bounds),
+                         np.split(part, bounds)):
+        sub = data_sorted.slice(int(chunk[0]), len(chunk))
+        for off in range(0, len(sub), 512):
+            entries.append(tbl.write_file(sub.slice(off, 512), int(pv[0])))
+    tbl.commit("append", entries)
+
+    compact(tbl, target_file_bytes=4 * 1024 * 1024)
+    zorder(tbl, target_file_bytes=4 * 1024 * 1024)
+    late = gen_late_batch(data, update_frac=0.05, insert_frac=0.02, seed=7)
+    merge_into(tbl, late)
+    return tbl.scan_arrow(sort=True)
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "derived_chain": q_derived_chain,
+    "join_agg": q_join_agg,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "dedup_events": q_dedup_events,
+    "grouped_topk": q_grouped_topk,
+    "sort_limit": q_sort_limit,
+    "union_counts": q_union_counts,
+    "surrogate_key": q_surrogate_key,
+    "date_attrs": q_date_attrs,
+    "quarter_end": q_quarter_end,
+    "minmax": q_minmax,
+    "window_ffill": q_window_ffill,
+    "asof_join": q_asof_join,
+    "window_agg": q_window_agg,
+    "text_stats": q_text_stats,
+    "token_bpe": q_token_bpe,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_docs_exact": q_dedup_docs_exact,
+    "lang_stats": q_lang_stats,
+    "ann_topk": q_ann_topk,
+    "embed_neardup": q_embed_neardup,
+    "multimodal_features": q_multimodal_features,
+    # non-SQL-expressible (rows-only driver check):
+    "minhash_neardup": q_minhash_neardup,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
+    "ann_ivf": q_ann_ivf,
+    "transcript_maintenance": q_transcript_maintenance,
+}
+
+ORACLES = {
+    "pricing_summary": SQL_PRICING,
+    "filter_project": SQL_FILTER_PROJECT,
+    "derived_chain": SQL_DERIVED_CHAIN,
+    "join_agg": SQL_JOIN_AGG,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "dedup_events": SQL_DEDUP_EVENTS,
+    "grouped_topk": SQL_GROUPED_TOPK,
+    "sort_limit": SQL_SORT_LIMIT,
+    "union_counts": SQL_UNION_COUNTS,
+    "surrogate_key": SQL_SURROGATE_KEY,
+    "date_attrs": SQL_DATE_ATTRS,
+    "quarter_end": SQL_QUARTER_END,
+    "minmax": SQL_MINMAX,
+    "window_ffill": SQL_WINDOW_FFILL,
+    "asof_join": SQL_ASOF_JOIN,
+    "window_agg": SQL_WINDOW_AGG,
+    "text_stats": SQL_TEXT_STATS,
+    "token_bpe": SQL_TOKEN_BPE,
+    "quality_score": SQL_QUALITY_SCORE,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_docs_exact": SQL_DEDUP_DOCS_EXACT,
+    "lang_stats": SQL_LANG_STATS,
+    "ann_topk": SQL_ANN_TOPK,
+    "embed_neardup": SQL_EMBED_NEARDUP,
+    "multimodal_features": SQL_MULTIMODAL,
+}
