@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-TURNS_PER_SF = 12_000_000  # sf0.1 → 1.2M turns (bench tier per FIXTURES.md)
+TURNS_PER_SF = 40_000_000  # sf0.1 → 4M turns (bench tier per FIXTURES.md)
 
 
 def parse_sf(sf_dir: str) -> float:
@@ -49,15 +49,15 @@ def run_bench() -> dict:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    from raylake.fixtures.transcripts import gen_late_batch
+    from raylake.fixtures.transcripts import gen_late_from_meta
     from raylake.pipelines.maintenance import build_bench_table, run_maintenance
 
     root = f"/tmp/raylake_bench/sf{sf}-cpus{NUM_CPUS}"
     num_buckets = 64 if n_turns >= 200_000 else 16
 
     t_setup = time.monotonic()
-    table, data = build_bench_table(root, n_turns, num_buckets=num_buckets)
-    late = gen_late_batch(data, update_frac=0.05, insert_frac=0.02, seed=7)
+    table, sizes = build_bench_table(root, n_turns, num_buckets=num_buckets)
+    late = gen_late_from_meta(sizes, update_frac=0.05, insert_frac=0.02, seed=7)
     setup_sec = time.monotonic() - t_setup
 
     # warm the page cache so we measure compute+shuffle, not first disk read
@@ -71,7 +71,7 @@ def run_bench() -> dict:
     n_scan = table.scan().count()
     queries["full_scan"] = round(time.monotonic() - t, 3)
     t = time.monotonic()
-    conv = data["conv_id"][len(data) // 2].as_py()
+    conv = f"conv-{len(sizes) // 2:08d}"
     ents = table.prune_point(conv)
     _ = table.scan_arrow(entries=ents)
     queries["point_lookup"] = round(time.monotonic() - t, 3)
@@ -98,11 +98,14 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            env=env, capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"bench subprocess (cpus={ncpu}) failed")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     lo, hi = one(8), one(32)
     eff = (lo["turns_per_sec"] and hi["turns_per_sec"] / lo["turns_per_sec"] / 4.0)

@@ -268,10 +268,14 @@ class Table:
         paths = self._paths(entries)
         if not paths:
             return ray.data.from_arrow(self.schema.empty_table())
-        # partitioning=None: the data/p=<bucket>/ layout must NOT be
-        # hive-inferred into a phantom "p" column — partition identity lives
-        # in the manifest, never in the data schema.
-        read_kwargs.setdefault("partitioning", None)
+        # The data/p=<bucket>/ layout must NOT be hive-inferred into a
+        # phantom "p" column — partition identity lives in the manifest,
+        # never in the data schema. partitioning=None enforces that for
+        # full-schema scans; with an explicit column list the phantom is
+        # excluded anyway (and Ray's parquet datasource has an
+        # UnboundLocalError bug when columns + partitioning=None combine).
+        if columns is None:
+            read_kwargs.setdefault("partitioning", None)
         return ray.data.read_parquet(paths, columns=columns, **read_kwargs)
 
     def scan_arrow(

@@ -52,15 +52,30 @@ def _conv_sizes(n_turns: int, seed: int) -> np.ndarray:
     return s[:k]
 
 
-def gen_transcripts(n_turns: int, seed: int = 42, salt: int = 0) -> pa.Table:
-    """Build ~n_turns transcript rows, sorted by (conv_id, turn_idx)."""
+def conv_meta(n_turns: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """(sizes, conv_start_us) per conversation — the tiny driver-side state
+    from which any conv range can be regenerated independently."""
     sizes = _conv_sizes(n_turns, seed)
-    conv_ids = np.array([f"conv-{i:08d}" for i in range(len(sizes))], dtype=object)
+    rng = np.random.default_rng(seed + 1)
+    conv_start = (
+        rng.integers(0, 30 * 86400, size=len(sizes)) * 1_000_000
+    ).astype(np.int64)
+    return sizes, conv_start
+
+
+def gen_conv_rows(
+    first_conv_idx: int, sizes: np.ndarray, conv_start_us: np.ndarray,
+    salt: int = 0,
+) -> pa.Table:
+    """Generate the rows of conversations [first_conv_idx, first_conv_idx+
+    len(sizes)). Pure per-conversation function → chunked parallel generation
+    produces byte-identical data to one serial pass."""
+    conv_ids = np.array(
+        [f"conv-{first_conv_idx + i:08d}" for i in range(len(sizes))],
+        dtype=object,
+    )
     conv_col = np.repeat(conv_ids, sizes)
     turn_idx = np.concatenate([np.arange(n, dtype=np.int32) for n in sizes])
-
-    rng = np.random.default_rng(seed + 1)
-    conv_start = (rng.integers(0, 30 * 86400, size=len(sizes)) * 1_000_000).astype(np.int64)
 
     roles = np.empty(len(conv_col), dtype=object)
     tools = np.empty(len(conv_col), dtype=object)
@@ -84,7 +99,9 @@ def gen_transcripts(n_turns: int, seed: int = 42, salt: int = 0) -> pa.Table:
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
     ts = np.empty(len(conv_col), dtype=np.int64)
     for ci, (off, n) in enumerate(zip(offsets, sizes)):
-        ts[off : off + n] = BASE_TS_US + conv_start[ci] + np.cumsum(gaps[off : off + n])
+        ts[off : off + n] = (
+            BASE_TS_US + conv_start_us[ci] + np.cumsum(gaps[off : off + n])
+        )
 
     return pa.table(
         {
@@ -96,6 +113,12 @@ def gen_transcripts(n_turns: int, seed: int = 42, salt: int = 0) -> pa.Table:
             "ts": pa.array(ts, type=pa.timestamp("us")),
         }
     )
+
+
+def gen_transcripts(n_turns: int, seed: int = 42, salt: int = 0) -> pa.Table:
+    """Build ~n_turns transcript rows, sorted by (conv_id, turn_idx)."""
+    sizes, conv_start = conv_meta(n_turns, seed)
+    return gen_conv_rows(0, sizes, conv_start, salt=salt)
 
 
 def gen_late_batch(
@@ -158,6 +181,155 @@ def gen_late_batch(
             "text": pa.array(texts, type=pa.string()),
             "tool": pa.array(tools, type=pa.string()),
             "ts": pa.array(rows["ts"], type=pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _gen_write_chunk(
+    batch, root: str, rows_per_file: int, seed: int
+):
+    """Ray task body: generate one conv-range chunk and write it as
+    partition-pure small files; returns manifest-entry rows."""
+    import json
+
+    import pandas as pd  # noqa: F401
+
+    from raylake.core.table import Table
+    from raylake.ops.rewrite import cap_arrow_threads
+
+    cap_arrow_threads(1)
+    t = Table.load(root)
+    entries = []
+    for _, row in batch.iterrows():
+        sizes = np.asarray(row["sizes"], dtype=np.int64)
+        starts = np.asarray(row["starts"], dtype=np.int64)
+        data = gen_conv_rows(int(row["c0"]), sizes, starts)
+        part = partition_of(data["conv_id"], t.num_buckets)
+        order = np.argsort(part, kind="stable")
+        data = data.take(pa.array(order))
+        part = part[order]
+        bounds = np.flatnonzero(np.diff(part)) + 1
+        for chunk, pv in zip(
+            np.split(np.arange(len(data)), bounds), np.split(part, bounds)
+        ):
+            sub = data.slice(int(chunk[0]), len(chunk))
+            for off in range(0, len(sub), rows_per_file):
+                e = t.write_file(sub.slice(off, rows_per_file), int(pv[0]))
+                entries.append(json.dumps(e.to_json()))
+    import pandas as pd
+
+    return pd.DataFrame({"entry_json": entries})
+
+
+def write_transcript_table_ray(
+    root: str,
+    n_turns: int,
+    rows_per_file: int = 1024,
+    num_buckets: int = 64,
+    seed: int = 42,
+) -> "Table":
+    """Distributed fixture writer: conv ranges are generated and written in
+    parallel Ray tasks (pure per-conv generation → byte-identical to the
+    serial writer), one append commit registers everything. Setup path for
+    bench-scale tables (10^6–10^7 turns)."""
+    import json
+
+    import ray.data
+
+    from raylake.core.metadata import ManifestEntry
+    from raylake.core.table import Table
+
+    sizes, starts = conv_meta(n_turns, seed)
+    total = int(sizes.sum())
+    n_chunks = max(8, min(512, total // 40_000))
+    cum = np.cumsum(sizes)
+    cuts = [0]
+    for k in range(1, n_chunks):
+        cuts.append(int(np.searchsorted(cum, k * total / n_chunks)))
+    cuts.append(len(sizes))
+    cuts = sorted(set(cuts))
+
+    tbl = Table.create(root, TRANSCRIPT_SCHEMA, partition_column="conv_id",
+                       num_buckets=num_buckets)
+    items = [
+        {
+            "c0": int(a),
+            "sizes": sizes[a:b].tolist(),
+            "starts": starts[a:b].tolist(),
+        }
+        for a, b in zip(cuts[:-1], cuts[1:])
+        if b > a
+    ]
+    rows = (
+        ray.data.from_items(items)
+        .map_batches(
+            _gen_write_chunk,
+            fn_kwargs={"root": root, "rows_per_file": rows_per_file,
+                       "seed": seed},
+            batch_size=1,
+            batch_format="pandas",
+            num_cpus=1,
+        )
+        .take_all()
+    )
+    entries = [ManifestEntry.from_json(json.loads(r["entry_json"])) for r in rows]
+    tbl.commit("append", entries, summary={"fixture": True, "n_turns": n_turns})
+    return tbl
+
+
+def gen_late_from_meta(
+    sizes: np.ndarray, update_frac: float = 0.05, insert_frac: float = 0.02,
+    seed: int = 7, salt: int = 1,
+) -> pa.Table:
+    """Late-arriving batch derived from conversation metadata only (no need
+    to materialize the base table): updates to existing (conv, turn) keys
+    with salt=1 text, inserts one-past-the-end turns, plus new convs. All
+    late `ts` values are strictly greater than any base `ts` (base spans 30
+    days + conv lengths; late starts at +100 days) so last-writer-wins picks
+    the late rows deterministically."""
+    rng = np.random.default_rng(seed)
+    cum = np.cumsum(sizes)
+    total = int(cum[-1])
+    offsets = cum - sizes
+
+    upd = np.sort(rng.choice(total, size=max(1, int(total * update_frac)),
+                             replace=False))
+    ci = np.searchsorted(cum, upd, side="right")
+    conv = [f"conv-{i:08d}" for i in ci]
+    turn = (upd - offsets[ci]).astype(np.int64)
+
+    ins_ci = rng.choice(len(sizes), size=max(1, int(len(sizes) * insert_frac)),
+                        replace=False)
+    conv += [f"conv-{i:08d}" for i in ins_ci]
+    turn = np.concatenate([turn, sizes[ins_ci].astype(np.int64)])
+
+    n_new = max(1, len(ins_ci) // 4)
+    for j in range(n_new):
+        conv += [f"conv-late-{j:06d}"] * 3
+    turn = np.concatenate([turn, np.tile(np.arange(3), n_new)])
+
+    ts = BASE_TS_US + 100 * 86400 * 1_000_000 + np.arange(len(conv), dtype=np.int64)
+    texts, roles, tools = [], [], []
+    for cid, t in zip(conv, turn):
+        h = hashlib.sha256(f"{cid}:{int(t)}:{salt}".encode()).hexdigest()
+        nlen = 50 + (int(h[:8], 16) % 1951)
+        texts.append((h * (nlen // 64 + 1))[:nlen])
+        r = int(h[8:10], 16)
+        if r < 20:
+            roles.append("tool")
+            tools.append(_TOOLS[int(h[12:14], 16) % len(_TOOLS)])
+        else:
+            roles.append("user" if int(t) % 2 == 0 else "assistant")
+            tools.append(None)
+    out = pa.table(
+        {
+            "conv_id": pa.array(conv, type=pa.string()),
+            "turn_idx": pa.array(turn, type=pa.int64()).cast(pa.int32()),
+            "role": pa.array(roles, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "tool": pa.array(tools, type=pa.string()),
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
         }
     )
     return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])

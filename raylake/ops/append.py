@@ -27,31 +27,32 @@ from raylake.core.table import Table
 from raylake.functions.cleaning import normalize_schema
 
 
-class AppendWriter:
-    def __init__(self, table_root: str):
-        self.table = Table.load(table_root)  # metadata parsed once per actor
+def append_batch(batch: pa.Table, table_root: str) -> pa.Table:
+    """Task-pool body: split one Arrow batch by hash bucket, write one
+    Parquet file per (bucket, batch), emit manifest entries as rows."""
+    from raylake.ops.rewrite import cap_arrow_threads
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        t = self.table
-        batch = normalize_schema(batch, t.schema)
-        entries: list[str] = []
-        if t.partition_column is None:
-            entries.append(json.dumps(t.write_file(batch, -1).to_json()))
-        else:
-            part = partition_of(batch[t.partition_column], t.num_buckets)
-            order = np.argsort(part, kind="stable")
-            batch = batch.take(pa.array(order))
-            part = part[order]
-            bounds = np.flatnonzero(np.diff(part)) + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [len(part)]])
-            for s, e in zip(starts, ends):
-                sub = batch.slice(int(s), int(e - s))
-                sub = sub.sort_by([(c, "ascending") for c in t.sort_order])
-                entries.append(
-                    json.dumps(t.write_file(sub, int(part[s])).to_json())
-                )
-        return pa.table({"entry_json": pa.array(entries, type=pa.string())})
+    cap_arrow_threads(1)
+    t = Table.load(table_root)
+    batch = normalize_schema(batch, t.schema)
+    entries: list[str] = []
+    if t.partition_column is None:
+        entries.append(json.dumps(t.write_file(batch, -1).to_json()))
+    else:
+        part = partition_of(batch[t.partition_column], t.num_buckets)
+        order = np.argsort(part, kind="stable")
+        batch = batch.take(pa.array(order))
+        part = part[order]
+        bounds = np.flatnonzero(np.diff(part)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(part)]])
+        for s, e in zip(starts, ends):
+            sub = batch.slice(int(s), int(e - s))
+            sub = sub.sort_by([(c, "ascending") for c in t.sort_order])
+            entries.append(
+                json.dumps(t.write_file(sub, int(part[s])).to_json())
+            )
+    return pa.table({"entry_json": pa.array(entries, type=pa.string())})
 
 
 def append(
@@ -62,16 +63,13 @@ def append(
     summary: dict | None = None,
 ):
     """Append a ray.data.Dataset (or pa.Table) to the table; one commit."""
-    import ray
     import ray.data
 
     if isinstance(ds, pa.Table):
         ds = ray.data.from_arrow(ds)
-    if concurrency is None:
-        concurrency = (1, max(1, int(ray.cluster_resources().get("CPU", 4))))
     entry_rows = ds.map_batches(
-        AppendWriter,
-        fn_constructor_kwargs={"table_root": table.root},
+        append_batch,
+        fn_kwargs={"table_root": table.root},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

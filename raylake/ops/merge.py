@@ -64,46 +64,59 @@ from raylake.ops.rewrite import (
 )
 from raylake.state.ledger import Ledger
 
-KEYS = ("conv_id", "turn_idx")
+def table_keys(table: Table) -> tuple[str, str | None]:
+    """Merge keys derived from the table's declared sort order: the primary
+    key column (= partition column domain) and an optional secondary key.
+    Transcripts: ("conv_id", "turn_idx"). Generic silver tables declare
+    their own sort order at create time."""
+    so = table.sort_order
+    k0 = so[0] if so else table.partition_column
+    k1 = so[1] if len(so) > 1 else None
+    return k0, k1
 
 
 # --------------------------------------------------------------------- stage
 
 
-class _StageWriter:
-    """map_batches callable: split a source batch by bucket, write staging
-    parquet, emit per-(bucket, conv) key stats as the return rows."""
+def _stage_batch(batch: pa.Table, table_root: str, staging_dir: str) -> pa.Table:
+    """Task-pool body: split a source batch by bucket, write staging parquet,
+    emit per-(bucket, key0) key stats as the return rows."""
+    from raylake.ops.rewrite import cap_arrow_threads
 
-    def __init__(self, table_root: str, staging_dir: str):
-        self.table = Table.load(table_root)
-        self.staging = staging_dir
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        t = self.table
-        batch = normalize_schema(batch, t.schema)
-        part = partition_of(batch[t.partition_column], t.num_buckets)
-        order = np.argsort(part, kind="stable")
-        batch = batch.take(pa.array(order))
-        part = part[order]
-        bounds = np.flatnonzero(np.diff(part)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(part)]])
-        stats_rows = {"bucket": [], "conv_id": [], "tmin": [], "tmax": [], "rows": []}
-        for s, e in zip(starts, ends):
-            p = int(part[s])
-            sub = batch.slice(int(s), int(e - s))
-            d = os.path.join(self.staging, f"b={p:05d}")
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(sub, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
-            agg = pa.TableGroupBy(sub.select(list(KEYS)), "conv_id").aggregate(
-                [("turn_idx", "min"), ("turn_idx", "max"), ("turn_idx", "count")]
+    cap_arrow_threads(1)
+    t = Table.load(table_root)
+    k0, k1 = table_keys(t)
+    batch = normalize_schema(batch, t.schema)
+    part = partition_of(batch[t.partition_column], t.num_buckets)
+    order = np.argsort(part, kind="stable")
+    batch = batch.take(pa.array(order))
+    part = part[order]
+    bounds = np.flatnonzero(np.diff(part)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(part)]])
+    stats_rows = {"bucket": [], "key0": [], "tmin": [], "tmax": [], "rows": []}
+    for s, e in zip(starts, ends):
+        p = int(part[s])
+        sub = batch.slice(int(s), int(e - s))
+        d = os.path.join(staging_dir, f"b={p:05d}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+        if k1 is not None:
+            agg = pa.TableGroupBy(sub.select([k0, k1]), k0).aggregate(
+                [(k1, "min"), (k1, "max"), (k1, "count")]
             )
-            stats_rows["bucket"].extend([p] * len(agg))
-            stats_rows["conv_id"].extend(agg["conv_id"].to_pylist())
-            stats_rows["tmin"].extend(agg["turn_idx_min"].to_pylist())
-            stats_rows["tmax"].extend(agg["turn_idx_max"].to_pylist())
-            stats_rows["rows"].extend(agg["turn_idx_count"].to_pylist())
-        return pa.table(stats_rows)
+            stats_rows["tmin"].extend(agg[f"{k1}_min"].to_pylist())
+            stats_rows["tmax"].extend(agg[f"{k1}_max"].to_pylist())
+            stats_rows["rows"].extend(agg[f"{k1}_count"].to_pylist())
+        else:
+            agg = pa.TableGroupBy(sub.select([k0]), k0).aggregate([(k0, "count")])
+            n = len(agg)
+            stats_rows["tmin"].extend([0] * n)
+            stats_rows["tmax"].extend([0] * n)
+            stats_rows["rows"].extend(agg[f"{k0}_count"].to_pylist())
+        stats_rows["bucket"].extend([p] * len(agg))
+        stats_rows["key0"].extend(agg[k0].to_pylist())
+    return pa.table(stats_rows)
 
 
 def _stage_source(table: Table, source, staging_dir: str) -> pd.DataFrame:
@@ -116,19 +129,25 @@ def _stage_source(table: Table, source, staging_dir: str) -> pd.DataFrame:
     import ray.data
 
     if isinstance(source, pa.Table):
-        source = ray.data.from_arrow(source)
+        # split into one slice per CPU so staging parallelizes (a single
+        # Arrow table otherwise becomes ONE block → ONE staging task)
+        n_cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
+        n_slices = min(n_cpus, max(1, len(source) // 8192))
+        step = max(1, len(source) // n_slices + 1)
+        source = ray.data.from_arrow(
+            [source.slice(i, step) for i in range(0, len(source), step)]
+        )
     stats = source.map_batches(
-        _StageWriter,
-        fn_constructor_kwargs={"table_root": table.root, "staging_dir": staging_dir},
+        _stage_batch,
+        fn_kwargs={"table_root": table.root, "staging_dir": staging_dir},
         batch_format="pyarrow",
         batch_size=64 * 1024,
-        concurrency=(1, max(1, int(ray.cluster_resources().get("CPU", 4)))),
         num_cpus=1,
     ).to_pandas()
     if len(stats) == 0:
         return stats
     return (
-        stats.groupby(["bucket", "conv_id"], sort=True)
+        stats.groupby(["bucket", "key0"], sort=True)
         .agg(tmin=("tmin", "min"), tmax=("tmax", "max"), rows=("rows", "sum"))
         .reset_index()
     )
@@ -137,11 +156,11 @@ def _stage_source(table: Table, source, staging_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------- plan
 
 
-def _file_interval(e) -> tuple[tuple, tuple]:
-    """Conservative composite (conv_id, turn_idx) interval enclosing a file's
-    keys, derived from independent per-column manifest stats."""
-    cs = e.stats.get("conv_id") or [None, None]
-    ts = e.stats.get("turn_idx") or [None, None]
+def _file_interval(e, k0: str, k1: str | None) -> tuple[tuple, tuple]:
+    """Conservative composite (key0, key1) interval enclosing a file's keys,
+    derived from independent per-column manifest stats."""
+    cs = e.stats.get(k0) or [None, None]
+    ts = (e.stats.get(k1) if k1 else None) or [None, None]
     lo = (cs[0] if cs[0] is not None else "", ts[0] if ts[0] is not None else -(2**31))
     hi = (cs[1] if cs[1] is not None else "\U0010ffff", ts[1] if ts[1] is not None else 2**31)
     return lo, hi
@@ -150,6 +169,7 @@ def _file_interval(e) -> tuple[tuple, tuple]:
 def _plan_merge_tasks(
     table: Table, key_stats: pd.DataFrame, max_task_bytes: int
 ) -> list[RewriteTask]:
+    k0, k1 = table_keys(table)
     live_by_part = defaultdict(list)
     for e in table.live_entries():
         live_by_part[e.partition].append(e)
@@ -157,11 +177,11 @@ def _plan_merge_tasks(
     tasks: list[RewriteTask] = []
     for bucket, grp in key_stats.groupby("bucket"):
         bucket = int(bucket)
-        convs = sorted(grp["conv_id"].tolist())
-        # prune: files that can contain at least one source conv
+        convs = sorted(grp["key0"].tolist())
+        # prune: files that can contain at least one source key0 value
         affected = []
         for e in live_by_part.get(bucket, []):
-            cs = e.stats.get("conv_id")
+            cs = e.stats.get(k0)
             if not cs or cs[0] is None:
                 affected.append(e)
                 continue
@@ -171,10 +191,10 @@ def _plan_merge_tasks(
 
         # cluster affected files by composite-interval overlap; split hot
         # clusters at interval-disjoint boundaries (the skew split)
-        files = sorted(affected, key=lambda e: _file_interval(e)[0])
+        files = sorted(affected, key=lambda e: _file_interval(e, k0, k1)[0])
         clusters: list[dict] = []
         for e in files:
-            lo, hi = _file_interval(e)
+            lo, hi = _file_interval(e, k0, k1)
             cur = clusters[-1] if clusters else None
             if cur is not None and (
                 lo <= cur["hi"]  # overlapping intervals MUST share a task
@@ -210,25 +230,29 @@ def _plan_merge_tasks(
 # ------------------------------------------------------------------- execute
 
 
-def _key_ge(conv: pa.ChunkedArray, turn: pa.ChunkedArray, bound: list):
+def _key_ge(tbl: pa.Table, k0: str, k1: str | None, bound: list):
     c, t = bound
+    if k1 is None:
+        return pc.greater_equal(tbl[k0], c)
     return pc.or_(
-        pc.greater(conv, c), pc.and_(pc.equal(conv, c), pc.greater_equal(turn, t))
+        pc.greater(tbl[k0], c),
+        pc.and_(pc.equal(tbl[k0], c), pc.greater_equal(tbl[k1], t)),
     )
 
 
-def _filter_key_range(tbl: pa.Table, lo, hi) -> pa.Table:
+def _filter_key_range(tbl: pa.Table, k0: str, k1: str | None, lo, hi) -> pa.Table:
     mask = None
     if lo is not None:
-        mask = _key_ge(tbl["conv_id"], tbl["turn_idx"], lo)
+        mask = _key_ge(tbl, k0, k1, lo)
     if hi is not None:
-        m2 = pc.invert(_key_ge(tbl["conv_id"], tbl["turn_idx"], hi))
+        m2 = pc.invert(_key_ge(tbl, k0, k1, hi))
         mask = m2 if mask is None else pc.and_(mask, m2)
     return tbl if mask is None else tbl.filter(mask)
 
 
 def last_writer_wins(
-    tgt: pa.Table, src: pa.Table, keys=KEYS, order_col: str = "ts"
+    tgt: pa.Table, src: pa.Table, keys=("conv_id", "turn_idx"),
+    order_col: str | None = "ts",
 ) -> pa.Table:
     """Combine target+source, keep one row per key: source beats target;
     among source duplicates greater `order_col` then later row wins.
@@ -242,10 +266,11 @@ def last_writer_wins(
     comb = comb.append_column("__prio", pa.array(prio)).append_column(
         "__ord", pa.array(ordc)
     )
-    comb = comb.sort_by(
-        [(k, "ascending") for k in keys]
-        + [("__prio", "ascending"), (order_col, "ascending"), ("__ord", "ascending")]
-    )
+    order_keys = [(k, "ascending") for k in keys] + [("__prio", "ascending")]
+    if order_col and order_col in comb.column_names:
+        order_keys.append((order_col, "ascending"))
+    order_keys.append(("__ord", "ascending"))
+    comb = comb.sort_by(order_keys)
     if len(comb) == 0:
         return comb.drop(["__prio", "__ord"])
     # keep the LAST row of each key run
@@ -261,6 +286,8 @@ def last_writer_wins(
 
 
 def _merge_task(table: Table, task: dict, params: dict) -> dict:
+    k0, k1 = table_keys(table)
+    keys = [k0] + ([k1] if k1 else [])
     tgt = read_task_inputs(table, task)
     staged = sorted(
         glob.glob(os.path.join(params["staging_dir"], f"b={task['partition']:05d}", "*.parquet"))
@@ -270,7 +297,7 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
         if staged
         else table.schema.empty_table()
     )
-    src = _filter_key_range(src, task["extra"]["lo"], task["extra"]["hi"])
+    src = _filter_key_range(src, k0, k1, task["extra"]["lo"], task["extra"]["hi"])
 
     sort_keys = [(c, "ascending") for c in table.sort_order]
     tgt_sorted = tgt.sort_by(sort_keys).combine_chunks()
@@ -278,14 +305,13 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
         if len(src) == 0:
             return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
         key = pd.MultiIndex.from_arrays(
-            [tgt_sorted["conv_id"].to_pandas(), tgt_sorted["turn_idx"].to_pandas()]
+            [tgt_sorted[k].to_pandas() for k in keys]
         )
-        skey = pd.MultiIndex.from_arrays(
-            [src["conv_id"].to_pandas(), src["turn_idx"].to_pandas()]
-        )
+        skey = pd.MultiIndex.from_arrays([src[k].to_pandas() for k in keys])
         result = tgt_sorted.filter(pa.array(~key.isin(skey)))
     else:
-        result = last_writer_wins(tgt, src, order_col=params["order_col"])
+        result = last_writer_wins(tgt, src, keys=keys,
+                                  order_col=params["order_col"])
 
     # null-safe change detection (MG4): bit-identical result → skip rewrite
     if result.equals(tgt_sorted):

@@ -7,10 +7,15 @@ of resume: each completed task's lineage (input files → output files) is
 ledger-recorded before the commit, so re-running the same job_id skips
 finished partitions (SURVEY §4, north_rule "resumable from checkpoint").
 
-Why an actor pool: each task holds writer state (open buffers, bin-packing)
-— the ST4 pattern (SURVEY §2.3); actors amortize table-metadata load across
-tasks. Tasks are heavy (read+sort+write one partition's file group), so
-`batch_size=1` with `num_cpus=1` per actor and pool size = available CPUs.
+Execution uses Ray Data's TASK pool (a plain function + fn_kwargs), NOT a
+per-job actor pool, deliberately: the per-task state here is one parsed
+table.json (~KB) — trivially reloadable — while a fresh actor pool per
+maintenance op pays O(pool size) process spawns per op, which measurably
+INVERTED scaling at 32 CPUs (pool startup ≫ compute for 5 MB tasks; see
+BASELINE.md history). Task-pool worker processes are reused across the whole
+compact→zorder→merge sequence. Heavy state (models, compiled profiles,
+broadcast indexes) still uses actor pools — see raylake/functions/text.py,
+raylake/functions/similarity.py (ST1 pattern).
 """
 
 from __future__ import annotations
@@ -30,6 +35,22 @@ from raylake.core.table import Table
 from raylake.state.ledger import Ledger
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+_THREADS_CAPPED = False
+
+
+def cap_arrow_threads(n: int = 1) -> None:
+    """Pin pyarrow's process-wide thread pools to the task's CPU allocation.
+
+    Ray reserves `num_cpus=1` per task, but pyarrow's compute/IO pools
+    default to ALL hardware cores — so an 8-CPU `ray.init` silently uses 32
+    cores inside parquet encode/decode, corrupting any scaling measurement
+    (and oversubscribing real clusters). Called once per worker process."""
+    global _THREADS_CAPPED
+    if not _THREADS_CAPPED:
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(max(2, n))
+        _THREADS_CAPPED = True
 
 
 @dataclass
@@ -67,38 +88,49 @@ def cut_and_write(
     ]
 
 
-class RewriteWorker:
-    """Actor-pool callable: one batch = one RewriteTask. Ledger-records each
-    task atomically before returning, making the job resumable."""
+def _rewrite_batch(
+    batch: pd.DataFrame, table_root: str, job_id: str, task_fn, params: dict
+) -> pd.DataFrame:
+    """Task-pool body: one batch = one RewriteTask. Ledger-records each task
+    atomically before returning, making the job resumable."""
+    cap_arrow_threads(1)
+    if os.environ.get("RAYLAKE_PROFILE_TASKS"):  # debug aid, normally off
+        import cProfile
+        import uuid as _uuid
 
-    def __init__(self, table_root: str, job_id: str, task_fn, params: dict):
-        self.table = Table.load(table_root)  # once per actor
-        self.ledger = Ledger(table_root, job_id)
-        self.task_fn = task_fn
-        self.params = params
+        prof = cProfile.Profile()
+        prof.enable()
+        try:
+            return _rewrite_batch_inner(batch, table_root, job_id, task_fn, params)
+        finally:
+            prof.disable()
+            os.makedirs("/tmp/raylake_prof", exist_ok=True)
+            prof.dump_stats(f"/tmp/raylake_prof/{_uuid.uuid4().hex}.prof")
+    return _rewrite_batch_inner(batch, table_root, job_id, task_fn, params)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for tj in batch["task_json"]:
-            task = json.loads(tj)
-            t0 = time.monotonic()
-            res = self.task_fn(self.table, task, self.params)
-            wall = time.monotonic() - t0
-            rec = {
-                "partition": task["partition"],
-                "input_files": task["input_paths"],
-                "entries": [e.to_json() for e in res.get("entries", [])],
-                "replaced": res.get("replaced", []),
-                "rows": res.get("rows", 0),
-                "bytes": sum(e.bytes for e in res.get("entries", [])),
-                "skipped": res.get("skipped", False),
-                "wall_s": wall,
-            }
-            self.ledger.record(task["task_id"], rec)
-            out.append(
-                {"task_id": task["task_id"], "rows": rec["rows"], "wall_s": wall}
-            )
-        return pd.DataFrame(out)
+
+def _rewrite_batch_inner(batch, table_root, job_id, task_fn, params):
+    table = Table.load(table_root)  # one small JSON read per task
+    ledger = Ledger(table_root, job_id)
+    out = []
+    for tj in batch["task_json"]:
+        task = json.loads(tj)
+        t0 = time.monotonic()
+        res = task_fn(table, task, params)
+        wall = time.monotonic() - t0
+        rec = {
+            "partition": task["partition"],
+            "input_files": task["input_paths"],
+            "entries": [e.to_json() for e in res.get("entries", [])],
+            "replaced": res.get("replaced", []),
+            "rows": res.get("rows", 0),
+            "bytes": sum(e.bytes for e in res.get("entries", [])),
+            "skipped": res.get("skipped", False),
+            "wall_s": wall,
+        }
+        ledger.record(task["task_id"], rec)
+        out.append({"task_id": task["task_id"], "rows": rec["rows"], "wall_s": wall})
+    return pd.DataFrame(out)
 
 
 def run_rewrite_job(
@@ -137,15 +169,14 @@ def run_rewrite_job(
         todo = todo[:max_tasks]
 
     if todo:
-        if concurrency is None:
-            concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)))
-        concurrency = min(concurrency, len(todo))
         ds = ray.data.from_items(
             [{"task_json": json.dumps(asdict(t))} for t in todo]
         )
+        if concurrency is not None:
+            concurrency = min(concurrency, len(todo))
         ds.map_batches(
-            RewriteWorker,
-            fn_constructor_kwargs={
+            _rewrite_batch,
+            fn_kwargs={
                 "table_root": table.root,
                 "job_id": job_id,
                 "task_fn": task_fn,

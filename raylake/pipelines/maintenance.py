@@ -27,33 +27,22 @@ def build_bench_table(
     n_turns: int,
     num_buckets: int = 64,
     seed: int = 42,
-    cache_dir: str | None = None,
-    concurrency: int | None = None,
-) -> tuple[Table, pa.Table]:
+    rows_per_file: int = 1024,
+) -> tuple[Table, "object"]:
     """Create a fresh transcript table laid out as many small files (the
-    compaction workload), from a cached pristine dataset. Returns
-    (table, pristine_data). Setup only — not part of the timed pipeline."""
-    import ray.data
-
-    cache_dir = cache_dir or "/tmp/raylake_fixture_cache"
-    os.makedirs(cache_dir, exist_ok=True)
-    cache = os.path.join(cache_dir, f"transcripts-{n_turns}-{seed}.parquet")
-    if os.path.exists(cache):
-        data = pq.read_table(cache)
-    else:
-        data = gen_transcripts(n_turns, seed=seed)
-        pq.write_table(data, cache + ".tmp", compression="zstd")
-        os.replace(cache + ".tmp", cache)
+    compaction workload) via parallel Ray generation. Returns
+    (table, conv_sizes). Setup only — not part of the timed pipeline.
+    Deliberately fragmented input, exactly what an append-heavy bronze table
+    looks like (ref: _bronze_handler.py:50-56)."""
+    from raylake.fixtures.transcripts import conv_meta, write_transcript_table_ray
 
     shutil.rmtree(root, ignore_errors=True)
-    tbl = Table.create(root, TRANSCRIPT_SCHEMA, partition_column="conv_id",
-                       num_buckets=num_buckets)
-    # batches spread across all buckets → one small file per (bucket, batch):
-    # deliberately fragmented input, exactly what an append-heavy bronze
-    # table looks like (ref: _bronze_handler.py:50-56).
-    ds = ray.data.from_arrow(data).repartition(max(8, num_buckets // 2))
-    append(tbl, ds, batch_size=32 * 1024, concurrency=concurrency)
-    return tbl, data
+    tbl = write_transcript_table_ray(
+        root, n_turns, rows_per_file=rows_per_file, num_buckets=num_buckets,
+        seed=seed,
+    )
+    sizes, _ = conv_meta(n_turns, seed)
+    return tbl, sizes
 
 
 def run_maintenance(

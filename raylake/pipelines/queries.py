@@ -456,6 +456,39 @@ FROM orders
 """
 
 
+def q_date_dim(sf_dir: str):
+    """Date-dimension generation (M20/M19 — ref dim_date.py:31-66): global
+    min/max via ds.min/max, then one row per day from the month start, with
+    calendar attributes. The generated dim is driver-side small by design."""
+    rd = _rd()
+    from raylake.pipelines.gold import build_dim_date
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderdate"])
+    mn, mx = ds.min("o_orderdate"), ds.max("o_orderdate")
+    dim = build_dim_date(pa.array([mn, mx], pa.timestamp("us")))
+    df = dim.to_pandas()
+    df["date"] = pd.to_datetime(df["date"]).dt.strftime("%Y-%m-%d")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_DATE_DIM = """
+WITH RECURSIVE days(d) AS (
+  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM days
+  WHERE d < (SELECT max(o_orderdate) FROM orders)
+)
+SELECT strftime(d, '%Y%m%d') AS date_sk,
+       strftime(d, '%Y-%m-%d') AS date,
+       year(d)::INT AS year, quarter(d)::INT AS quarter,
+       'Q' || quarter(d) AS quarter_label,
+       month(d)::INT AS month, strftime(d, '%b') AS month_abbr,
+       isodow(d)::INT AS isodow, strftime(d, '%a') AS weekday_abbr,
+       isodow(d) >= 6 AS is_weekend
+FROM days
+"""
+
+
 def q_minmax(sf_dir: str):
     """Global min/max + O(1) count probes (A1/A3 — ref dim_date.py:33-36)."""
     rd = _rd()
@@ -1002,6 +1035,7 @@ QUERIES = {
     "surrogate_key": q_surrogate_key,
     "date_attrs": q_date_attrs,
     "quarter_end": q_quarter_end,
+    "date_dim": q_date_dim,
     "minmax": q_minmax,
     "window_ffill": q_window_ffill,
     "asof_join": q_asof_join,
@@ -1037,6 +1071,7 @@ ORACLES = {
     "surrogate_key": SQL_SURROGATE_KEY,
     "date_attrs": SQL_DATE_ATTRS,
     "quarter_end": SQL_QUARTER_END,
+    "date_dim": SQL_DATE_DIM,
     "minmax": SQL_MINMAX,
     "window_ffill": SQL_WINDOW_FFILL,
     "asof_join": SQL_ASOF_JOIN,
