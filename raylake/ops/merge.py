@@ -285,7 +285,28 @@ def last_writer_wins(
     return comb.filter(pa.array(last_np)).drop(["__prio", "__ord"])
 
 
+def _composite_key64(tbl: pa.Table, k0: str, k1: str | None) -> np.ndarray:
+    """Numeric 64-bit composite key for hash matching: hash64(k0) rotated,
+    xor the secondary key. Collisions are possible in principle, so every
+    hash match is verified exactly before it drops a target row."""
+    from raylake.core.hashing import stable_hash64
+
+    kh = stable_hash64(tbl[k0])
+    if k1 is not None:
+        sec = tbl[k1].cast(pa.int64()).to_numpy().astype(np.uint64)
+        kh = ((kh << np.uint64(13)) | (kh >> np.uint64(51))) ^ sec
+    return kh
+
+
 def _merge_task(table: Table, task: dict, params: dict) -> dict:
+    """Targeted update: the source slice is small relative to the target
+    file group, so instead of concat+global-sort+dedup (three full passes of
+    gather over wide `text` rows — memory-bandwidth death at high
+    parallelism) we hash-match source keys against target rows, drop the
+    matched targets, and append the winning source rows. One filter pass +
+    one write; unchanged rows are never re-ordered. Output files carry
+    manifest stats as usual; scan-order guarantees come from the explicit
+    verification sort, not file order."""
     k0, k1 = table_keys(table)
     keys = [k0] + ([k1] if k1 else [])
     tgt = read_task_inputs(table, task)
@@ -298,24 +319,60 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
         else table.schema.empty_table()
     )
     src = _filter_key_range(src, k0, k1, task["extra"]["lo"], task["extra"]["hi"])
-
-    sort_keys = [(c, "ascending") for c in table.sort_order]
-    tgt_sorted = tgt.sort_by(sort_keys).combine_chunks()
-    if params["mode"] == "delete":
-        if len(src) == 0:
-            return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
-        key = pd.MultiIndex.from_arrays(
-            [tgt_sorted[k].to_pandas() for k in keys]
-        )
-        skey = pd.MultiIndex.from_arrays([src[k].to_pandas() for k in keys])
-        result = tgt_sorted.filter(pa.array(~key.isin(skey)))
-    else:
-        result = last_writer_wins(tgt, src, keys=keys,
-                                  order_col=params["order_col"])
-
-    # null-safe change detection (MG4): bit-identical result → skip rewrite
-    if result.equals(tgt_sorted):
+    if len(src) == 0:
         return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
+
+    # source-internal last-writer-wins (greater order_col, then later row)
+    if len(src) > 1:
+        order_col = params["order_col"]
+        src = src.append_column(
+            "__ord", pa.array(np.arange(len(src), dtype=np.int64))
+        )
+        sort_keys = [(k, "ascending") for k in keys]
+        if order_col and order_col in src.column_names:
+            sort_keys.append((order_col, "ascending"))
+        sort_keys.append(("__ord", "ascending"))
+        src = src.sort_by(sort_keys).combine_chunks().drop(["__ord"])
+        last = None
+        for k in keys:  # real-key comparison, not hashes (collision-proof)
+            a = src[k].combine_chunks()
+            neq = pc.not_equal(a.slice(0, len(a) - 1), a.slice(1))
+            last = neq if last is None else pc.or_(last, neq)
+        last_np = np.concatenate(
+            [last.to_numpy(zero_copy_only=False).astype(bool), [True]]
+        )
+        if not last_np.all():
+            src = src.filter(pa.array(last_np))
+
+    tgt_kh = _composite_key64(tgt, k0, k1) if len(tgt) else np.empty(0, np.uint64)
+    src_kh = _composite_key64(src, k0, k1)
+    matched = np.isin(tgt_kh, src_kh)
+    if matched.any():
+        # verify hash matches exactly (collision guard) on the matched subset
+        midx = np.flatnonzero(matched)
+        sub = tgt.take(pa.array(midx)).select(keys)
+        spos = pd.MultiIndex.from_arrays([src[k].to_pandas() for k in keys])
+        tpos = pd.MultiIndex.from_arrays([sub[k].to_pandas() for k in keys])
+        really = tpos.isin(spos)
+        matched[midx[~np.asarray(really)]] = False
+
+    if params["mode"] == "delete":
+        if not matched.any():
+            return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
+        result = tgt.filter(pa.array(~matched))
+    else:
+        # MG4 null-safe no-op detection: if every source row is bit-identical
+        # to its matched target row and there are no inserts, skip entirely.
+        n_matched = int(matched.sum())
+        if n_matched == len(src):
+            midx = np.flatnonzero(matched)
+            sub = tgt.take(pa.array(midx)).combine_chunks()
+            sort_keys = [(k, "ascending") for k in keys]
+            if sub.sort_by(sort_keys).equals(src.sort_by(sort_keys).combine_chunks()):
+                return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
+        keep = tgt.filter(pa.array(~matched)) if matched.any() else tgt
+        result = pa.concat_tables([keep, src])
+
     bpr = (
         task["input_bytes"] / max(1, task["input_rows"])
         if task["input_rows"]

@@ -50,6 +50,16 @@ def cap_arrow_threads(n: int = 1) -> None:
     if not _THREADS_CAPPED:
         pa.set_cpu_count(n)
         pa.set_io_thread_count(max(2, n))
+        try:
+            # Retain freed arena pages: rewrite tasks allocate/free hundreds
+            # of MB each; with default decay every worker re-faults zeroed
+            # pages at GB/s, and the kernel's page-zeroing serializes across
+            # workers (observed: per-task CPU inflating 2-6x at 16-32
+            # workers). Worker processes are reused, so retained pages are
+            # immediately reused by the next task.
+            pa.jemalloc_set_decay_ms(-1)
+        except (NotImplementedError, OSError):
+            pass
         _THREADS_CAPPED = True
 
 
