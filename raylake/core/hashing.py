@@ -48,6 +48,34 @@ def morton_interleave(a32: np.ndarray, b32: np.ndarray) -> np.ndarray:
     return (_spread_bits32(a32) << np.uint64(1)) | _spread_bits32(b32)
 
 
+def hilbert_key(a32: np.ndarray, b32: np.ndarray, order: int = 16) -> np.ndarray:
+    """Hilbert curve index of (a, b) at 2^order × 2^order resolution —
+    vectorized loop over levels (standard rot/reflect walk; public-domain
+    algorithm, cf. Hamilton's compact Hilbert indices). Better locality than
+    Morton at the cost of ~order× more vector ops; both are offered because
+    the clustering payoff is data-dependent (SURVEY §2.8 T6)."""
+    x = (a32.astype(np.uint64) >> np.uint64(32 - order)).astype(np.uint64)
+    y = (b32.astype(np.uint64) >> np.uint64(32 - order)).astype(np.uint64)
+    rx = np.zeros_like(x)
+    ry = np.zeros_like(y)
+    d = np.zeros_like(x)
+    s = np.uint64(1) << np.uint64(order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf, yf = x.copy(), y.copy()
+        x = np.where(swap, yf, x)
+        y = np.where(swap, xf, y)
+        x = np.where(flip, (s - np.uint64(1)) - x, x)
+        y = np.where(flip, (s - np.uint64(1)) - y, y)
+        s >>= np.uint64(1)
+    return d
+
+
 def zorder_key(conv_id_values, ts_us: np.ndarray) -> np.ndarray:
     """Z-order key by (conv_id, ts): interleave hash32(conv_id) with ts seconds.
 

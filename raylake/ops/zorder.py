@@ -66,7 +66,12 @@ def _zorder_task(table: Table, task: dict, params: dict) -> dict:
         return {"entries": [], "replaced": task["input_paths"], "rows": 0}
     h32 = (stable_hash64(data["conv_id"]) >> np.uint64(32)).astype(np.uint64)
     secs = (data["ts"].cast(pa.int64()).to_numpy() // 1_000_000).astype(np.uint64)
-    z = morton_interleave(h32, secs & np.uint64(0xFFFFFFFF))
+    if params.get("curve") == "hilbert":
+        from raylake.core.hashing import hilbert_key
+
+        z = hilbert_key(h32 << np.uint64(0), secs & np.uint64(0xFFFFFFFF))
+    else:
+        z = morton_interleave(h32, secs & np.uint64(0xFFFFFFFF))
     order = np.argsort(z, kind="stable")
     data = data.take(pa.array(order))
     h32 = h32[order]
@@ -88,11 +93,15 @@ def _zorder_task(table: Table, task: dict, params: dict) -> dict:
 def zorder(
     table: Table,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    curve: str = "z",
     job_id: str | None = None,
     concurrency: int | None = None,
     max_tasks: int | None = None,
     **plan_kwargs,
 ):
+    """Cluster each partition by a space-filling curve over
+    (hash32(conv_id), ts): curve="z" (Morton) or "hilbert"."""
+    assert curve in ("z", "hilbert")
     tasks = plan_zorder(table, **plan_kwargs)
     if not tasks:
         return None
@@ -102,7 +111,7 @@ def zorder(
         tasks,
         _zorder_task,
         job_id=job_id,
-        params={"target_file_bytes": target_file_bytes},
+        params={"target_file_bytes": target_file_bytes, "curve": curve},
         concurrency=concurrency,
         max_tasks=max_tasks,
     )

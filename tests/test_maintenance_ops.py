@@ -64,6 +64,38 @@ def test_zorder_bitforbit_and_pruning(small_table, ray_session):
     assert got.equals(expect)
 
 
+def test_hilbert_clustering_bitforbit(small_table, ray_session):
+    t = small_table
+    pre = _golden(t)
+    snap = zorder(t, target_file_bytes=64 * 1024, curve="hilbert", concurrency=2)
+    assert snap is not None
+    assert _golden(t).equals(pre)
+    conv = pre["conv_id"][len(pre) // 3].as_py()
+    pruned = t.prune_point(conv)
+    assert len(pruned) < len(t.live_entries())
+
+
+def test_hilbert_key_locality():
+    """Consecutive Hilbert indices must be adjacent cells (the curve's
+    defining property) — catches rotation/reflection bugs."""
+    import numpy as np
+
+    from raylake.core.hashing import hilbert_key
+
+    order = 4
+    n = 1 << order
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.uint64),
+                         np.arange(n, dtype=np.uint64))
+    xs, ys = xs.ravel(), ys.ravel()
+    d = hilbert_key(xs << np.uint64(32 - order), ys << np.uint64(32 - order),
+                    order=order)
+    assert sorted(d.tolist()) == list(range(n * n))  # bijective
+    by_d = np.argsort(d)
+    px, py = xs[by_d], ys[by_d]
+    steps = np.abs(np.diff(px.astype(int))) + np.abs(np.diff(py.astype(int)))
+    assert (steps == 1).all()  # unit steps: true Hilbert walk
+
+
 def _merge_oracle(pre: pa.Table, late: pa.Table) -> pa.Table:
     """DuckDB full-recompute oracle for last-writer-wins MERGE."""
     con = duckdb.connect()
@@ -252,6 +284,57 @@ def test_distributed_append(tmp_table_root, ray_session):
         f = pq.read_table(os.path.join(t.root, e.path), columns=["conv_id"])
         buckets = set(partition_of(f["conv_id"], t.num_buckets).tolist())
         assert buckets == {e.partition}
+
+
+def test_concurrent_disjoint_maintenance_both_commit(small_table, ray_session):
+    """Snapshot isolation (T4): a compaction of partitions {0,1} planned at
+    the same snapshot as a merge touching only partition 2's conversations —
+    both commit (disjoint replaced-file sets; the later one rebases)."""
+    t = small_table
+    pre = _golden(t)
+    base_seq = t.current_seq
+
+    compact_tasks = plan_compaction(t, target_file_bytes=512 * 1024,
+                                    partitions={0, 1})
+    assert compact_tasks
+
+    # a merge confined to conversations of partition 2
+    from raylake.core.hashing import partition_of
+
+    convs = pre["conv_id"].to_pylist()
+    p2_conv = next(c for c in convs
+                   if int(partition_of([c], t.num_buckets)[0]) == 2)
+    one = pre.filter(pc.equal(pre["conv_id"], p2_conv)).slice(0, 3)
+    late = one.set_column(
+        one.column_names.index("ts"), "ts",
+        pc.add(one["ts"].cast(pa.int64()), 10**9).cast(pa.timestamp("us")),
+    ).set_column(
+        one.column_names.index("text"), "text",
+        pa.array(["X" + s for s in one["text"].to_pylist()]),
+    )
+
+    # pin the compaction job's plan/parent at base_seq BEFORE the merge runs
+    from raylake.ops.compact import _compact_task
+    from raylake.ops.rewrite import run_rewrite_job
+
+    assert run_rewrite_job(
+        t, "compact", compact_tasks, _compact_task, job_id="cc",
+        params={"target_file_bytes": 512 * 1024}, max_tasks=0,
+    ) is None
+
+    snap_m = merge_into(t, late, concurrency=2)
+    assert snap_m is not None
+    # compaction was planned against base_seq but commits after the merge:
+    # disjoint file sets → rebases cleanly instead of conflicting
+    snap_c = run_rewrite_job(
+        t, "compact", compact_tasks, _compact_task, job_id="cc",
+        params={"target_file_bytes": 512 * 1024}, concurrency=2,
+    )
+    assert snap_c is not None and snap_c.parent == snap_m.seq
+    got = _golden(t)
+    expect = _merge_oracle(pre, late)
+    assert got.equals(expect)
+    assert t.current_seq == base_seq + 2
 
 
 def test_expire_and_orphan_gc(small_table, ray_session):
