@@ -274,9 +274,26 @@ class Table:
         # full-schema scans; with an explicit column list the phantom is
         # excluded anyway (and Ray's parquet datasource has an
         # UnboundLocalError bug when columns + partitioning=None combine).
-        if columns is None:
+        needs_norm = self._needs_normalize(entries)
+        read_columns = columns
+        if needs_norm:
+            # pre-evolution files lack the new columns — pyarrow errors on a
+            # column selection naming them, so select via the normalize step
+            # instead (compaction migrates files and restores read pruning)
+            read_columns = None
+        if read_columns is None:
             read_kwargs.setdefault("partitioning", None)
-        return ray.data.read_parquet(paths, columns=columns, **read_kwargs)
+        ds = ray.data.read_parquet(paths, columns=read_columns, **read_kwargs)
+        if needs_norm:
+            from raylake.functions.cleaning import normalize_schema
+
+            schema = self.schema
+            if columns is not None:
+                schema = pa.schema([schema.field(c) for c in columns])
+            ds = ds.map_batches(
+                lambda t: normalize_schema(t, schema), batch_format="pyarrow"
+            )
+        return ds
 
     def scan_arrow(
         self,
@@ -292,10 +309,44 @@ class Table:
         if not paths:
             t = self.schema.empty_table()
         else:
-            t = pa.concat_tables([pq.read_table(p, columns=columns) for p in paths])
+            tabs = [pq.read_table(p, columns=columns) for p in paths]
+            if self._needs_normalize(entries):
+                from raylake.functions.cleaning import normalize_schema
+
+                schema = self.schema
+                if columns is not None:
+                    schema = pa.schema([schema.field(c) for c in columns])
+                tabs = [normalize_schema(x, schema) for x in tabs]
+            t = pa.concat_tables(tabs)
         if sort and len(t):
             t = t.sort_by([(c, "ascending") for c in self.sort_order if c in t.column_names])
         return t
+
+    # ------------------------------------------------------- schema evolution
+
+    def add_column(self, name: str, dtype: pa.DataType) -> None:
+        """Metadata-only schema evolution (Iceberg-style): existing data
+        files are untouched; scans pad the new column with typed nulls until
+        compaction naturally rewrites files into the current schema. The
+        snapshot seq at the time of the change is recorded so scans know
+        which files predate it."""
+        from raylake.core.schema import type_to_str
+
+        with _CommitLock(self.root):
+            self.refresh()
+            if name in self.schema.names:
+                raise ValueError(f"column exists: {name}")
+            self.meta["schema"].append([name, type_to_str(dtype)])
+            self.meta["schema_last_updated_seq"] = self.current_seq
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta
+            )
+
+    def _needs_normalize(self, entries: Iterable[ManifestEntry]) -> bool:
+        changed_at = self.meta.get("schema_last_updated_seq")
+        if changed_at is None:
+            return False
+        return any(e.seq_added <= changed_at for e in entries)
 
     # ---------------------------------------------------------------- commit
 

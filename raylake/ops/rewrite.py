@@ -78,6 +78,13 @@ def read_task_inputs(table: Table, task: dict) -> pa.Table:
     if not paths:
         return table.schema.empty_table()
     tabs = [pq.read_table(os.path.join(table.root, p)) for p in paths]
+    schema = table.schema
+    if any(t.schema != schema for t in tabs):
+        # files written before a schema evolution: pad/cast to current —
+        # compaction thereby migrates old files to the new schema
+        from raylake.functions.cleaning import normalize_schema
+
+        tabs = [normalize_schema(t, schema) for t in tabs]
     return pa.concat_tables(tabs).combine_chunks()
 
 
@@ -202,6 +209,15 @@ def run_rewrite_job(
     if not set(meta["task_ids"]) <= set(done):
         return None  # incomplete — resumable via same job_id
 
+    return commit_from_ledger(table, operation, meta, done, ledger)
+
+
+def commit_from_ledger(table: Table, operation: str, meta: dict,
+                       done: dict, ledger: Ledger):
+    """Assemble the single atomic commit from the completed-task ledger.
+    Raises CommitConflictError when a concurrent commit invalidated the
+    plan's replaced files — callers retry via ops.maintain.run_with_retry."""
+    job_id = ledger.job_id
     added = [
         ManifestEntry.from_json(e) for rec in done.values() for e in rec["entries"]
     ]

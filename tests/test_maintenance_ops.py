@@ -337,6 +337,76 @@ def test_concurrent_disjoint_maintenance_both_commit(small_table, ray_session):
     assert t.current_seq == base_seq + 2
 
 
+def test_conflict_retry_replans_and_succeeds(small_table, ray_session):
+    """Intersecting concurrent rewrites: the loser re-plans against the new
+    snapshot and succeeds on retry (ops/maintain.py)."""
+    from raylake.core.table import CommitConflictError
+    from raylake.ops.maintain import run_with_retry
+
+    t = small_table
+    pre = _golden(t)
+    base_seq = t.current_seq
+
+    # pin a compaction plan over ALL partitions at base_seq, then let a
+    # conflicting full compaction commit first
+    tasks = plan_compaction(t, target_file_bytes=512 * 1024)
+    from raylake.ops.compact import _compact_task
+    from raylake.ops.rewrite import run_rewrite_job
+
+    assert run_rewrite_job(
+        t, "compact", tasks, _compact_task, job_id="loser",
+        params={"target_file_bytes": 512 * 1024}, max_tasks=0,
+    ) is None
+    assert compact(t, target_file_bytes=512 * 1024, concurrency=2) is not None
+
+    # the stale plan now conflicts (its inputs were rewritten)…
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflictError):
+        run_rewrite_job(
+            t, "compact", tasks, _compact_task, job_id="loser",
+            params={"target_file_bytes": 512 * 1024}, concurrency=2,
+        )
+    # …and run_with_retry re-plans against the current snapshot and lands
+    # (fresh plan finds nothing left to compact → clean no-op is also fine)
+    snap = run_with_retry(
+        lambda tbl, job_id: compact(tbl, target_file_bytes=512 * 1024,
+                                    job_id=job_id, concurrency=2),
+        t,
+    )
+    assert _golden(t).equals(pre)
+    assert t.current_seq >= base_seq + 1
+
+
+def test_torn_commit_is_invisible(small_table):
+    """Crash between writing snap-N.json and swapping table.json: readers
+    keep seeing the old snapshot; the orphaned snap file is GC'd."""
+    import os
+
+    t = small_table
+    pre = _golden(t)
+    seq = t.current_seq
+    # simulate the torn write: a snap file for seq+1 exists, pointer doesn't
+    import json
+
+    torn = {
+        "seq": seq + 1, "parent": seq, "ts_ms": 0, "operation": "compact",
+        "manifests": [], "summary": {},
+    }
+    with open(os.path.join(t.root, "metadata", f"snap-{seq + 1}.json"), "w") as f:
+        json.dump(torn, f)
+    t2 = Table.load(t.root)
+    assert t2.current_seq == seq  # pointer is the source of truth
+    assert t2.scan_arrow(sort=True).equals(pre)
+    report = expire_snapshots(t2, keep_last=10)
+    assert f"metadata/snap-{seq + 1}.json" in report["deleted_files"]
+    # and the NEXT commit takes seq+1 cleanly (last_sequence unaffected)
+    e = t2.write_file(pre.slice(0, 10), 0)
+    snap = t2.commit("append", [e])
+    assert snap.seq == seq + 1
+    assert Table.load(t.root).row_count() == len(pre) + 10
+
+
 def test_expire_and_orphan_gc(small_table, ray_session):
     t = small_table
     pre = _golden(t)
