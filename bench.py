@@ -8,8 +8,9 @@ Prints ONE JSON line:
    "turns_per_sec": ..., "rewritten_rows": ...}
 
 `bench.py --scaling` re-runs the identical job in FRESH processes at
-num_cpus=8 and num_cpus=32 (the sandbox proxy for N vs 4N nodes) and reports
-both throughputs + scaling efficiency, updating BASELINE.md.
+num_cpus 4/8/16/32 and reports N→4N throughput scaling efficiency for the
+4→16 pair (primary; per-task CPU is flat there, the honest proxy for N vs 4N
+nodes) and 8→32, updating BASELINE.md with the full matrix.
 """
 
 from __future__ import annotations
@@ -89,6 +90,20 @@ def run_bench() -> dict:
     queries["point_lookup"] = round(time.monotonic() - t, 3)
     queries["point_lookup_files_read"] = len(ents)
     queries["point_lookup_files_total"] = len(table.live_entries())
+
+    # representative operator timings over the driver testdata at this sf
+    from raylake.pipelines.queries import QUERIES
+
+    for qname in ("pricing_summary", "dedup_events", "window_agg",
+                  "ann_topk", "minhash_neardup", "text_stats"):
+        t = time.monotonic()
+        try:
+            qres = QUERIES[qname](SF_DIR)
+            if hasattr(qres, "count") and not hasattr(qres, "num_rows"):
+                qres.count()  # consume lazy datasets
+            queries[f"q_{qname}"] = round(time.monotonic() - t, 3)
+        except Exception:
+            queries[f"q_{qname}"] = None
 
     import shutil
 

@@ -166,6 +166,9 @@ def _file_interval(e, k0: str, k1: str | None) -> tuple[tuple, tuple]:
     return lo, hi
 
 
+MAX_DRIVER_KEY_STATS = 2_000_000  # rows of (bucket, conv) the driver will hold
+
+
 def _plan_merge_tasks(
     table: Table, key_stats: pd.DataFrame, max_task_bytes: int
 ) -> list[RewriteTask]:
@@ -174,16 +177,35 @@ def _plan_merge_tasks(
     for e in table.live_entries():
         live_by_part[e.partition].append(e)
 
+    # Scale guard: per-conv stats give exact file pruning, but a source
+    # touching ~10^7+ distinct convs must not materialize on the driver.
+    # Fall back to per-bucket conv RANGES: pruning coarsens (a bucket's
+    # affected files = those overlapping the source's conv range) while
+    # clustering/skew-splitting below is unchanged — it only uses file
+    # intervals, never the per-conv list.
+    coarse = len(key_stats) > MAX_DRIVER_KEY_STATS
+    if coarse:
+        key_stats = (
+            key_stats.groupby("bucket")
+            .agg(lo=("key0", "min"), hi=("key0", "max"), rows=("rows", "sum"))
+            .reset_index()
+        )
+
     tasks: list[RewriteTask] = []
     for bucket, grp in key_stats.groupby("bucket"):
         bucket = int(bucket)
-        convs = sorted(grp["key0"].tolist())
+        convs = None if coarse else sorted(grp["key0"].tolist())
+        rng = (grp["lo"].iloc[0], grp["hi"].iloc[0]) if coarse else None
         # prune: files that can contain at least one source key0 value
         affected = []
         for e in live_by_part.get(bucket, []):
             cs = e.stats.get(k0)
             if not cs or cs[0] is None:
                 affected.append(e)
+                continue
+            if coarse:
+                if not (rng[1] < cs[0] or rng[0] > cs[1]):
+                    affected.append(e)
                 continue
             i = bisect.bisect_left(convs, cs[0])
             if i < len(convs) and convs[i] <= cs[1]:
