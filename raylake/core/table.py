@@ -200,6 +200,49 @@ class Table:
             and (until_seq is None or e.seq_added <= until_seq)
         ]
 
+    def snapshots_table(self) -> pa.Table:
+        """Metadata table mirroring Iceberg's `SELECT * FROM tbl.snapshots`
+        (ref: notebooks/iceberg_curd/create_iceberg_table_by_trino.sql:19-40)."""
+        snaps = self.snapshots()
+        import json as _json
+
+        return pa.table({
+            "seq": pa.array([s.seq for s in snaps], pa.int64()),
+            "parent": pa.array([s.parent for s in snaps], pa.int64()),
+            "ts_ms": pa.array([s.ts_ms for s in snaps], pa.int64()),
+            "operation": pa.array([s.operation for s in snaps], pa.string()),
+            "added_files": pa.array(
+                [s.summary.get("added_files", 0) for s in snaps], pa.int64()
+            ),
+            "added_rows": pa.array(
+                [s.summary.get("added_rows", 0) for s in snaps], pa.int64()
+            ),
+            "removed_files": pa.array(
+                [s.summary.get("removed_files", 0) for s in snaps], pa.int64()
+            ),
+            "summary_json": pa.array(
+                [_json.dumps(s.summary, sort_keys=True) for s in snaps],
+                pa.string(),
+            ),
+        })
+
+    def files_table(self, snapshot: int | None = None) -> pa.Table:
+        """Metadata table mirroring Iceberg's `tbl.files`: one row per live
+        data file with size/rows/partition/stats."""
+        import json as _json
+
+        ents = self.live_entries(snapshot)
+        return pa.table({
+            "path": pa.array([e.path for e in ents], pa.string()),
+            "partition": pa.array([e.partition for e in ents], pa.int32()),
+            "rows": pa.array([e.rows for e in ents], pa.int64()),
+            "bytes": pa.array([e.bytes for e in ents], pa.int64()),
+            "seq_added": pa.array([e.seq_added for e in ents], pa.int64()),
+            "stats_json": pa.array(
+                [_json.dumps(e.stats, sort_keys=True) for e in ents], pa.string()
+            ),
+        })
+
     def row_count(self, snapshot: int | None = None) -> int:
         """O(metadata) count — no data scan (vs the reference's .count() probes
         that re-execute the whole Spark plan, ref: _silver_pipeline.py:84-87)."""

@@ -276,8 +276,12 @@ def last_writer_wins(
     tgt: pa.Table, src: pa.Table, keys=("conv_id", "turn_idx"),
     order_col: str | None = "ts",
 ) -> pa.Table:
-    """Combine target+source, keep one row per key: source beats target;
-    among source duplicates greater `order_col` then later row wins.
+    """Reference combine (kept as the semantic spec + for callers that want
+    whole-batch dedup incl. pre-existing target duplicates): one row per
+    key, source beats target; among source duplicates greater `order_col`
+    then later row wins. `_merge_task` uses the equivalent targeted-update
+    algorithm instead — same result when target keys are unique, one data
+    pass instead of three.
     Pure Arrow (no pandas round-trip — `text` bytes must not drift)."""
     n_t, n_s = len(tgt), len(src)
     comb = pa.concat_tables([tgt, src]).combine_chunks()

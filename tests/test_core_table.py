@@ -143,6 +143,24 @@ def test_pruning_by_stats(tmp_table_root):
     assert got.equals(expect)
 
 
+def test_metadata_tables(tmp_table_root):
+    """tbl.snapshots / tbl.files parity (ref notebooks query Iceberg's)."""
+    t = write_transcript_table(tmp_table_root, 300, rows_per_file=64,
+                               num_buckets=2)
+    e = t.write_file(gen_transcripts(50, seed=9), 0)
+    t.commit("append", [e])
+    snaps = t.snapshots_table()
+    assert snaps["seq"].to_pylist() == [1, 2]
+    assert snaps["operation"].to_pylist() == ["append", "append"]
+    files = t.files_table()
+    assert len(files) == len(t.live_entries())
+    assert sum(files["rows"].to_pylist()) == t.row_count()
+    import json
+
+    stats = json.loads(files["stats_json"][0].as_py())
+    assert "conv_id" in stats and "turn_idx" in stats
+
+
 def test_ray_scan_schema_clean(tmp_table_root, ray_session):
     """Regression: data/p=NNNNN/ layout must not hive-leak a 'p' column."""
     t = write_transcript_table(tmp_table_root, 200, rows_per_file=64, num_buckets=2)
