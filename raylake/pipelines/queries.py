@@ -151,6 +151,46 @@ FROM lineitem
 """
 
 
+def q_clamped_metrics(sf_dir: str):
+    """Sign-aware clamp + sign alignment (M16/M17 — ref
+    fact_quarterly_ratio.py:99-141) over a mixed-sign derived value."""
+    from raylake.functions.derived import align_sign, clamp_signed
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_discount", "l_tax"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(0.05), t["l_discount"]))
+        clamped = clamp_signed(v, 100.0, 2000.0)
+        anchor = pc.subtract(t["l_tax"], pa.scalar(0.04))
+        aligned = align_sign(v, anchor)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"],
+            "clamped": clamped, "aligned": aligned,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CLAMPED_METRICS = """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN v > 0 THEN least(greatest(v, 100.0), 2000.0)
+       WHEN v < 0 THEN greatest(least(v, -100.0), -2000.0)
+       ELSE v END AS clamped,
+  CASE WHEN (a < 0 AND v > 0) OR (a > 0 AND v < 0) THEN -v ELSE v END
+    AS aligned
+FROM (SELECT l_orderkey, l_linenumber,
+             l_extendedprice * (0.05 - l_discount) AS v,
+             l_tax - 0.04 AS a
+      FROM lineitem)
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.4 — joins: broadcast left join, semi, anti
 # ---------------------------------------------------------------------------
@@ -1025,6 +1065,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
     "derived_chain": q_derived_chain,
+    "clamped_metrics": q_clamped_metrics,
     "join_agg": q_join_agg,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -1061,6 +1102,7 @@ ORACLES = {
     "pricing_summary": SQL_PRICING,
     "filter_project": SQL_FILTER_PROJECT,
     "derived_chain": SQL_DERIVED_CHAIN,
+    "clamped_metrics": SQL_CLAMPED_METRICS,
     "join_agg": SQL_JOIN_AGG,
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
