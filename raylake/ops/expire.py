@@ -56,6 +56,19 @@ def expire_snapshots(
             for fe in md.read_manifest(table.root, m):
                 reachable_data.add(fe.path)
 
+    # protect the lineage of IN-FLIGHT jobs: files ledgered by a rewrite
+    # task that has not committed yet are on disk but unreachable — deleting
+    # them would break a resumable job mid-flight (grace periods alone can't
+    # cover long-paused jobs)
+    jobs_root = os.path.join(table.root, "metadata", "jobs")
+    if os.path.isdir(jobs_root):
+        from raylake.state.ledger import Ledger
+
+        for job_id in os.listdir(jobs_root):
+            for rec in Ledger(table.root, job_id).completed().values():
+                for fe in rec.get("entries", []):
+                    reachable_data.add(fe["path"])
+
     deleted, freed = [], 0
     now = time.time()
 

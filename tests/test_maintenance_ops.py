@@ -286,6 +286,36 @@ def test_distributed_append(tmp_table_root, ray_session):
         assert buckets == {e.partition}
 
 
+def test_gc_protects_inflight_job_outputs(small_table, ray_session):
+    """Orphan GC must not delete files ledgered by an uncommitted job."""
+    t = small_table
+    tasks = plan_compaction(t, target_file_bytes=512 * 1024)
+    from raylake.ops.compact import _compact_task
+    from raylake.ops.rewrite import run_rewrite_job
+
+    assert run_rewrite_job(
+        t, "compact", tasks, _compact_task, job_id="paused",
+        params={"target_file_bytes": 512 * 1024}, max_tasks=1, concurrency=1,
+    ) is None  # one task done, job paused — its outputs are uncommitted
+    from raylake.state.ledger import Ledger
+
+    rec = next(iter(Ledger(t.root, "paused").completed().values()))
+    pending = [e["path"] for e in rec["entries"]]
+    assert pending
+    report = expire_snapshots(t, keep_last=10)
+    for p in pending:
+        assert p not in report["deleted_files"]
+        assert os.path.exists(os.path.join(t.root, p))
+    # resuming the paused job still works and lands bit-for-bit
+    pre = _golden(t)
+    snap = run_rewrite_job(
+        t, "compact", tasks, _compact_task, job_id="paused",
+        params={"target_file_bytes": 512 * 1024}, concurrency=2,
+    )
+    assert snap is not None
+    assert _golden(t).equals(pre)
+
+
 def test_concurrent_disjoint_maintenance_both_commit(small_table, ray_session):
     """Snapshot isolation (T4): a compaction of partitions {0,1} planned at
     the same snapshot as a merge touching only partition 2's conversations —
