@@ -170,6 +170,15 @@ class Table:
             md.read_json(os.path.join(self.root, "metadata", f"snap-{seq}.json"))
         )
 
+    def snapshot_as_of(self, ts_ms: int) -> int | None:
+        """`FOR TIMESTAMP AS OF` (ref create_iceberg_table_by_trino.sql:43):
+        the latest snapshot committed at or before ts_ms, or None."""
+        best = None
+        for e in self.meta["snapshot_log"]:
+            if e["ts_ms"] <= ts_ms:
+                best = e["seq"]
+        return best
+
     def snapshots(self) -> list[Snapshot]:
         return [
             s

@@ -104,6 +104,31 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def cluster_pairs(pairs: list[tuple], keep: str = "min") -> dict:
+    """Union-find connected components over verified near-dup pairs; returns
+    {doc_id: representative}. Driver-side by design — call it only on the
+    VERIFIED pair set, which is tiny relative to the corpus (the LSH +
+    Jaccard-verify stages already reduced it); at larger candidate sets use
+    iterated min-label propagation with a groupby instead."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            if keep == "min":
+                parent[hi] = lo
+            else:
+                parent[lo] = hi
+    return {x: find(x) for x in parent}
+
+
 class SimHasher:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col

@@ -1,0 +1,65 @@
+"""Dedup primitives: minhash similarity estimation on planted near-dups,
+simhash hamming locality, pair clustering, timestamp time travel."""
+
+import time
+
+import numpy as np
+
+from raylake.functions.dedup import (
+    MinHasher,
+    cluster_pairs,
+    hamming64,
+    jaccard,
+    simhash64,
+)
+
+
+def _doc(words):
+    return " ".join(words)
+
+
+def test_minhash_estimates_jaccard():
+    base = [f"w{i}" for i in range(200)]
+    near = base[:190] + [f"x{i}" for i in range(10)]  # ~0.86 3-gram overlap?
+    far = [f"y{i}" for i in range(200)]
+    mh = MinHasher(num_perm=128, shingle=3)
+    s_base, s_near, s_far = (mh.signature(_doc(d)) for d in (base, near, far))
+    est_near = float((s_base == s_near).mean())
+    est_far = float((s_base == s_far).mean())
+    true_near = jaccard(_doc(base), _doc(near), shingle=3)
+    assert abs(est_near - true_near) < 0.12  # minhash concentration
+    assert est_far < 0.05 and est_near > 0.5
+
+
+def test_simhash_hamming_locality():
+    base = [f"w{i}" for i in range(300)]
+    near = base[:295] + ["zz1", "zz2", "zz3", "zz4", "zz5"]
+    far = [f"q{i}" for i in range(300)]
+    h_base, h_near, h_far = (simhash64(_doc(d)) for d in (base, near, far))
+    assert hamming64(h_base, h_near) < hamming64(h_base, h_far)
+    assert hamming64(h_base, h_near) <= 12
+    assert hamming64(h_base, h_far) >= 20
+
+
+def test_cluster_pairs_min_representative():
+    comp = cluster_pairs([(3, 5), (5, 9), (20, 21), (9, 3)])
+    assert comp[3] == comp[5] == comp[9] == 3
+    assert comp[20] == comp[21] == 20
+
+
+def test_timestamp_time_travel(tmp_table_root):
+    from raylake.fixtures.transcripts import gen_transcripts
+    from raylake.core.schema import TRANSCRIPT_SCHEMA
+    from raylake.core.table import Table
+
+    t = Table.create(tmp_table_root, TRANSCRIPT_SCHEMA, num_buckets=2)
+    b1, b2 = gen_transcripts(60, seed=1), gen_transcripts(60, seed=2)
+    t.commit("append", [t.write_file(b1, 0)])
+    ts_between = int(time.time() * 1000)
+    time.sleep(0.01)
+    t.commit("append", [t.write_file(b2, 1)])
+    seq = t.snapshot_as_of(ts_between)
+    assert seq == 1
+    assert t.scan_arrow(snapshot=seq).equals(b1)
+    assert t.snapshot_as_of(0) is None
+    assert t.snapshot_as_of(int(time.time() * 1000) + 10_000) == 2
