@@ -79,8 +79,14 @@ def run_bench() -> dict:
         os.sync()  # fixture writeback must not bleed into the timed section
         setup_sec += time.monotonic() - t_setup
         table.scan().count()  # warm the cache: measure compute, not cold read
-        attempt = run_maintenance(table, late,
-                                  target_file_bytes=32 * 1024 * 1024)
+        try:
+            attempt = run_maintenance(table, late,
+                                      target_file_bytes=32 * 1024 * 1024)
+        except BaseException:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)  # never leak tmpfs
+            raise
         if res is None or attempt["total_sec"] < res["total_sec"]:
             res = attempt
 
