@@ -597,7 +597,10 @@ def q_asof_join(sf_dir: str):
             by_tiebreak="event_id",
         )
         out = out[["event_id", "user_id", "view_event_id"]]
-        out["view_event_id"] = out["view_event_id"].astype("Int64")
+        # Plain float64 with NaN for unmatched rows: DuckDB's nullable BIGINT
+        # arrives in pandas as float64, and the driver hashes values post
+        # to_pandas — a pandas Int64 extension dtype would hash-mismatch.
+        out["view_event_id"] = out["view_event_id"].astype("float64")
         return out
 
     return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
@@ -637,6 +640,7 @@ def q_window_agg(sf_dir: str):
     )
     df = agg.to_pandas()
     df["sum_value"] = df["sum_value"].round(2)
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -720,7 +724,7 @@ SELECT doc_id, length(text) AS n_chars,
                           'le','et','est','dans','pour',
                           '的','是','了','在','我','有','和','就','不','人'], x)))
     AS n_stopwords,
-  list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+  list_sum(list_transform(string_split(text, ' '), x -> length(x)))::BIGINT
     AS sum_token_len
 FROM documents
 """
@@ -780,7 +784,7 @@ def q_lang_stats(sf_dir: str):
 
 
 SQL_LANG_STATS = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY lang
 """
 

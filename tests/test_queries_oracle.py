@@ -47,16 +47,14 @@ def test_query_matches_oracle(name, con, ray_session):
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
-    # align dtypes where engines differ representationally (Int64 vs float64
-    # nullable, bool vs object) but values must match exactly
-    for c in got.columns:
-        if str(got[c].dtype) != str(want[c].dtype):
-            try:
-                want[c] = want[c].astype(got[c].dtype)
-            except (TypeError, ValueError):
-                got[c] = got[c].astype(str)
-                want[c] = want[c].astype(str)
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # STRICT dtype check: the driver hashes post-to_pandas values, so an
+    # Int64-vs-float64 or int64-vs-float64 drift hash-mismatches even when
+    # every value is equal (r01 asof_join/quality_score/lang_stats). The
+    # local gate must be at least as strict as the driver's.
+    got_dt = {c: str(got[c].dtype) for c in got.columns}
+    want_dt = {c: str(want[c].dtype) for c in want.columns}
+    assert got_dt == want_dt, f"{name}: dtype mismatch {got_dt} vs {want_dt}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
