@@ -46,23 +46,36 @@ class _CommitLock:
     commit protocol above it is unchanged.
     """
 
-    def __init__(self, root: str, timeout_s: float = 30.0, stale_s: float = 60.0):
+    def __init__(self, root: str, timeout_s: float = 30.0, stale_s: float = 300.0):
         self.path = os.path.join(root, "metadata", "_commit.lock")
         self.timeout_s = timeout_s
+        # stale_s must exceed the worst-case hold time (large manifest
+        # rewrites, GC sweeps); holders also touch() to refresh it.
         self.stale_s = stale_s
         self._fd: int | None = None
+        self._token = f"{os.getpid()}:{uuid.uuid4().hex}"
 
     def __enter__(self):
         deadline = time.monotonic() + self.timeout_s
         while True:
             try:
                 self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(self._fd, str(os.getpid()).encode())
+                os.write(self._fd, self._token.encode())
+                os.fsync(self._fd)
                 return self
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(self.path) > self.stale_s:
-                        os.unlink(self.path)  # break stale lock
+                        # Break only the EXACT lock instance we observed as
+                        # stale: re-read the token, then unlink only if it is
+                        # unchanged (a new holder writes a fresh token).
+                        with open(self.path, "rb") as f:
+                            stale_token = f.read()
+                        if (time.time() - os.path.getmtime(self.path)
+                                > self.stale_s):
+                            with open(self.path, "rb") as f:
+                                if f.read() == stale_token:
+                                    os.unlink(self.path)
                         continue
                 except FileNotFoundError:
                     continue
@@ -70,11 +83,22 @@ class _CommitLock:
                     raise TimeoutError(f"commit lock busy: {self.path}")
                 time.sleep(0.01)
 
+    def touch(self):
+        """Refresh the lock mtime so long holds aren't stale-broken."""
+        try:
+            os.utime(self.path)
+        except FileNotFoundError:
+            pass
+
     def __exit__(self, *exc):
         if self._fd is not None:
             os.close(self._fd)
         try:
-            os.unlink(self.path)
+            # Unlink only our own lock — after a stale break the path may
+            # belong to a successor holder.
+            with open(self.path, "rb") as f:
+                if f.read().decode(errors="replace") == self._token:
+                    os.unlink(self.path)
         except FileNotFoundError:
             pass
 

@@ -43,6 +43,16 @@ def scd1_merge(
         return source
     tracked = tracked_cols or [c for c in source.column_names if c not in keys]
     tk, sk = _key_frame(target, keys), _key_frame(source, keys)
+    # The reference Spark MERGE raises on multiple matching source rows;
+    # silently emitting one output row per duplicate (and misaligning
+    # tpos.loc on duplicate target keys) would corrupt the upsert. Callers
+    # must dedup (last-writer-wins) upstream — SilverPipeline does.
+    if sk.has_duplicates:
+        raise ValueError("scd1_merge: source has duplicate keys; dedup "
+                         "upstream (reference MERGE raises on multi-match)")
+    if tk.has_duplicates:
+        raise ValueError("scd1_merge: target has duplicate keys; a valid "
+                         "SCD1 target is unique per key")
 
     # align matched pairs
     tpos = pd.Series(np.arange(len(target)), index=tk)
@@ -92,6 +102,13 @@ def scd2_merge(
     cur = tgt_df[tgt_df["is_current"]]
     tk = pd.MultiIndex.from_arrays([cur[k] for k in keys])
     sk = _key_frame(source, keys)
+    if sk.has_duplicates:
+        raise ValueError("scd2_merge: source has duplicate keys; dedup "
+                         "upstream (one delivery per key per merge)")
+    if tk.has_duplicates:
+        raise ValueError("scd2_merge: multiple current rows share a key; "
+                         "the SCD2 invariant (one current row per key) is "
+                         "already broken in the target")
 
     # which current rows changed (null-safe) vs their source delivery?
     spos = pd.Series(np.arange(len(source)), index=sk)

@@ -96,10 +96,19 @@ def compact(
     **plan_kwargs,
 ):
     """Plan + execute + commit. Returns the Snapshot (or None if no work /
-    incomplete). Resumable: pass the same job_id to continue a partial run."""
-    tasks = plan_compaction(table, target_file_bytes=target_file_bytes, **plan_kwargs)
-    if not tasks:
-        return None
+    incomplete). Resumable: pass the same job_id to continue a partial run —
+    the plan persisted in the job meta is reused (never re-planned from the
+    possibly-advanced current snapshot)."""
+    from raylake.state.ledger import Ledger
+
+    if job_id is not None and Ledger(table.root, job_id).read_meta() is not None:
+        tasks = []  # resume path: run_rewrite_job reloads the persisted plan
+    else:
+        tasks = plan_compaction(
+            table, target_file_bytes=target_file_bytes, **plan_kwargs
+        )
+        if not tasks:
+            return None
     return run_rewrite_job(
         table,
         "compact",

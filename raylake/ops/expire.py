@@ -24,11 +24,24 @@ def expire_snapshots(
     table: Table,
     keep_last: int | None = None,
     older_than_ms: int | None = None,
-    grace_period_s: float = 0.0,
+    grace_period_s: float = 300.0,
     dry_run: bool = False,
 ) -> dict:
-    """Returns a report: expired snapshot seqs, deleted files, freed bytes."""
-    with _CommitLock(table.root):
+    """Returns a report: expired snapshot seqs, deleted files, freed bytes.
+
+    Safety protocol (two independent guards, both required):
+    - The COMMIT LOCK is held from log truncation through reachability AND
+      the sweep, so no commit can land between keep-set computation and
+      deletion (a commit landing there would add fresh reachable files the
+      sweep would treat as orphans). Long sweeps touch() the lock so the
+      hold is never stale-broken.
+    - `grace_period_s` (default 5 min, deliberately non-zero) protects
+      files writers create BEFORE taking the commit lock: data files are
+      written lock-free and only become reachable at commit time, so a
+      young unreachable file may be an in-flight write, not an orphan.
+      Pass 0.0 only in tests on quiesced tables.
+    """
+    with _CommitLock(table.root) as lock:
         table.refresh()
         log = table.meta["snapshot_log"]
         keep: list[dict] = []
@@ -45,64 +58,66 @@ def expire_snapshots(
                 os.path.join(table.root, "metadata", "table.json"), table.meta
             )
 
-    # reachability over retained snapshots
-    reachable_data: set[str] = set()
-    reachable_meta: set[str] = {"metadata/table.json"}
-    for entry in keep:
-        reachable_meta.add(entry["file"])
-        snap = table.snapshot(entry["seq"])
-        for m in snap.manifests:
-            reachable_meta.add(m)
-            for fe in md.read_manifest(table.root, m):
-                reachable_data.add(fe.path)
+        # reachability over retained snapshots (still under the lock)
+        reachable_data: set[str] = set()
+        reachable_meta: set[str] = {"metadata/table.json"}
+        for entry in keep:
+            reachable_meta.add(entry["file"])
+            snap = table.snapshot(entry["seq"])
+            for m in snap.manifests:
+                reachable_meta.add(m)
+                for fe in md.read_manifest(table.root, m):
+                    reachable_data.add(fe.path)
 
-    # protect the lineage of IN-FLIGHT jobs: files ledgered by a rewrite
-    # task that has not committed yet are on disk but unreachable — deleting
-    # them would break a resumable job mid-flight (grace periods alone can't
-    # cover long-paused jobs)
-    jobs_root = os.path.join(table.root, "metadata", "jobs")
-    if os.path.isdir(jobs_root):
-        from raylake.state.ledger import Ledger
+        # protect the lineage of IN-FLIGHT jobs: files ledgered by a rewrite
+        # task that has not committed yet are on disk but unreachable —
+        # deleting them would break a resumable job mid-flight (grace
+        # periods alone can't cover long-paused jobs)
+        jobs_root = os.path.join(table.root, "metadata", "jobs")
+        if os.path.isdir(jobs_root):
+            from raylake.state.ledger import Ledger
 
-        for job_id in os.listdir(jobs_root):
-            for rec in Ledger(table.root, job_id).completed().values():
-                for fe in rec.get("entries", []):
-                    reachable_data.add(fe["path"])
+            for job_id in os.listdir(jobs_root):
+                for rec in Ledger(table.root, job_id).completed().values():
+                    for fe in rec.get("entries", []):
+                        reachable_data.add(fe["path"])
 
-    deleted, freed = [], 0
-    now = time.time()
+        deleted, freed = [], 0
+        now = time.time()
 
-    def sweep(relpaths):
-        nonlocal freed
-        for rel in relpaths:
-            p = os.path.join(table.root, rel)
-            try:
-                if now - os.path.getmtime(p) < grace_period_s:
+        def sweep(relpaths):
+            nonlocal freed
+            for i, rel in enumerate(relpaths):
+                if i % 1000 == 999:
+                    lock.touch()  # keep long sweeps from going stale
+                p = os.path.join(table.root, rel)
+                try:
+                    if now - os.path.getmtime(p) < grace_period_s:
+                        continue
+                    sz = os.path.getsize(p)
+                    if not dry_run:
+                        os.unlink(p)
+                    deleted.append(rel)
+                    freed += sz
+                except FileNotFoundError:
                     continue
-                sz = os.path.getsize(p)
-                if not dry_run:
-                    os.unlink(p)
-                deleted.append(rel)
-                freed += sz
-            except FileNotFoundError:
-                continue
 
-    on_disk_data = []
-    data_root = os.path.join(table.root, "data")
-    for dirpath, _, files in os.walk(data_root):
-        for fn in files:
-            rel = os.path.relpath(os.path.join(dirpath, fn), table.root)
-            if rel not in reachable_data:
-                on_disk_data.append(rel)
-    sweep(on_disk_data)
+        on_disk_data = []
+        data_root = os.path.join(table.root, "data")
+        for dirpath, _, files in os.walk(data_root):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(dirpath, fn), table.root)
+                if rel not in reachable_data:
+                    on_disk_data.append(rel)
+        sweep(on_disk_data)
 
-    meta_root = os.path.join(table.root, "metadata")
-    orphan_meta = []
-    for fn in os.listdir(meta_root):
-        rel = f"metadata/{fn}"
-        if fn.startswith(("manifest-", "snap-")) and rel not in reachable_meta:
-            orphan_meta.append(rel)
-    sweep(orphan_meta)
+        meta_root = os.path.join(table.root, "metadata")
+        orphan_meta = []
+        for fn in os.listdir(meta_root):
+            rel = f"metadata/{fn}"
+            if fn.startswith(("manifest-", "snap-")) and rel not in reachable_meta:
+                orphan_meta.append(rel)
+        sweep(orphan_meta)
 
     return {
         "expired_snapshots": [e["seq"] for e in expired],

@@ -177,8 +177,24 @@ def run_rewrite_job(
             "operation": operation,
             "parent_seq": table.current_seq,
             "task_ids": [t.task_id for t in tasks],
+            "tasks": [asdict(t) for t in tasks],
         }
         ledger.write_meta(meta)
+    elif "tasks" in meta:
+        # RESUME: the persisted plan is authoritative. Re-planning from the
+        # CURRENT snapshot is unsafe — if a commit landed between crash and
+        # resume, positional task_ids (p{part}-{index}) collide with
+        # ledgered results of DIFFERENT file groups, and the assembled
+        # commit can double-count rows (see ADVICE r01). Callers may pass a
+        # freshly-planned list; it is ignored in favor of the plan the
+        # ledgered results actually belong to.
+        tasks = [RewriteTask(**t) for t in meta["tasks"]]
+    elif meta["parent_seq"] != table.current_seq:
+        raise RuntimeError(
+            f"job {job_id}: cannot resume a pre-plan-persistence job after "
+            f"the table advanced (planned at seq {meta['parent_seq']}, now "
+            f"{table.current_seq}); start a fresh job_id"
+        )
 
     done = ledger.completed()
     todo = [t for t in tasks if t.task_id not in done]

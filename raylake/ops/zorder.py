@@ -102,9 +102,14 @@ def zorder(
     """Cluster each partition by a space-filling curve over
     (hash32(conv_id), ts): curve="z" (Morton) or "hilbert"."""
     assert curve in ("z", "hilbert")
-    tasks = plan_zorder(table, **plan_kwargs)
-    if not tasks:
-        return None
+    from raylake.state.ledger import Ledger
+
+    if job_id is not None and Ledger(table.root, job_id).read_meta() is not None:
+        tasks = []  # resume path: run_rewrite_job reloads the persisted plan
+    else:
+        tasks = plan_zorder(table, **plan_kwargs)
+        if not tasks:
+            return None
     return run_rewrite_job(
         table,
         "zorder",

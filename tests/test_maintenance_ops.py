@@ -302,7 +302,7 @@ def test_gc_protects_inflight_job_outputs(small_table, ray_session):
     rec = next(iter(Ledger(t.root, "paused").completed().values()))
     pending = [e["path"] for e in rec["entries"]]
     assert pending
-    report = expire_snapshots(t, keep_last=10)
+    report = expire_snapshots(t, keep_last=10, grace_period_s=0.0)
     for p in pending:
         assert p not in report["deleted_files"]
         assert os.path.exists(os.path.join(t.root, p))
@@ -428,7 +428,7 @@ def test_torn_commit_is_invisible(small_table):
     t2 = Table.load(t.root)
     assert t2.current_seq == seq  # pointer is the source of truth
     assert t2.scan_arrow(sort=True).equals(pre)
-    report = expire_snapshots(t2, keep_last=10)
+    report = expire_snapshots(t2, keep_last=10, grace_period_s=0.0)
     assert f"metadata/snap-{seq + 1}.json" in report["deleted_files"]
     # and the NEXT commit takes seq+1 cleanly (last_sequence unaffected)
     e = t2.write_file(pre.slice(0, 10), 0)
@@ -448,7 +448,7 @@ def test_expire_and_orphan_gc(small_table, ray_session):
     import pyarrow.parquet as pq
 
     pq.write_table(pre.slice(0, 10), orphan)
-    report = expire_snapshots(t, keep_last=2)
+    report = expire_snapshots(t, keep_last=2, grace_period_s=0.0)
     assert report["expired_snapshots"] == [1]
     assert "data/p=00000/orphan.parquet" in report["deleted_files"]
     assert not os.path.exists(orphan)
@@ -460,3 +460,101 @@ def test_expire_and_orphan_gc(small_table, ray_session):
     # GC never deleted a reachable file
     for e in t.live_entries():
         assert os.path.exists(os.path.join(t.root, e.path))
+
+
+def test_compact_resume_uses_persisted_plan_after_interleaved_append(
+    small_table, ray_session
+):
+    """ADVICE r01 (medium): a commit landing between crash and resume must
+    not shift the plan under ledgered results — resume reuses the persisted
+    plan, and the final scan equals the pre-state plus exactly the appended
+    rows (no duplicated rows from task-id collisions)."""
+    t = small_table
+    pre = _golden(t)
+    tasks = plan_compaction(t, target_file_bytes=512 * 1024)
+    assert len(tasks) >= 2
+    from raylake.ops.compact import _compact_task
+    from raylake.ops.rewrite import run_rewrite_job
+
+    assert run_rewrite_job(
+        t, "compact", tasks, _compact_task, job_id="interleaved",
+        params={"target_file_bytes": 512 * 1024}, max_tasks=1, concurrency=1,
+    ) is None  # paused after one task
+    # an append commits while the job is paused (fresh conv_ids so the
+    # (conv_id, turn_idx) sort stays a unique total order)
+    late = pre.slice(0, 150)
+    late = late.set_column(
+        late.schema.get_field_index("conv_id"), "conv_id",
+        pc.binary_join_element_wise(
+            pa.array(["late"] * len(late)), late["conv_id"], "-"),
+    )
+    append(t, late)
+    t.refresh()
+    # resume via the public entry point — it must NOT re-plan positionally
+    snap = compact(t, target_file_bytes=512 * 1024, job_id="interleaved",
+                   concurrency=2)
+    assert snap is not None
+    got = _golden(t)
+    want = (
+        pa.concat_tables([pre, late.cast(pre.schema)])
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    assert got.equals(want)
+
+
+def test_scd_merge_raises_on_duplicate_source_keys():
+    """ADVICE r01 (low): reference Spark MERGE raises on multiple matching
+    source rows; silently emitting per-duplicate outputs corrupts upserts."""
+    from raylake.functions.scd import scd1_merge, scd2_merge
+
+    tgt = pa.table({"k": [1, 2], "v": ["a", "b"]})
+    dup_src = pa.table({"k": [2, 2], "v": ["x", "y"]})
+    with pytest.raises(ValueError, match="duplicate keys"):
+        scd1_merge(tgt, dup_src, keys=["k"])
+    dup_tgt = pa.table({"k": [1, 1], "v": ["a", "b"]})
+    with pytest.raises(ValueError, match="duplicate keys"):
+        scd1_merge(dup_tgt, pa.table({"k": [1], "v": ["x"]}), keys=["k"])
+    from raylake.functions.scd import add_scd2_cols
+    import datetime
+
+    ts0 = datetime.datetime(2024, 1, 1)
+    tgt2 = add_scd2_cols(tgt, ts0)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        scd2_merge(tgt2, dup_src, keys=["k"], tracked_cols=["v"], start_ts=ts0)
+
+
+def test_expire_grace_period_protects_fresh_unreachable_files(
+    small_table, ray_session
+):
+    """ADVICE r01 (high): writers create data files BEFORE taking the commit
+    lock; a freshly-written unreachable file must survive a sweep under the
+    default grace period (it may be an in-flight write, not an orphan)."""
+    import pyarrow.parquet as pq
+
+    t = small_table
+    pre = _golden(t)
+    fresh = os.path.join(t.root, "data", "p=00000", "inflight.parquet")
+    pq.write_table(pre.slice(0, 5), fresh)
+    report = expire_snapshots(t, keep_last=10)  # default grace 300s
+    assert "data/p=00000/inflight.parquet" not in report["deleted_files"]
+    assert os.path.exists(fresh)
+    os.unlink(fresh)
+
+
+def test_commit_lock_exit_preserves_successors_lock(tmp_table_root):
+    """ADVICE r01 (low): __exit__ must not unlink a lock it no longer owns
+    (e.g. after a stale break by a waiter)."""
+    from raylake.core.table import _CommitLock
+
+    os.makedirs(os.path.join(tmp_table_root, "metadata"), exist_ok=True)
+    a = _CommitLock(tmp_table_root)
+    b = _CommitLock(tmp_table_root, timeout_s=0.5)
+    a.__enter__()
+    # simulate a stale break + successor acquisition while `a` thinks it
+    # still holds the lock
+    os.unlink(a.path)
+    b.__enter__()
+    a.__exit__(None, None, None)  # must NOT remove b's lock
+    assert os.path.exists(b.path)
+    b.__exit__(None, None, None)
+    assert not os.path.exists(b.path)
