@@ -54,7 +54,7 @@ import pyarrow.parquet as pq
 
 from raylake.core.hashing import partition_of
 from raylake.core.table import Table
-from raylake.functions.cleaning import normalize_schema
+from raylake.functions.cleaning import normalize_schema, null_safe_changed
 from raylake.ops.rewrite import (
     DEFAULT_TARGET_FILE_BYTES,
     RewriteTask,
@@ -370,6 +370,9 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
         if not last_np.all():
             src = src.filter(pa.array(last_np))
 
+    if params["mode"] == "scd2":
+        return _scd2_task_body(table, task, params, tgt, src, k0, k1, keys)
+
     tgt_kh = _composite_key64(tgt, k0, k1) if len(tgt) else np.empty(0, np.uint64)
     src_kh = _composite_key64(src, k0, k1)
     matched = np.isin(tgt_kh, src_kh)
@@ -410,6 +413,124 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
     return {"entries": entries, "replaced": task["input_paths"], "rows": len(result)}
 
 
+SCD2_COLS = ("start_timestamp", "end_timestamp", "is_current")
+
+
+def _scd2_task_body(
+    table: Table, task: dict, params: dict,
+    tgt: pa.Table, src: pa.Table, k0: str, k1: str | None, keys: list[str],
+) -> dict:
+    """Distributed SCD2 close-and-insert (MG2), the reference's two-statement
+    merge (ref src/elt/silver/_silver_handler.py:156-192) run inside one
+    pruned/skew-split rewrite task:
+
+    - step 1 (close): a CURRENT target row whose key matches a source row and
+      whose tracked columns differ (null-safe) gets end_timestamp = start_ts,
+      is_current = false;
+    - step 2 (insert): source rows whose key has no current target row, or
+      whose match was closed in step 1, are appended as new current versions
+      (start_ts, null, true) — _add_scd2_cols, ref :146-153.
+
+    Partitioning assumption: ALL versions of a key hash to the same bucket
+    (bucket = hash(key0) % P), and the plan's composite-interval clustering
+    puts every file that can hold the key's current row into the same task as
+    the source rows for that key — so close/insert decisions are local.
+    `src` arrives schema-normalized (scd2 columns null); stamps are applied
+    here, so any scd2 columns in the raw source are ignored."""
+    tracked = params.get("tracked_cols") or [
+        c for c in src.column_names if c not in keys and c not in SCD2_COLS
+    ]
+    start_scalar = pa.scalar(params["scd2_start_us"], pa.timestamp("us"))
+    n_src = len(src)
+    src = (
+        src.set_column(src.schema.get_field_index("start_timestamp"),
+                       "start_timestamp",
+                       pa.array([params["scd2_start_us"]] * n_src,
+                                pa.timestamp("us")))
+        .set_column(src.schema.get_field_index("end_timestamp"),
+                    "end_timestamp", pa.nulls(n_src, pa.timestamp("us")))
+        .set_column(src.schema.get_field_index("is_current"),
+                    "is_current", pa.array([True] * n_src))
+    )
+
+    cur_np = (
+        pc.fill_null(tgt["is_current"], False).to_numpy(zero_copy_only=False)
+        .astype(bool)
+        if len(tgt)
+        else np.empty(0, bool)
+    )
+    tgt_kh = _composite_key64(tgt, k0, k1) if len(tgt) else np.empty(0, np.uint64)
+    src_kh = _composite_key64(src, k0, k1)
+
+    # current target rows whose key appears in the source (hash match +
+    # exact verification — collisions must never close a row)
+    matched = np.isin(tgt_kh, src_kh) & cur_np
+    if matched.any():
+        midx = np.flatnonzero(matched)
+        sub = tgt.take(pa.array(midx)).select(keys)
+        spos = pd.MultiIndex.from_arrays([src[k].to_pandas() for k in keys])
+        tpos = pd.MultiIndex.from_arrays([sub[k].to_pandas() for k in keys])
+        matched[midx[~np.asarray(tpos.isin(spos))]] = False
+    midx = np.flatnonzero(matched)
+
+    # source rows whose key has a matched current target row (exact-verified)
+    smask = np.isin(src_kh, tgt_kh[midx]) if len(midx) else np.zeros(n_src, bool)
+    if smask.any():
+        sidx0 = np.flatnonzero(smask)
+        ssub = src.take(pa.array(sidx0)).select(keys)
+        tkeys = pd.MultiIndex.from_arrays(
+            [tgt.take(pa.array(midx))[k].to_pandas() for k in keys])
+        skeys = pd.MultiIndex.from_arrays([ssub[k].to_pandas() for k in keys])
+        smask[sidx0[~np.asarray(skeys.isin(tkeys))]] = False
+    sidx = np.flatnonzero(smask)
+
+    # align the two (unique-keyed) subsets by sorting on keys, then compare
+    # tracked columns null-safely
+    close_mask = np.zeros(len(tgt), bool)
+    src_unchanged = np.zeros(n_src, bool)
+    if len(midx):
+        sort_keys = [(k, "ascending") for k in keys]
+        sub_t = tgt.take(pa.array(midx))
+        sub_s = src.take(pa.array(sidx))
+        t_order = pc.sort_indices(sub_t, sort_keys=sort_keys).to_numpy()
+        s_order = pc.sort_indices(sub_s, sort_keys=sort_keys).to_numpy()
+        changed = np.asarray(
+            null_safe_changed(
+                sub_s.take(pa.array(s_order)),
+                sub_t.take(pa.array(t_order)),
+                tracked,
+            )
+        ).astype(bool)
+        close_mask[midx[t_order[changed]]] = True
+        src_unchanged[sidx[s_order[~changed]]] = True
+
+    # insert: new keys (no current match) + changed re-deliveries
+    ins_mask = ~src_unchanged
+    if not close_mask.any() and not ins_mask.any():
+        return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
+
+    if close_mask.any():
+        m = pa.array(close_mask)
+        tgt = tgt.set_column(
+            tgt.schema.get_field_index("end_timestamp"), "end_timestamp",
+            pc.if_else(m, start_scalar, tgt["end_timestamp"]),
+        ).set_column(
+            tgt.schema.get_field_index("is_current"), "is_current",
+            pc.if_else(m, pa.scalar(False), tgt["is_current"]),
+        )
+    result = pa.concat_tables([tgt, src.filter(pa.array(ins_mask))])
+
+    bpr = (
+        task["input_bytes"] / max(1, task["input_rows"])
+        if task["input_rows"]
+        else max(1.0, result.nbytes / max(1, len(result)) / 3)
+    )
+    entries = cut_and_write(
+        table, result, task["partition"], params["target_file_bytes"], bpr
+    )
+    return {"entries": entries, "replaced": task["input_paths"], "rows": len(result)}
+
+
 # ----------------------------------------------------------------- top level
 
 
@@ -423,11 +544,31 @@ def merge_into(
     max_task_bytes: int | None = None,
     concurrency: int | None = None,
     max_tasks: int | None = None,
+    scd2_start_ts=None,
+    tracked_cols: list[str] | None = None,
 ):
     """MERGE source (ray Dataset | pa.Table) into table. Returns the committed
     Snapshot, or None (no-op / incomplete — resume by re-calling with the
-    same job_id)."""
-    assert mode in ("upsert", "delete")
+    same job_id).
+
+    mode="scd2" (MG2, ref _silver_handler.py:156-192): the table must carry
+    the SCD2 columns (start_timestamp, end_timestamp, is_current); the source
+    is a plain batch; `scd2_start_ts` (datetime | pd.Timestamp | epoch-us
+    int) stamps the delivery; `tracked_cols` defaults to all non-key,
+    non-SCD2 columns."""
+    assert mode in ("upsert", "delete", "scd2")
+    scd2_start_us = None
+    if mode == "scd2":
+        missing = [c for c in SCD2_COLS if c not in table.schema.names]
+        if missing:
+            raise ValueError(f"scd2 merge needs columns {missing} in the table")
+        if scd2_start_ts is None:
+            raise ValueError("scd2 merge requires scd2_start_ts")
+        scd2_start_us = (
+            int(scd2_start_ts)
+            if isinstance(scd2_start_ts, (int, np.integer))
+            else pd.Timestamp(scd2_start_ts).value // 1000
+        )
     job_id = job_id or f"merge-{uuid.uuid4().hex[:12]}"
     ledger = Ledger(table.root, job_id)
     staging_dir = os.path.join(ledger.dir, "staging")
@@ -462,6 +603,8 @@ def merge_into(
             "order_col": order_col,
             "staging_dir": staging_dir,
             "target_file_bytes": target_file_bytes,
+            "scd2_start_us": scd2_start_us,
+            "tracked_cols": tracked_cols,
         },
         concurrency=concurrency,
         max_tasks=max_tasks,

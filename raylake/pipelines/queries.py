@@ -11,6 +11,8 @@ sides to absorb summation-order differences.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1061,6 +1063,243 @@ def q_transcript_maintenance(sf_dir: str):
     return tbl.scan_arrow(sort=True)
 
 
+SQL_LANG_ID = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_extract_all(lower(text), '\w+')) AS ws
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+    len(list_filter(ws, x -> list_contains(
+      ['der','die','das','und','ist','ein','zu','mit','von','für'], x))) AS h_de,
+    len(list_filter(ws, x -> list_contains(
+      ['the','a','of','and','to','in','is','it','that','for'], x))) AS h_en,
+    len(list_filter(ws, x -> list_contains(
+      ['el','la','de','y','es','un','una','en','que','por'], x))) AS h_es,
+    len(list_filter(ws, x -> list_contains(
+      ['le','la','de','et','est','un','une','dans','que','pour'], x))) AS h_fr,
+    len(list_filter(ws, x -> list_contains(
+      ['的','是','了','在','我','有','和','就','不','人'], x))) AS h_zh
+  FROM w
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+       ELSE 'zh' END AS pred_lang
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# MG2 — distributed SCD2 dimension maintenance (oracle-backed)
+# ---------------------------------------------------------------------------
+
+def q_scd2_dim(sf_dir: str):
+    """SCD2 dimension through the DISTRIBUTED merge path (MG2, ref
+    _silver_handler.py:156-192): the per-user latest event of the first half
+    of the time range is the initial dimension (stamped T0=epoch 0); the
+    per-user latest of the second half is the delivery merged at T1=+1s via
+    merge_into(mode="scd2"). Output = full version history with epoch-us
+    stamps. Exercises close-on-change, keep-current-on-unchanged, and
+    insert-new-key inside the pruned/skew-split task machinery."""
+    import shutil
+    import tempfile
+
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+    from raylake.ops.merge import merge_into
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts",
+                                  "value"])
+    mm = ds.map_batches(
+        lambda t: pa.table({
+            "lo": [pc.min(pc.cast(t["ts"], pa.int64())).as_py()],
+            "hi": [pc.max(pc.cast(t["ts"], pa.int64())).as_py()],
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    mid_us = (int(mm["lo"].min()) + int(mm["hi"].max())) // 2
+
+    def latest_per_half(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False],
+                          kind="mergesort")
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        out = []
+        for half, sel in (("t", us < mid_us), ("s", us >= mid_us)):
+            sub = g[sel]
+            if len(sub):
+                r = sub.iloc[0]
+                out.append({"half": half, "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"]})
+        return pd.DataFrame(out,
+                            columns=["half", "user_id", "event_type", "value"])
+
+    halves = ds.groupby("user_id").map_groups(
+        latest_per_half, batch_format="pandas"
+    ).to_pandas()  # ≤ 2 rows per user — an aggregate-sized result
+    tgt = pa.Table.from_pandas(
+        halves[halves["half"] == "t"].drop(columns="half"), preserve_index=False
+    )
+    src = pa.Table.from_pandas(
+        halves[halves["half"] == "s"].drop(columns="half"), preserve_index=False
+    )
+
+    t0_us, t1_us = 0, 1_000_000
+    stamped = (
+        tgt.append_column("start_timestamp",
+                          pa.array([t0_us] * len(tgt), pa.timestamp("us")))
+        .append_column("end_timestamp", pa.nulls(len(tgt), pa.timestamp("us")))
+        .append_column("is_current", pa.array([True] * len(tgt)))
+    )
+    root = tempfile.mkdtemp(prefix="raylake_scd2q_")
+    try:
+        tbl = Table.create(os.path.join(root, "dim"), stamped.schema,
+                           partition_column="user_id", num_buckets=4,
+                           sort_order=("user_id",))
+        append(tbl, stamped)
+        merge_into(tbl, src, mode="scd2", scd2_start_ts=t1_us)
+        tbl.refresh()
+        out = tbl.scan_arrow()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    start_us = pc.cast(out["start_timestamp"], pa.int64())
+    end_us = pc.cast(pc.cast(out["end_timestamp"], pa.int64()), pa.float64())
+    return pa.table({
+        "user_id": out["user_id"],
+        "event_type": out["event_type"],
+        "value": out["value"],
+        "start_us": start_us,
+        "end_us": end_us,
+        "is_current": out["is_current"],
+    })
+
+
+SQL_SCD2_DIM = """
+WITH b AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events
+), t AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT e.user_id, e.event_type, e.value,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts DESC, e.event_id DESC) AS rn
+    FROM events e, b WHERE epoch_us(e.ts) < b.mid) WHERE rn = 1
+), s AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT e.user_id, e.event_type, e.value,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts DESC, e.event_id DESC) AS rn
+    FROM events e, b WHERE epoch_us(e.ts) >= b.mid) WHERE rn = 1
+), changed AS (
+  SELECT t.user_id FROM t JOIN s ON t.user_id = s.user_id
+  WHERE t.event_type IS DISTINCT FROM s.event_type
+     OR t.value IS DISTINCT FROM s.value
+)
+SELECT t.user_id, t.event_type, t.value,
+       0::BIGINT AS start_us, 1000000::DOUBLE AS end_us, false AS is_current
+FROM t WHERE t.user_id IN (SELECT user_id FROM changed)
+UNION ALL
+SELECT t.user_id, t.event_type, t.value,
+       0::BIGINT, CAST(NULL AS DOUBLE), true
+FROM t WHERE t.user_id NOT IN (SELECT user_id FROM changed)
+UNION ALL
+SELECT s.user_id, s.event_type, s.value,
+       1000000::BIGINT, CAST(NULL AS DOUBLE), true
+FROM s WHERE s.user_id NOT IN (SELECT user_id FROM t)
+   OR s.user_id IN (SELECT user_id FROM changed)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship maintenance with a recomputable oracle: transcripts derived from
+# the events view, so DuckDB can recompute the post-maintenance state exactly
+# ---------------------------------------------------------------------------
+
+def q_maintained_scan(sf_dir: str):
+    """compact → zorder → MERGE late turns, with every input derived
+    deterministically from the `events` view (conv = user, turn = per-user
+    event rank, text = md5(event_id)); late corrections (value >= 150) carry
+    edited text and ts+1h. The oracle recomputes the final state in pure SQL
+    — a real value-hash check on the maintenance pipeline's output."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from raylake.core.schema import TRANSCRIPT_SCHEMA
+    from raylake.core.table import Table
+    from raylake.ops import compact, merge_into, zorder
+    from raylake.ops.append import append
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts",
+                                  "value"])
+
+    def to_turns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "conv_id": "c" + g["user_id"].astype(str),
+            "turn_idx": np.arange(len(g), dtype=np.int32),
+            "role": g["event_type"],
+            "text": [hashlib.md5(str(e).encode()).hexdigest()
+                     for e in g["event_id"]],
+            "tool": "",
+            "ts": g["ts"],
+            "value": g["value"],
+        })
+
+    turns = ds.groupby("user_id").map_groups(to_turns, batch_format="pandas")
+
+    def base_proj(t: pa.Table) -> pa.Table:
+        return t.drop(["value"])
+
+    def late_proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["value"], 150.0)).drop(["value"])
+        txt = pc.binary_join_element_wise(
+            pa.array(["edited:"] * len(t)), t["text"], "")
+        ts1h = pc.cast(pc.add(pc.cast(t["ts"], pa.int64()),
+                              3_600_000_000), pa.timestamp("us"))
+        return (t.set_column(t.schema.get_field_index("text"), "text", txt)
+                 .set_column(t.schema.get_field_index("ts"), "ts", ts1h))
+
+    root = tempfile.mkdtemp(prefix="raylake_maintq_")
+    try:
+        tbl = Table.create(os.path.join(root, "t"), TRANSCRIPT_SCHEMA,
+                           partition_column="conv_id", num_buckets=8)
+        append(tbl, turns.map_batches(base_proj, batch_format="pyarrow"),
+               batch_size=2048)
+        compact(tbl, target_file_bytes=4 * 1024 * 1024)
+        zorder(tbl, target_file_bytes=4 * 1024 * 1024)
+        merge_into(tbl, turns.map_batches(late_proj, batch_format="pyarrow"))
+        tbl.refresh()
+        return tbl.scan_arrow(sort=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_MAINTAINED_SCAN = """
+WITH r AS (
+  SELECT 'c' || user_id::VARCHAR AS conv_id,
+         (row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         event_type AS role,
+         md5(event_id::VARCHAR) AS text0,
+         value, ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role,
+       CASE WHEN value >= 150 THEN 'edited:' || text0 ELSE text0 END AS text,
+       '' AS tool,
+       CASE WHEN value >= 150 THEN ts + INTERVAL 1 HOUR ELSE ts END AS ts
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -1094,10 +1333,13 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
     "multimodal_features": q_multimodal_features,
-    # non-SQL-expressible (rows-only driver check):
+    "lang_id": q_lang_id,
+    "scd2_dim": q_scd2_dim,
+    "maintained_scan": q_maintained_scan,
+    # non-SQL-expressible (rows-only driver check): minhash banding and IVF
+    # probing aren't reproducible in SQL; both carry pytest golden checks.
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
-    "lang_id": q_lang_id,
     "ann_ivf": q_ann_ivf,
     "transcript_maintenance": q_transcript_maintenance,
 }
@@ -1131,4 +1373,7 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "multimodal_features": SQL_MULTIMODAL,
+    "lang_id": SQL_LANG_ID,
+    "scd2_dim": SQL_SCD2_DIM,
+    "maintained_scan": SQL_MAINTAINED_SCAN,
 }
