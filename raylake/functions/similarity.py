@@ -59,17 +59,37 @@ class BruteForceTopK:
         )
 
 
+PAIRWISE_TILE = 2048  # rows per tile: peak extra memory = TILE^2 floats
+
+
 def pairwise_neardup(
-    mat: np.ndarray, ids: np.ndarray, threshold: float
+    mat: np.ndarray, ids: np.ndarray, threshold: float,
+    tile: int = PAIRWISE_TILE,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """All pairs (i<j) with cosine > threshold within one group (numpy)."""
+    """All pairs (i<j) with cosine > threshold within one group — EXACT, but
+    computed in `tile`×`tile` blocks so peak memory is bounded by tile² plus
+    the unit matrix, never n² (a hot group must not OOM the worker). Compute
+    stays O(n²) because exactness demands it; the sub-quadratic scale path is
+    to pre-bucket the group (IVF/LSH over embeddings) BEFORE calling this —
+    see q_embed_neardup's docstring for the documented cap."""
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     unit = mat / norms[:, None]
-    sim = unit @ unit.T
-    iu, ju = np.triu_indices(len(ids), k=1)
-    mask = sim[iu, ju] > threshold
-    return ids[iu[mask]], ids[ju[mask]], sim[iu, ju][mask]
+    n = len(ids)
+    out_a, out_b, out_c = [], [], []
+    for i0 in range(0, n, tile):
+        ablk = unit[i0:i0 + tile]
+        for j0 in range(i0, n, tile):
+            sim = ablk @ unit[j0:j0 + tile].T
+            ii, jj = np.nonzero(sim > threshold)
+            gi, gj = ii + i0, jj + j0
+            keep = gi < gj  # upper triangle only
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[gj[keep]])
+            out_c.append(sim[ii[keep], jj[keep]])
+    return (np.concatenate(out_a) if out_a else np.empty(0, ids.dtype),
+            np.concatenate(out_b) if out_b else np.empty(0, ids.dtype),
+            np.concatenate(out_c) if out_c else np.empty(0, np.float64))
 
 
 def kmeans_lite(

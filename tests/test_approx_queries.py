@@ -1,0 +1,47 @@
+"""Golden checks for the approximate pipelines the DuckDB oracle can't
+express: MinHash+LSH near-dup (banding recall) and IVF ANN (recall vs the
+exact brute-force top-k)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from raylake.pipelines.queries import q_ann_ivf, q_ann_topk, q_minhash_neardup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_minhash_pairs_golden_vs_bruteforce(ray_session):
+    """Precision must be exact (verify stage filters on TRUE Jaccard); recall
+    on strong near-dups (J >= 0.8) must be ~1 with 16 bands x 4 rows."""
+    from raylake.functions.dedup import _token_hashes
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    sets = {int(d): set(_token_hashes(s, 3).astype(np.int64).tolist())
+            for d, s in zip(ids, t["text"].to_pylist())}
+    brute = {}
+    sids = sorted(sets)
+    for i, a in enumerate(sids):
+        for b in sids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            u = len(sa | sb)
+            j = (len(sa & sb) / u) if u else 1.0
+            if j >= 0.5:
+                brute[(a, b)] = round(j, 4)
+
+    got = q_minhash_neardup(SF_DIR).to_pandas()
+    got_pairs = {(int(a), int(b)): j for a, b, j in
+                 zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    # precision 1.0: every emitted pair is a true >= 0.5 pair, value exact
+    for p, j in got_pairs.items():
+        assert p in brute and brute[p] == j
+    # recall ~1 on J >= 0.8 (banding theory: 1-(1-J^4)^16 > 0.999)
+    strong = {p for p, j in brute.items() if j >= 0.8}
+    assert strong <= set(got_pairs)
+
+
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    exact = set(q_ann_topk(SF_DIR).to_pandas()["vec_id"])
+    approx = set(q_ann_ivf(SF_DIR).to_pandas()["vec_id"])
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@10 collapsed: {recall}"

@@ -63,3 +63,23 @@ def test_timestamp_time_travel(tmp_table_root):
     assert t.scan_arrow(snapshot=seq).equals(b1)
     assert t.snapshot_as_of(0) is None
     assert t.snapshot_as_of(int(time.time() * 1000) + 10_000) == 2
+
+
+def test_simhash_batch_matches_per_doc_golden():
+    """simhash64_batch is the vectorized hot path; simhash64 is the spec —
+    signatures must be bit-identical, including empty/short docs."""
+    import duckdb
+
+    from raylake.functions.dedup import simhash64, simhash64_batch
+
+    texts = duckdb.sql(
+        "SELECT text FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 64"
+    ).df()["text"].tolist()
+    texts += ["", "one", "two words here", " ", "a a a a a"]
+    import numpy as np
+
+    got = simhash64_batch(texts)
+    want = np.array(
+        [np.int64(np.uint64(simhash64(t)).astype(np.int64)) for t in texts]
+    )
+    assert (got == want).all()
