@@ -119,3 +119,59 @@ def build_fact_daily_ohlcv(filled: pd.DataFrame) -> pd.DataFrame:
         out["date"]
     ).dt.strftime("%Y%m%d")
     return out
+
+
+def build_dim_shareholder(shareholders: pa.Table) -> pa.Table:
+    """Active-shareholder dim (ref dim_shareholder.py:36-40): keep
+    is_active == true rows, drop the flag + updated_at, surrogate-key on
+    (id, symbol). Pure-Arrow filter/project — runs per batch in map_batches
+    when the silver side is a Dataset."""
+    act = shareholders.filter(pc.fill_null(shareholders["is_active"], False))
+    drop = [c for c in ("is_active", "updated_at") if c in act.column_names]
+    act = act.drop(drop)
+    return act.append_column(
+        "shareholder_sk", surrogate_key([act["id"], act["symbol"]])
+    )
+
+
+FACT_CASH_DIVIDEND_COLS = [
+    "id", "symbol", "issue_date", "value", "ingest_timestamp"
+]
+
+
+def build_fact_cash_dividend(events: pa.Table) -> pa.Table:
+    """Dividend fact (ref fact_cash_dividend.py:42-49): filter
+    event_code == 'DIV', project the declared column order. Per-batch
+    filter+project — the canonical M12/M13 pair as a NAMED reference job."""
+    div = events.filter(pc.equal(events["event_code"], "DIV"))
+    cols = [c for c in FACT_CASH_DIVIDEND_COLS if c in div.column_names]
+    return div.select(cols)
+
+
+def ratio_chain11(t: pa.Table) -> pa.Table:
+    """The full 11-column interdependent derived chain (M18, ref
+    fact_quarterly_ratio.py:39-96 calc_additional_metrics): each metric is
+    computed from previously-derived columns in the reference's exact order —
+    price → eps → bvps → revenue → net_profit → asset → equity → debt →
+    debt_to_asset → financial_leverage → asset_turnover. Expects the base
+    columns (market_capital, outstanding_share, price_to_earnings,
+    price_to_book_value, price_to_sales, net_profit_margin, roa, roe);
+    vectorized pyarrow.compute, one pass, no shuffle."""
+    price = pc.divide(t["market_capital"], t["outstanding_share"])
+    eps = pc.divide(price, t["price_to_earnings"])
+    bvps = pc.divide(price, t["price_to_book_value"])
+    revenue = pc.divide(t["market_capital"], t["price_to_sales"])
+    net_profit = pc.multiply(revenue, t["net_profit_margin"])
+    asset = pc.divide(net_profit, t["roa"])
+    equity = pc.divide(net_profit, t["roe"])
+    debt = pc.subtract(asset, equity)
+    for name, arr in [
+        ("price", price), ("eps", eps), ("bvps", bvps), ("revenue", revenue),
+        ("net_profit", net_profit), ("asset", asset), ("equity", equity),
+        ("debt", debt),
+        ("debt_to_asset", pc.divide(debt, asset)),
+        ("financial_leverage", pc.divide(asset, equity)),
+        ("asset_turnover", pc.divide(t["roa"], t["net_profit_margin"])),
+    ]:
+        t = t.append_column(name, arr)
+    return t

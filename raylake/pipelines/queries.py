@@ -1355,6 +1355,236 @@ FROM r
 
 
 # ---------------------------------------------------------------------------
+# M18 full chain + medallion end-to-end (ref elt_history.py:126-143)
+# ---------------------------------------------------------------------------
+
+def q_ratio_chain11(sf_dir: str):
+    """The reference's full 11-column interdependent derived chain (M18, ref
+    fact_quarterly_ratio.py:39-96) over lineitem-derived base metrics, one
+    vectorized map_batches pass. IEEE-double ops in the reference's exact
+    order on both sides — no rounding needed."""
+    from raylake.pipelines.gold import ratio_chain11
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_quantity", "l_tax", "l_discount"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        ln = t["l_linenumber"].to_numpy()
+        base = pa.table({
+            "id": pc.add(pc.multiply(t["l_orderkey"], 10),
+                         pc.cast(t["l_linenumber"], pa.int64())),
+            "market_capital": t["l_extendedprice"],
+            "outstanding_share": t["l_quantity"],
+            "price_to_earnings": pc.add(t["l_tax"], 1.0),
+            "price_to_book_value": pc.add(t["l_discount"], 1.0),
+            "price_to_sales": pa.array((ln % 7 + 1).astype(np.float64)),
+            "net_profit_margin": pc.add(t["l_discount"], 0.1),
+            "roa": pc.add(t["l_tax"], 0.05),
+            "roe": pc.add(t["l_tax"], 0.15),
+        })
+        out = ratio_chain11(base)
+        return out.select(
+            ["id", "price", "eps", "bvps", "revenue", "net_profit", "asset",
+             "equity", "debt", "debt_to_asset", "financial_leverage",
+             "asset_turnover"]
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_RATIO_CHAIN11 = """
+WITH base AS (
+  SELECT l_orderkey * 10 + l_linenumber AS id,
+         l_extendedprice AS market_capital,
+         l_quantity AS outstanding_share,
+         l_tax + 1.0 AS price_to_earnings,
+         l_discount + 1.0 AS price_to_book_value,
+         ((l_linenumber % 7 + 1))::DOUBLE AS price_to_sales,
+         l_discount + 0.1 AS net_profit_margin,
+         l_tax + 0.05 AS roa,
+         l_tax + 0.15 AS roe
+  FROM lineitem
+), c1 AS (
+  SELECT *, market_capital / outstanding_share AS price,
+         market_capital / price_to_sales AS revenue,
+         roa / net_profit_margin AS asset_turnover
+  FROM base
+), c2 AS (
+  SELECT *, price / price_to_earnings AS eps,
+         price / price_to_book_value AS bvps,
+         revenue * net_profit_margin AS net_profit
+  FROM c1
+), c3 AS (
+  SELECT *, net_profit / roa AS asset, net_profit / roe AS equity FROM c2
+), c4 AS (
+  SELECT *, asset - equity AS debt FROM c3
+)
+SELECT id, price, eps, bvps, revenue, net_profit, asset, equity, debt,
+       debt / asset AS debt_to_asset,
+       asset / equity AS financial_leverage,
+       asset_turnover
+FROM c4
+"""
+
+
+def q_medallion_gold(sf_dir: str):
+    """End-to-end medallion DAG over the TPC-H views, mirroring the
+    reference's 19-task dependency graph (ref src/dags/elt_history.py:126-143):
+    silver cleaning (trim / nullify+fill / template-fill — the SilverPipeline
+    kernels) feeding the gold builds dim_company (supplier ⟕ region broadcast
+    join, ref dim_company.py:41-51), dim_shareholder (active filter + key,
+    ref dim_shareholder.py:36-40) and fact_cash_dividend (filter + ordered
+    project, ref fact_cash_dividend.py:42-49), star-joined into one summary
+    row per company. Distributed where it matters: customer/events stream
+    through map_batches with per-batch partial aggregation; supplier/region
+    are the broadcast small sides. Dividend sums are exact integer cents
+    (floor(v*100+0.5) — identical IEEE ops both engines)."""
+    from ray.data.aggregate import Sum
+
+    from raylake.functions import cleaning as cl
+    from raylake.pipelines.gold import (
+        build_dim_company,
+        build_dim_shareholder,
+        build_fact_cash_dividend,
+    )
+
+    rd = _rd()
+    # small sides (driver-held dims — broadcast pattern)
+    region = pq.read_table(_pq(sf_dir, "region"),
+                           columns=["r_regionkey", "r_name"])
+    industry = pa.table({
+        "icb_code": pc.cast(region["r_regionkey"], pa.string()),
+        "icb_name": region["r_name"],
+    })
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    n_supp = len(supp)
+    nk = supp["s_nationkey"].to_numpy()
+    company = pa.table({
+        "symbol": pc.binary_join_element_wise(
+            pa.array(["S"] * n_supp), pc.cast(supp["s_suppkey"], pa.string()), ""),
+        "company_name": pc.utf8_trim_whitespace(supp["s_name"]),
+        "icb_code_1": pa.array((nk % 5).astype(str)),
+    })
+    dim_company = build_dim_company(company, industry)
+
+    # distributed: shareholders from customer (silver clean → dim → agg)
+    def sh_batch(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy()
+        tb = pa.table({
+            "id": pc.cast(t["c_custkey"], pa.string()),
+            "shareholder_name": pc.if_else(
+                pc.less(t["c_acctbal"], -900.0),
+                pa.nulls(len(t), pa.string()), t["c_name"]),
+            "symbol": pa.array(np.char.add("S", (ck % n_supp + 1).astype(str))),
+            "quantity": pa.array(ck % 1000 - 500),
+            "is_active": pc.greater_equal(t["c_acctbal"], 0.0),
+        })
+        tb = cl.nullify_negative(tb, ["quantity"])
+        tb = cl.fill_null_fixed(tb, {"quantity": 0})
+        tb = cl.fill_null_template(tb, "shareholder_name", "id", "UNKNOWN_")
+        dim = build_dim_shareholder(tb)
+        g = pa.TableGroupBy(dim.select(["symbol", "quantity"]),
+                            "symbol").aggregate(
+            [("quantity", "sum"), ("quantity", "count")])
+        return pa.table({"symbol": g["symbol"],
+                         "sum_quantity": g["quantity_sum"],
+                         "n_shareholders": g["quantity_count"]})
+
+    sagg = (
+        rd.read_parquet(_pq(sf_dir, "customer"),
+                        columns=["c_custkey", "c_name", "c_acctbal"])
+        .map_batches(sh_batch, batch_format="pyarrow")
+        .groupby("symbol")
+        .aggregate(Sum("sum_quantity", alias_name="sum_quantity"),
+                   Sum("n_shareholders", alias_name="n_shareholders"))
+        .to_pandas()  # one row per company — aggregate-sized
+    )
+
+    # distributed: dividends from events (silver map → fact → agg)
+    def div_batch(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        ev = pa.table({
+            "id": t["event_id"],
+            "event_code": pc.if_else(pc.equal(t["event_type"], "purchase"),
+                                     pa.scalar("DIV"), pa.scalar("OTH")),
+            "symbol": pa.array(np.char.add("S", (uid % n_supp + 1).astype(str))),
+            "issue_date": pc.strftime(t["ts"], "%Y-%m-%d"),
+            "value": t["value"],
+        })
+        fact = build_fact_cash_dividend(ev)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(fact["value"], 100.0),
+                                        0.5)), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"symbol": fact["symbol"], "cents": cents}),
+            "symbol").aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table({"symbol": g["symbol"],
+                         "sum_dividend_cents": g["cents_sum"],
+                         "n_dividends": g["cents_count"]})
+
+    dagg = (
+        rd.read_parquet(_pq(sf_dir, "events"),
+                        columns=["event_id", "user_id", "event_type", "ts",
+                                 "value"])
+        .map_batches(div_batch, batch_format="pyarrow")
+        .groupby("symbol")
+        .aggregate(Sum("sum_dividend_cents", alias_name="sum_dividend_cents"),
+                   Sum("n_dividends", alias_name="n_dividends"))
+        .to_pandas()
+    )
+
+    out = dim_company.select(["symbol", "company_name", "icb_name"]).to_pandas()
+    out = out.merge(sagg, on="symbol", how="left").merge(
+        dagg, on="symbol", how="left")
+    for c in ("n_shareholders", "sum_quantity", "n_dividends",
+              "sum_dividend_cents"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_MEDALLION_GOLD = """
+WITH ns AS (SELECT count(*) AS n FROM supplier),
+ind AS (SELECT r_regionkey::VARCHAR AS icb_code, r_name AS icb_name FROM region),
+comp AS (
+  SELECT 'S' || s_suppkey::VARCHAR AS symbol, trim(s_name) AS company_name,
+         (s_nationkey % 5)::VARCHAR AS icb_code_1
+  FROM supplier),
+dimc AS (
+  SELECT comp.symbol, comp.company_name, ind.icb_name
+  FROM comp LEFT JOIN ind ON comp.icb_code_1 = ind.icb_code),
+sh AS (
+  SELECT 'S' || (c_custkey % ns.n + 1)::VARCHAR AS symbol,
+         CASE WHEN c_custkey % 1000 - 500 < 0 THEN 0
+              ELSE c_custkey % 1000 - 500 END AS quantity
+  FROM customer, ns WHERE c_acctbal >= 0),
+sagg AS (
+  SELECT symbol, sum(quantity)::BIGINT AS sum_quantity,
+         count(*)::BIGINT AS n_shareholders
+  FROM sh GROUP BY symbol),
+dv AS (
+  SELECT 'S' || (user_id % ns.n + 1)::VARCHAR AS symbol,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events, ns WHERE event_type = 'purchase'),
+dagg AS (
+  SELECT symbol, sum(cents)::BIGINT AS sum_dividend_cents,
+         count(*)::BIGINT AS n_dividends
+  FROM dv GROUP BY symbol)
+SELECT d.symbol, d.company_name, d.icb_name,
+       coalesce(s.sum_quantity, 0)::BIGINT AS sum_quantity,
+       coalesce(s.n_shareholders, 0)::BIGINT AS n_shareholders,
+       coalesce(g.sum_dividend_cents, 0)::BIGINT AS sum_dividend_cents,
+       coalesce(g.n_dividends, 0)::BIGINT AS n_dividends
+FROM dimc d
+LEFT JOIN sagg s ON d.symbol = s.symbol
+LEFT JOIN dagg g ON d.symbol = g.symbol
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -1390,6 +1620,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "scd2_dim": q_scd2_dim,
     "maintained_scan": q_maintained_scan,
+    "ratio_chain11": q_ratio_chain11,
+    "medallion_gold": q_medallion_gold,
     # non-SQL-expressible (rows-only driver check): minhash banding and IVF
     # probing aren't reproducible in SQL; both carry pytest golden checks.
     "minhash_neardup": q_minhash_neardup,
@@ -1430,4 +1662,6 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "scd2_dim": SQL_SCD2_DIM,
     "maintained_scan": SQL_MAINTAINED_SCAN,
+    "ratio_chain11": SQL_RATIO_CHAIN11,
+    "medallion_gold": SQL_MEDALLION_GOLD,
 }
