@@ -98,9 +98,24 @@ def _stage_batch(batch: pa.Table, table_root: str, staging_dir: str) -> pa.Table
     for s, e in zip(starts, ends):
         p = int(part[s])
         sub = batch.slice(int(s), int(e - s))
+        # Sort each staged file by the merge keys (source row order kept as
+        # the tie-break key) and write SMALL row groups: execute-side tasks
+        # read the staged bucket with a key-range parquet filter, and tight
+        # per-row-group key stats make that filter prune to ≈ the task's own
+        # slice — a hot bucket split into k tasks no longer re-reads the
+        # whole staged source k times (VERDICT r01 #10).
+        sub = sub.append_column(
+            "__src_ord", pa.array(np.arange(len(sub), dtype=np.int64))
+        )
+        sort_keys = [(k0, "ascending")]
+        if k1 is not None:
+            sort_keys.append((k1, "ascending"))
+        sort_keys.append(("__src_ord", "ascending"))
+        sub = sub.sort_by(sort_keys).drop(["__src_ord"])
         d = os.path.join(staging_dir, f"b={p:05d}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(sub, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+        pq.write_table(sub, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"),
+                       row_group_size=16 * 1024)
         if k1 is not None:
             agg = pa.TableGroupBy(sub.select([k0, k1]), k0).aggregate(
                 [(k1, "min"), (k1, "max"), (k1, "count")]
@@ -339,14 +354,29 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
     staged = sorted(
         glob.glob(os.path.join(params["staging_dir"], f"b={task['partition']:05d}", "*.parquet"))
     )
+    lo, hi = task["extra"]["lo"], task["extra"]["hi"]
+    # conservative k0 row-group filter (staged files are key-sorted with
+    # small row groups, so this prunes to ≈ the task's own key slice);
+    # the composite-exact range cut follows in memory
+    filters = []
+    if lo is not None:
+        filters.append((k0, ">=", lo[0]))
+    if hi is not None:
+        filters.append((k0, "<=", hi[0]))
     src = (
-        pa.concat_tables([pq.read_table(p) for p in staged]).combine_chunks()
+        # partitioning=None: the list+filters path goes through the dataset
+        # API, which would otherwise hive-infer the staging dir's `b=NNNNN`
+        # as a phantom column (same Ray 2.49/pyarrow trap as Table.scan)
+        pq.read_table(staged, filters=filters or None,
+                      partitioning=None).combine_chunks()
         if staged
         else table.schema.empty_table()
     )
-    src = _filter_key_range(src, k0, k1, task["extra"]["lo"], task["extra"]["hi"])
+    staged_rows_read = len(src)
+    src = _filter_key_range(src, k0, k1, lo, hi)
     if len(src) == 0:
-        return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
+        return {"skipped": True, "entries": [], "replaced": [], "rows": 0,
+                "staged_rows_read": staged_rows_read, "staged_rows_used": 0}
 
     # source-internal last-writer-wins (greater order_col, then later row)
     if len(src) > 1:
@@ -370,8 +400,11 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
         if not last_np.all():
             src = src.filter(pa.array(last_np))
 
+    counters = {"staged_rows_read": staged_rows_read,
+                "staged_rows_used": len(src)}
     if params["mode"] == "scd2":
-        return _scd2_task_body(table, task, params, tgt, src, k0, k1, keys)
+        return {**_scd2_task_body(table, task, params, tgt, src, k0, k1, keys),
+                **counters}
 
     tgt_kh = _composite_key64(tgt, k0, k1) if len(tgt) else np.empty(0, np.uint64)
     src_kh = _composite_key64(src, k0, k1)
@@ -387,7 +420,8 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
 
     if params["mode"] == "delete":
         if not matched.any():
-            return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
+            return {"skipped": True, "entries": [], "replaced": [], "rows": 0,
+                    **counters}
         result = tgt.filter(pa.array(~matched))
     else:
         # MG4 null-safe no-op detection: if every source row is bit-identical
@@ -398,7 +432,8 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
             sub = tgt.take(pa.array(midx)).combine_chunks()
             sort_keys = [(k, "ascending") for k in keys]
             if sub.sort_by(sort_keys).equals(src.sort_by(sort_keys).combine_chunks()):
-                return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
+                return {"skipped": True, "entries": [], "replaced": [], "rows": 0,
+                        **counters}
         keep = tgt.filter(pa.array(~matched)) if matched.any() else tgt
         result = pa.concat_tables([keep, src])
 
@@ -410,7 +445,8 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
     entries = cut_and_write(
         table, result, task["partition"], params["target_file_bytes"], bpr
     )
-    return {"entries": entries, "replaced": task["input_paths"], "rows": len(result)}
+    return {"entries": entries, "replaced": task["input_paths"], "rows": len(result),
+            **counters}
 
 
 SCD2_COLS = ("start_timestamp", "end_timestamp", "is_current")

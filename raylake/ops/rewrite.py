@@ -145,6 +145,9 @@ def _rewrite_batch_inner(batch, table_root, job_id, task_fn, params):
             "skipped": res.get("skipped", False),
             "wall_s": wall,
         }
+        for k in ("staged_rows_read", "staged_rows_used"):
+            if k in res:
+                rec[k] = res[k]
         ledger.record(task["task_id"], rec)
         out.append({"task_id": task["task_id"], "rows": rec["rows"], "wall_s": wall})
     return pd.DataFrame(out)
@@ -242,19 +245,27 @@ def commit_from_ledger(table: Table, operation: str, meta: dict,
         ledger.clear()
         return None  # every task was a no-op: nothing to commit
     rewritten_rows = sum(r["rows"] for r in done.values() if not r.get("skipped"))
+    summary = {
+        "job_id": job_id,
+        "tasks": len(meta["task_ids"]),
+        "skipped_tasks": sum(1 for r in done.values() if r.get("skipped")),
+        "rewritten_rows": rewritten_rows,
+        "rewritten_bytes": sum(r["bytes"] for r in done.values()),
+        "task_wall_s": round(sum(r["wall_s"] for r in done.values()), 3),
+    }
+    if any("staged_rows_read" in r for r in done.values()):
+        # merge read-amplification: Σ staged rows decoded across tasks vs the
+        # rows each task actually owned — ≈1.0 means no hot-bucket re-read
+        summary["staged_rows_read"] = sum(
+            r.get("staged_rows_read", 0) for r in done.values())
+        summary["staged_rows_used"] = sum(
+            r.get("staged_rows_used", 0) for r in done.values())
     snap = table.commit(
         operation,
         added,
         replaced_paths=replaced,
         expected_parent=meta["parent_seq"],
-        summary={
-            "job_id": job_id,
-            "tasks": len(meta["task_ids"]),
-            "skipped_tasks": sum(1 for r in done.values() if r.get("skipped")),
-            "rewritten_rows": rewritten_rows,
-            "rewritten_bytes": sum(r["bytes"] for r in done.values()),
-            "task_wall_s": round(sum(r["wall_s"] for r in done.values()), 3),
-        },
+        summary=summary,
     )
     ledger.clear()
     return snap

@@ -558,3 +558,21 @@ def test_commit_lock_exit_preserves_successors_lock(tmp_table_root):
     assert os.path.exists(b.path)
     b.__exit__(None, None, None)
     assert not os.path.exists(b.path)
+
+
+def test_merge_staged_read_amplification_bounded(small_table, ray_session):
+    """VERDICT r01 #10: key-sorted small-row-group staging + key-range
+    parquet filters keep Σ staged rows decoded close to Σ rows owned —
+    a hot bucket split into k tasks must not re-read its staged source
+    k times."""
+    t = small_table
+    base = _golden(t)
+    late = gen_late_batch(base, update_frac=0.10, insert_frac=0.05, seed=11)
+    snap = merge_into(t, late, max_task_bytes=64 * 1024)  # force many tasks
+    assert snap is not None
+    s = snap.summary
+    assert s["staged_rows_used"] >= len(late) * 0.95
+    # row-group granularity (16k) allows boundary slop; amplification must
+    # stay well under the task count
+    assert s["staged_rows_read"] <= max(s["staged_rows_used"] * 3,
+                                        s["staged_rows_used"] + 64 * 1024)
