@@ -49,6 +49,11 @@ def run_bench() -> dict:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)  # unhashable pandas-metadata schema noise
 
     from raylake.fixtures.transcripts import gen_late_from_meta
     from raylake.pipelines.maintenance import build_bench_table, run_maintenance
@@ -221,7 +226,15 @@ def _update_baseline_md(rep: dict) -> None:
         f"partitioning/scheduling efficiency — what transfers to N vs 4N "
         f"separate nodes, each bringing its own memory buses and disks. At "
         f"32 workers this single VM saturates memory bandwidth (Σ task CPU "
-        f"inflates), which a real 4N-node cluster does not share.\n"
+        f"inflates), which a real 4N-node cluster does not share.\n\n"
+        f"**Direct evidence** (`scripts/scaling_evidence.py`, fixed work per\n"
+        f"process, plain multiprocessing — no Ray, no engine): per-process\n"
+        f"CPU inflation going 4 → 32 concurrent processes is **1.26×** for\n"
+        f"ALU-bound work (the 32 vCPUs are real compute), **5.34×** for a\n"
+        f"pure 200 MB memcpy loop (the memory bus saturates), and 2.4–3.1×\n"
+        f"for parquet encode/decode round-trips (the engine's hot kernel).\n"
+        f"No engine change can scale memory-bound work past the machine's\n"
+        f"bandwidth; the 8→32 number measures the VM, not the engine.\n"
     )
     try:
         with open(path) as f:

@@ -140,6 +140,9 @@ class Table:
                 "column": partition_column,
                 "num_buckets": int(num_buckets),
             },
+            "partition_spec_log": [
+                {"num_buckets": int(num_buckets), "since_seq": 0}
+            ],
             "sort_order": list(sort_order),
             "stats_columns": list(stats_columns),
             "current_snapshot": 0,
@@ -171,6 +174,27 @@ class Table:
     @property
     def num_buckets(self) -> int:
         return self.meta["partition_spec"]["num_buckets"]
+
+    @property
+    def partition_spec_log(self) -> list[dict]:
+        """Spec history: [{num_buckets, since_seq}] — snapshots committed at
+        seq >= since_seq carry files bucketed under that spec. Tables created
+        before spec evolution existed get a synthetic single-entry log."""
+        log = self.meta.get("partition_spec_log")
+        if not log:
+            return [{"num_buckets": self.num_buckets, "since_seq": 0}]
+        return log
+
+    def num_buckets_at(self, seq: int | None = None) -> int:
+        """The bucket count whose partition ids the files of snapshot `seq`
+        carry (repartition_table flips spec + rewrites data in ONE commit, so
+        each snapshot is internally single-spec)."""
+        seq = self.current_seq if seq is None else seq
+        nb = self.partition_spec_log[0]["num_buckets"]
+        for e in self.partition_spec_log:
+            if e["since_seq"] <= seq:
+                nb = e["num_buckets"]
+        return nb
 
     @property
     def sort_order(self) -> list[str]:
@@ -316,7 +340,10 @@ class Table:
             entries = self.live_entries(snapshot)
         col = self.partition_column
         if col is not None:
-            p = int(partition_of([conv_value], self.num_buckets)[0])
+            # bucket under the spec ACTIVE AT the scanned snapshot — after a
+            # partition-spec evolution, time travel to older snapshots must
+            # hash with the old bucket count
+            p = int(partition_of([conv_value], self.num_buckets_at(snapshot))[0])
             entries = [e for e in entries if e.partition in (p, -1)]
         h32 = int(stable_hash64([conv_value])[0]) >> 32
         return [
@@ -439,6 +466,7 @@ class Table:
         replaced_paths: set[str] | frozenset[str] = frozenset(),
         expected_parent: int | None = None,
         summary: dict | None = None,
+        meta_updates: dict | None = None,
     ) -> Snapshot:
         """Atomically commit a new snapshot: live' = live - replaced + added.
 
@@ -446,6 +474,11 @@ class Table:
         the table advanced, we rebase iff every replaced path is still live in
         the current snapshot (no intersecting concurrent rewrite); otherwise
         CommitConflictError. Pure appends (replaced empty) always rebase.
+
+        `meta_updates`: table-metadata keys swapped in the SAME table.json
+        write as the snapshot pointer — used by partition-spec evolution so
+        the data rewrite and the spec flip are one atomic transition (a torn
+        pair would mis-bucket every point lookup).
         """
         replaced = set(replaced_paths)
         with _CommitLock(self.root):
@@ -506,6 +539,15 @@ class Table:
             self.meta["snapshot_log"].append(
                 {"seq": new_seq, "ts_ms": snap.ts_ms, "file": f"metadata/snap-{new_seq}.json"}
             )
+            if meta_updates:
+                for k, v in meta_updates.items():
+                    self.meta[k] = v
+                log = self.meta.get("partition_spec_log")
+                if "partition_spec_log" in meta_updates and log:
+                    # the new spec takes effect AT this commit — stamp the
+                    # actual seq (a rebase over an interleaved append would
+                    # otherwise leave a stale planned-time guess)
+                    log[-1]["since_seq"] = new_seq
             md.atomic_write_json(
                 os.path.join(self.root, "metadata", "table.json"), self.meta
             )
@@ -517,6 +559,12 @@ class Table:
         """Write one immutable Parquet data file + stats → ManifestEntry."""
         rel = self.new_data_path(partition)
         abspath = os.path.join(self.root, rel)
+        # Strip schema metadata (pandas round-trips attach a b'pandas' blob
+        # that makes pa.Schema unhashable — Ray Data then logs "Failed to
+        # hash the schemas" on every block unify and skips its dedup fast
+        # path; it also breaks read_task_inputs' schema-equality fast path).
+        if table.schema.metadata:
+            table = table.replace_schema_metadata(None)
         pq.write_table(table, abspath, compression="zstd")
         return ManifestEntry(
             path=rel,

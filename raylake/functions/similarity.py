@@ -92,6 +92,37 @@ def pairwise_neardup(
             np.concatenate(out_c) if out_c else np.empty(0, np.float64))
 
 
+def cross_neardup(
+    mat_l: np.ndarray, ids_l: np.ndarray,
+    mat_r: np.ndarray, ids_r: np.ndarray, threshold: float,
+    tile: int = PAIRWISE_TILE,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cross-block half of the distributed all-pairs join: cosine between
+    every (left, right) pair, emitted as (min_id, max_id, cos). Tiled like
+    pairwise_neardup. Left/right blocks are disjoint id sets, so each
+    unordered pair appears exactly once."""
+    def unit(m):
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return m / n[:, None]
+
+    ul, ur = unit(mat_l), unit(mat_r)
+    out_a, out_b, out_c = [], [], []
+    for i0 in range(0, len(ids_l), tile):
+        lb = ul[i0:i0 + tile]
+        for j0 in range(0, len(ids_r), tile):
+            sim = lb @ ur[j0:j0 + tile].T
+            ii, jj = np.nonzero(sim > threshold)
+            a = ids_l[ii + i0]
+            b = ids_r[jj + j0]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(sim[ii, jj])
+    return (np.concatenate(out_a) if out_a else np.empty(0, ids_l.dtype),
+            np.concatenate(out_b) if out_b else np.empty(0, ids_l.dtype),
+            np.concatenate(out_c) if out_c else np.empty(0, np.float64))
+
+
 def kmeans_lite(
     mat: np.ndarray, k: int, iters: int = 5, seed: int = 0
 ) -> np.ndarray:

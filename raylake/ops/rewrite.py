@@ -48,6 +48,14 @@ def cap_arrow_threads(n: int = 1) -> None:
     (and oversubscribing real clusters). Called once per worker process."""
     global _THREADS_CAPPED
     if not _THREADS_CAPPED:
+        import logging
+
+        # pa.Schema with a pandas-metadata blob is unhashable; Ray Data's
+        # block-schema dedup then warns once per unify in EVERY worker —
+        # pure noise that buries real warnings (r01 verdict, cosmetic #6)
+        logging.getLogger(
+            "ray.data._internal.arrow_ops.transform_pyarrow"
+        ).setLevel(logging.ERROR)
         pa.set_cpu_count(n)
         pa.set_io_thread_count(max(2, n))
         try:
@@ -162,6 +170,7 @@ def run_rewrite_job(
     params: dict | None = None,
     concurrency: int | None = None,
     max_tasks: int | None = None,
+    meta_updates: dict | None = None,
 ):
     """Execute tasks on an actor pool; commit once ALL tasks are ledgered.
 
@@ -182,6 +191,10 @@ def run_rewrite_job(
             "task_ids": [t.task_id for t in tasks],
             "tasks": [asdict(t) for t in tasks],
         }
+        if meta_updates:
+            # persisted so a crash-resumed job applies the same atomic
+            # table-metadata flip (e.g. the partition-spec change)
+            meta["meta_updates"] = meta_updates
         ledger.write_meta(meta)
     elif "tasks" in meta:
         # RESUME: the persisted plan is authoritative. Re-planning from the
@@ -266,6 +279,7 @@ def commit_from_ledger(table: Table, operation: str, meta: dict,
         replaced_paths=replaced,
         expected_parent=meta["parent_seq"],
         summary=summary,
+        meta_updates=meta.get("meta_updates"),
     )
     ledger.clear()
     return snap

@@ -835,33 +835,92 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+EMBED_BLOCK_ROWS = 1024  # hard per-block cap: a task touches ≤ 2 blocks
+
+
 def q_embed_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs within label buckets: groupby(label)
-    → per-group tiled pairwise (pairwise_neardup computes in 2048×2048
-    blocks, so a hot label bounds MEMORY at tile², never n²). Compute within
-    a label stays O(n²) because the oracle demands exact pairs; at 100 TB a
-    label whose row count makes n² compute infeasible must be pre-bucketed
-    (IVF/LSH over the embeddings, accepting recall < 1) BEFORE the pairwise
-    stage — that approximate path is q_ann_ivf's bucketing applied per
-    label, and is deliberately NOT silently enabled here."""
-    from raylake.functions.similarity import embedding_matrix, pairwise_neardup
+    """Embedding-cosine near-dup pairs within label buckets — EXACT pairs
+    via a distributed block-pair join (VERDICT r01 #5): rows of a label are
+    hashed into ⌈n/B⌉ blocks (B=1024, vec_id modulo — sequential ids ⇒
+    perfectly balanced), every row is replicated to its ⌈n/B⌉ block-PAIR
+    groups, and each (label, lo, hi) group computes only its lo×hi cosine
+    tile. A hot label at 100 TB therefore parallelizes across ⌈n/B⌉²/2
+    bounded tasks (each ≤ 2B rows) instead of landing on ONE worker as an
+    n² blow-up; the price is the explicit ⌈n/B⌉× replication in the
+    shuffle. Compute stays O(n²) because the oracle demands exact pairs —
+    the sub-quadratic path is approximate pre-bucketing (q_ann_ivf's
+    quantizer per label), deliberately not silently enabled here."""
+    import math
+
+    import ray
+
+    from raylake.functions.similarity import (
+        cross_neardup,
+        pairwise_neardup,
+    )
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
                          columns=["vec_id", "label", "embedding"])
+    counts = ds.groupby("label").count().to_pandas()  # tiny: one row/label
+    nblocks = {
+        r["label"]: max(1, math.ceil(r["count()"] / EMBED_BLOCK_ROWS))
+        for _, r in counts.iterrows()
+    }
+    nb_ref = ray.put(nblocks)
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        nb = ray.get(nb_ref)
+        out = []
+        for label, g in b.groupby("label", sort=False):
+            k = nb[label]
+            blk = (g["vec_id"] % k).to_numpy()
+            # a row in block b lands in the k distinct pair groups
+            # {(min(b,j), max(b,j)) : j in 0..k-1} — (b,b) included once
+            for j in range(k):
+                rep = g.copy()
+                rep["blk"] = blk
+                rep["lo"] = np.minimum(blk, j)
+                rep["hi"] = np.maximum(blk, j)
+                out.append(rep)
+        if not out:
+            empty = b.iloc[:0].copy()
+            for c in ("blk", "lo", "hi"):
+                empty[c] = pd.Series([], dtype="int64")
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(g["lo"].iloc[0]), int(g["hi"].iloc[0])
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         ids = g["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        mat, ids = mat[order], ids[order]
-        a, b, cos = pairwise_neardup(mat, ids, threshold=0.3)
+        blk = g["blk"].to_numpy()
+        empty = pd.DataFrame({
+            "vec_id_a": pd.Series([], dtype="int64"),
+            "vec_id_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        })
+        if lo == hi:
+            order = np.argsort(ids)
+            a, b, cos = pairwise_neardup(mat[order], ids[order], threshold=0.3)
+        else:
+            l, r = blk == lo, blk == hi
+            if not l.any() or not r.any():
+                return empty
+            a, b, cos = cross_neardup(mat[l], ids[l], mat[r], ids[r],
+                                      threshold=0.3)
+        if len(a) == 0:
+            return empty
         return pd.DataFrame({
             "vec_id_a": a.astype("int64"), "vec_id_b": b.astype("int64"),
             "cosine": np.round(cos, 6),
         })
 
-    return ds.groupby("label").map_groups(fn, batch_format="pandas")
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby(["label", "lo", "hi"])
+        .map_groups(tile, batch_format="pandas")
+    )
 
 
 SQL_EMBED_NEARDUP = """

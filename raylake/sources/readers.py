@@ -67,3 +67,21 @@ def scan_query(
     if limit is not None:
         ds = ds.limit(limit)
     return ds
+
+
+def write_sink(ds, path: str, fmt: str = "parquet", partition_cols=None,
+               **kwargs):
+    """CSV / JSON / Parquet sink (S8 — the reference's export surface,
+    ref: src/elt/bronze/load_dim.py writes what it read; Spark's
+    df.write.csv counterpart). Streaming distributed write: one file per
+    block per partition dir — resumable output layout, never one giant
+    file. `partition_cols` hive-partitions the output (Ray's native
+    partition_cols path)."""
+    writers = {"parquet": "write_parquet", "csv": "write_csv",
+               "json": "write_json"}
+    if fmt not in writers:
+        raise ValueError(f"unsupported format: {fmt}")
+    if partition_cols and fmt == "parquet":
+        kwargs["partition_cols"] = list(partition_cols)
+    getattr(ds, writers[fmt])(path, **kwargs)
+    return path

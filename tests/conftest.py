@@ -23,6 +23,13 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    import logging
+
+    # driver-side counterpart of the worker-side filter in cap_arrow_threads:
+    # pandas-metadata schemas are unhashable → Ray warns per block unify
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
     yield
     ray.shutdown()
 

@@ -45,3 +45,36 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     approx = set(q_ann_ivf(SF_DIR).to_pandas()["vec_id"])
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall@10 collapsed: {recall}"
+
+
+def test_cross_block_pair_join_equals_single_task_pairwise():
+    """The distributed block-pair decomposition must emit EXACTLY the pairs
+    a single-task pairwise over the whole label would."""
+    import numpy as np
+
+    from raylake.functions.similarity import cross_neardup, pairwise_neardup
+
+    rng = np.random.default_rng(0)
+    n, k = 700, 3  # 3 blocks of ~233 — forces within AND cross tiles
+    mat = rng.normal(size=(n, 16))
+    ids = np.arange(n, dtype=np.int64)
+    order = np.argsort(ids)
+    a, b, c = pairwise_neardup(mat[order], ids[order], threshold=0.3)
+    want = {(int(x), int(y)): round(float(z), 6) for x, y, z in zip(a, b, c)}
+
+    blk = ids % k
+    got = {}
+    for lo in range(k):
+        for hi in range(lo, k):
+            if lo == hi:
+                m = blk == lo
+                o = np.argsort(ids[m])
+                aa, bb, cc = pairwise_neardup(mat[m][o], ids[m][o], 0.3)
+            else:
+                l, r = blk == lo, blk == hi
+                aa, bb, cc = cross_neardup(mat[l], ids[l], mat[r], ids[r], 0.3)
+            for x, y, z in zip(aa, bb, cc):
+                key = (int(x), int(y))
+                assert key not in got, f"pair {key} emitted twice"
+                got[key] = round(float(z), 6)
+    assert got == want

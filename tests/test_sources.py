@@ -82,3 +82,28 @@ def test_microbatch_stream_exactly_once(tmp_table_root, ray_session):
     w3 = MicroBatchWriter(Table.load(tmp_table_root))
     assert w3.run(ticks) == 0
     assert Table.load(tmp_table_root).row_count() == 600
+
+
+def test_write_sink_csv_json_roundtrip(tmp_path, ray_session):
+    """S8: CSV/JSON sinks round-trip through read_source (all-string CSV
+    ingest discipline + silver normalize restores types)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylake.sources.readers import read_source, write_sink
+
+    t = pa.table({
+        "k": pa.array([3, 1, 2], pa.int64()),
+        "name": ["c", "a", "b"],
+        "x": pa.array([0.5, 1.5, 2.5], pa.float64()),
+    })
+    ds = rd.from_arrow(t)
+    for fmt in ("csv", "json", "parquet"):
+        out = str(tmp_path / fmt)
+        write_sink(ds, out, fmt=fmt)
+        back = read_source(out, fmt=fmt, schema=t.schema)
+        got = back.to_pandas().sort_values("k").reset_index(drop=True)
+        want = t.to_pandas().sort_values("k").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
