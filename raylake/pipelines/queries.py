@@ -1644,6 +1644,113 @@ LEFT JOIN dagg g ON d.symbol = g.symbol
 
 
 # ---------------------------------------------------------------------------
+# Sampling / sketches / sessionization (training-data additions, round 2)
+# ---------------------------------------------------------------------------
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic Bernoulli sample (~9.8%) by content hash — the
+    reproducible-sampling primitive for training-data pipelines (same rows
+    selected on every engine, every run; no seed state to ship). Pure
+    per-batch filter, embarrassingly parallel."""
+    import hashlib
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "value"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["event_id"].map(
+            lambda e: hashlib.md5(str(e).encode()).hexdigest()[:4] < "1999"
+        )
+        return b[keep]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_SAMPLE_HASH = """
+SELECT event_id, user_id, value FROM events
+WHERE substr(md5(event_id::VARCHAR), 1, 4) < '1999'
+"""
+
+
+KMV_K = 64
+
+
+def q_kmv_distinct(sf_dir: str):
+    """COUNT(DISTINCT user_id) via the mergeable KMV sketch
+    (functions/sketch.py): per-batch bounded sketches (k smallest 60-bit
+    hashes) → tiny driver merge → estimate. At 10^12 rows the shuffle moves
+    k uint64s per batch instead of every distinct value. Deterministic
+    (md5), so the oracle recomputes the ESTIMATE exactly in SQL."""
+    from raylake.functions.sketch import kmv_estimate, kmv_merge, kmv_partial
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = kmv_partial(b["user_id"].to_pylist(), KMV_K)
+        return pa.table({"h": pa.array(sk.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sketch = kmv_merge([parts["h"].to_numpy().astype(np.uint64)], KMV_K)
+    est = kmv_estimate(sketch, KMV_K)
+    return pa.table({"est_distinct_users": pa.array([est], pa.float64())})
+
+
+SQL_KMV_DISTINCT = """
+WITH d AS (SELECT DISTINCT user_id FROM events),
+h AS (SELECT DISTINCT
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT AS hv
+      FROM d),
+o AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+SELECT CASE WHEN (SELECT count(*) FROM o) < 64
+            THEN (SELECT count(*) FROM o)::DOUBLE
+            ELSE 63 / ((SELECT max(hv) FROM o)::DOUBLE
+                       / 1152921504606846976.0)
+       END AS est_distinct_users
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Sessionization — split each user's event stream at >30 min gaps (the
+    canonical conversation/session-boundary op for transcript pipelines).
+    groupby(user) → per-group sorted cumsum of gap indicators; the group key
+    is the only shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        gap = us.diff().fillna(0) > 30 * 60 * 1_000_000
+        sess = gap.cumsum().astype("int64")
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "session_id": g["user_id"].astype(str) + "-" + sess.astype(str),
+        })
+
+    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+SELECT event_id, user_id,
+       user_id::VARCHAR || '-' || sess::VARCHAR AS session_id
+FROM (
+  SELECT event_id, user_id,
+         sum(is_gap) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS sess
+  FROM (
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS is_gap
+    FROM events))
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -1681,6 +1788,9 @@ QUERIES = {
     "maintained_scan": q_maintained_scan,
     "ratio_chain11": q_ratio_chain11,
     "medallion_gold": q_medallion_gold,
+    "sample_hash": q_sample_hash,
+    "kmv_distinct": q_kmv_distinct,
+    "sessionize": q_sessionize,
     # non-SQL-expressible (rows-only driver check): minhash banding and IVF
     # probing aren't reproducible in SQL; both carry pytest golden checks.
     "minhash_neardup": q_minhash_neardup,
@@ -1723,4 +1833,7 @@ ORACLES = {
     "maintained_scan": SQL_MAINTAINED_SCAN,
     "ratio_chain11": SQL_RATIO_CHAIN11,
     "medallion_gold": SQL_MEDALLION_GOLD,
+    "sample_hash": SQL_SAMPLE_HASH,
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "sessionize": SQL_SESSIONIZE,
 }

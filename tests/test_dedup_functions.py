@@ -83,3 +83,24 @@ def test_simhash_batch_matches_per_doc_golden():
         [np.int64(np.uint64(simhash64(t)).astype(np.int64)) for t in texts]
     )
     assert (got == want).all()
+
+
+def test_kmv_sketch_accuracy_and_merge():
+    """KMV estimate within ~2/sqrt(k) of truth on synthetic data; merge of
+    disjoint partial sketches equals the sketch of the union."""
+    import numpy as np
+
+    from raylake.functions.sketch import kmv_estimate, kmv_merge, kmv_partial
+
+    k = 256
+    values = [f"v{i}" for i in range(20_000)]
+    full = kmv_partial(values, k)
+    est = kmv_estimate(full, k)
+    assert abs(est - 20_000) / 20_000 < 2 / np.sqrt(k) * 2
+    # mergeability: 4 disjoint shards → identical sketch & estimate
+    shards = [kmv_partial(values[i::4], k) for i in range(4)]
+    merged = kmv_merge(shards, k)
+    assert (merged == full).all()
+    # small-cardinality exact branch
+    tiny = kmv_partial(["a", "b", "c"], k)
+    assert kmv_estimate(tiny, k) == 3.0
