@@ -565,7 +565,14 @@ class Table:
         # path; it also breaks read_task_inputs' schema-equality fast path).
         if table.schema.metadata:
             table = table.replace_schema_metadata(None)
-        pq.write_table(table, abspath, compression="zstd")
+        # Codec is a TABLE PROPERTY (Iceberg `write.parquet.compression-codec`
+        # parity). zstd stays the default: measured on the 3M-turn
+        # maintenance pipeline, lz4 saves only ~4% wall (encode is a minor
+        # share of rewrite time) while files grow 1.72× — at 100 TB the
+        # extra storage/scan bytes dominate on real disks/networks (tmpfs
+        # benches hide the read cost).
+        codec = self.meta.get("properties", {}).get("write.compression", "zstd")
+        pq.write_table(table, abspath, compression=codec)
         return ManifestEntry(
             path=rel,
             partition=partition,

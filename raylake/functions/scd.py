@@ -78,6 +78,22 @@ def scd1_merge(
     return pa.concat_tables([p for p in out_parts if len(p)]).combine_chunks()
 
 
+def add_scd2_cols_from(t: pa.Table, start_col: str | None = None) -> pa.Table:
+    """ref _add_scd2_cols (:146-153) faithful per-row rule: start_timestamp
+    comes from updated_at when present, else ingest_timestamp."""
+    import pyarrow.compute as pc
+
+    col = start_col or (
+        "updated_at" if "updated_at" in t.column_names else "ingest_timestamp"
+    )
+    n = len(t)
+    return (
+        t.append_column("start_timestamp", pc.cast(t[col], pa.timestamp("us")))
+        .append_column("end_timestamp", pa.nulls(n, pa.timestamp("us")))
+        .append_column("is_current", pa.array([True] * n))
+    )
+
+
 def add_scd2_cols(t: pa.Table, start_ts) -> pa.Table:
     """ref _add_scd2_cols (:146-153): stamp a batch as 'current' versions."""
     n = len(t)

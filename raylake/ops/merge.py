@@ -461,11 +461,16 @@ def _scd2_task_body(
     pruned/skew-split rewrite task:
 
     - step 1 (close): a CURRENT target row whose key matches a source row and
-      whose tracked columns differ (null-safe) gets end_timestamp = start_ts,
-      is_current = false;
+      whose tracked columns differ (null-safe) gets end_timestamp = THAT
+      source row's start stamp (ref: `UPDATE SET target.end_timestamp =
+      source.start_timestamp`), is_current = false;
     - step 2 (insert): source rows whose key has no current target row, or
       whose match was closed in step 1, are appended as new current versions
-      (start_ts, null, true) — _add_scd2_cols, ref :146-153.
+      (start, null, true) — _add_scd2_cols, ref :146-153.
+
+    The start stamp is either a batch constant (params["scd2_start_us"]) or
+    per-row from params["scd2_start_col"] — the reference's rule is per-row
+    updated_at-else-ingest_timestamp (ref :149-150).
 
     Partitioning assumption: ALL versions of a key hash to the same bucket
     (bucket = hash(key0) % P), and the plan's composite-interval clustering
@@ -476,13 +481,18 @@ def _scd2_task_body(
     tracked = params.get("tracked_cols") or [
         c for c in src.column_names if c not in keys and c not in SCD2_COLS
     ]
-    start_scalar = pa.scalar(params["scd2_start_us"], pa.timestamp("us"))
     n_src = len(src)
+    if params.get("scd2_start_col"):
+        start_arr = pc.cast(src[params["scd2_start_col"]], pa.timestamp("us"))
+        start_arr = start_arr.combine_chunks() if isinstance(
+            start_arr, pa.ChunkedArray) else start_arr
+    else:
+        start_arr = pa.array([params["scd2_start_us"]] * n_src,
+                             pa.timestamp("us"))
+    start_i64 = pc.cast(start_arr, pa.int64()).to_numpy(zero_copy_only=False)
     src = (
         src.set_column(src.schema.get_field_index("start_timestamp"),
-                       "start_timestamp",
-                       pa.array([params["scd2_start_us"]] * n_src,
-                                pa.timestamp("us")))
+                       "start_timestamp", start_arr)
         .set_column(src.schema.get_field_index("end_timestamp"),
                     "end_timestamp", pa.nulls(n_src, pa.timestamp("us")))
         .set_column(src.schema.get_field_index("is_current"),
@@ -537,7 +547,9 @@ def _scd2_task_body(
                 tracked,
             )
         ).astype(bool)
-        close_mask[midx[t_order[changed]]] = True
+        closed_t = midx[t_order[changed]]
+        closed_s = sidx[s_order[changed]]
+        close_mask[closed_t] = True
         src_unchanged[sidx[s_order[~changed]]] = True
 
     # insert: new keys (no current match) + changed re-deliveries
@@ -546,13 +558,21 @@ def _scd2_task_body(
         return {"skipped": True, "entries": [], "replaced": [], "rows": 0}
 
     if close_mask.any():
-        m = pa.array(close_mask)
+        # end_timestamp of each closed row = ITS matched source row's start
+        # stamp (per-row, ref :179-181)
+        ei = tgt["end_timestamp"].combine_chunks()
+        vals = pc.fill_null(pc.cast(ei, pa.int64()), 0).to_numpy(
+            zero_copy_only=False).copy()
+        valid = pc.is_valid(ei).to_numpy(zero_copy_only=False).copy()
+        vals[closed_t] = start_i64[closed_s]
+        valid[closed_t] = True
         tgt = tgt.set_column(
             tgt.schema.get_field_index("end_timestamp"), "end_timestamp",
-            pc.if_else(m, start_scalar, tgt["end_timestamp"]),
+            pa.array(vals, pa.timestamp("us"), mask=~valid),
         ).set_column(
             tgt.schema.get_field_index("is_current"), "is_current",
-            pc.if_else(m, pa.scalar(False), tgt["is_current"]),
+            pc.if_else(pa.array(close_mask), pa.scalar(False),
+                       tgt["is_current"]),
         )
     result = pa.concat_tables([tgt, src.filter(pa.array(ins_mask))])
 
@@ -581,6 +601,7 @@ def merge_into(
     concurrency: int | None = None,
     max_tasks: int | None = None,
     scd2_start_ts=None,
+    scd2_start_col: str | None = None,
     tracked_cols: list[str] | None = None,
 ):
     """MERGE source (ray Dataset | pa.Table) into table. Returns the committed
@@ -589,22 +610,27 @@ def merge_into(
 
     mode="scd2" (MG2, ref _silver_handler.py:156-192): the table must carry
     the SCD2 columns (start_timestamp, end_timestamp, is_current); the source
-    is a plain batch; `scd2_start_ts` (datetime | pd.Timestamp | epoch-us
-    int) stamps the delivery; `tracked_cols` defaults to all non-key,
-    non-SCD2 columns."""
+    is a plain batch; the delivery stamp is either the batch constant
+    `scd2_start_ts` (datetime | pd.Timestamp | epoch-us int) or per-row from
+    `scd2_start_col` (the reference's updated_at-else-ingest_timestamp rule);
+    `tracked_cols` defaults to all non-key, non-SCD2 columns."""
     assert mode in ("upsert", "delete", "scd2")
     scd2_start_us = None
     if mode == "scd2":
         missing = [c for c in SCD2_COLS if c not in table.schema.names]
         if missing:
             raise ValueError(f"scd2 merge needs columns {missing} in the table")
-        if scd2_start_ts is None:
-            raise ValueError("scd2 merge requires scd2_start_ts")
-        scd2_start_us = (
-            int(scd2_start_ts)
-            if isinstance(scd2_start_ts, (int, np.integer))
-            else pd.Timestamp(scd2_start_ts).value // 1000
-        )
+        if scd2_start_ts is None and scd2_start_col is None:
+            raise ValueError("scd2 merge requires scd2_start_ts or "
+                             "scd2_start_col")
+        if scd2_start_col is not None and scd2_start_col not in table.schema.names:
+            raise ValueError(f"scd2_start_col {scd2_start_col!r} not in schema")
+        if scd2_start_ts is not None:
+            scd2_start_us = (
+                int(scd2_start_ts)
+                if isinstance(scd2_start_ts, (int, np.integer))
+                else pd.Timestamp(scd2_start_ts).value // 1000
+            )
     job_id = job_id or f"merge-{uuid.uuid4().hex[:12]}"
     ledger = Ledger(table.root, job_id)
     staging_dir = os.path.join(ledger.dir, "staging")
@@ -640,6 +666,7 @@ def merge_into(
             "staging_dir": staging_dir,
             "target_file_bytes": target_file_bytes,
             "scd2_start_us": scd2_start_us,
+            "scd2_start_col": scd2_start_col,
             "tracked_cols": tracked_cols,
         },
         concurrency=concurrency,

@@ -146,4 +146,18 @@ class SilverPipeline:
             from raylake.ops.merge import merge_into
 
             return merge_into(target, result)
+        if mode == "scd2":
+            # distributed close-and-insert (MG2) through the lakehouse
+            # MERGE; per-row start stamp by the reference's rule —
+            # updated_at if available else ingest_timestamp
+            # (ref _silver_handler.py:149-150)
+            from raylake.ops.merge import merge_into
+
+            names = target.schema.names
+            start_col = "updated_at" if "updated_at" in names else "ingest_timestamp"
+            tracked = [c for c in self.scd_tracked_cols
+                       if c not in self.dedup_condition_cols]
+            return merge_into(target, result, mode="scd2",
+                              scd2_start_col=start_col,
+                              tracked_cols=tracked)
         raise ValueError(f"unknown mode: {mode}")

@@ -183,3 +183,26 @@ def test_fixture_determinism_and_skew():
     df = s.select(["conv_id", "ts"]).to_pandas()
     assert (df.groupby("conv_id", sort=False)["ts"].diff().dropna()
             > pd.Timedelta(0)).all()
+
+
+def test_write_compression_table_property(tmp_path):
+    """Iceberg write.parquet.compression-codec parity: the codec is a table
+    property; data is byte-identical either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raylake.core.table import Table
+
+    data = pa.table({"conv_id": ["c1"] * 100, "turn_idx": list(range(100)),
+                     "text": [f"t{i}" * 20 for i in range(100)]})
+    roots = {}
+    for codec in ("zstd", "lz4"):
+        t = Table.create(str(tmp_path / codec), data.schema,
+                         partition_column="conv_id", num_buckets=2,
+                         sort_order=("conv_id", "turn_idx"),
+                         properties={"write.compression": codec})
+        e = t.write_file(data, 0)
+        meta = pq.read_metadata(str(tmp_path / codec) + "/" + e.path)
+        assert meta.row_group(0).column(0).compression.lower() == codec
+        roots[codec] = pq.read_table(str(tmp_path / codec) + "/" + e.path)
+    assert roots["zstd"].equals(roots["lz4"])

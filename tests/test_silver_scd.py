@@ -301,3 +301,48 @@ def test_ohlcv_feature_engine(ray_session):
     np.testing.assert_allclose(
         inc_new["ema_20"].to_numpy(), full_new["ema_20"].to_numpy(), rtol=5e-3
     )
+
+
+def test_silver_pipeline_scd2_mode_distributed(tmp_path, ray_session):
+    """SilverPipeline.run(mode='scd2') drives the DISTRIBUTED close-and-
+    insert (ref _silver_pipeline.py:79-111 + _silver_handler.py:156-192):
+    batch 2 closes the changed shareholder and inserts a new current
+    version; unchanged rows are untouched."""
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+
+    b1, b2 = shareholder_batches()
+    pipe = SilverPipeline(
+        schema=SHAREHOLDER_SCHEMA,
+        key_cols=["id"],
+        template_fills=[("shareholder_name", "id", "UNKNOWN_")],
+        # class-default dedup_condition_cols: updated_at + ingest_timestamp
+        # are delivery stamps, excluded from the SCD2 change predicate
+    )
+    s1 = pipe.transform_arrow(b1)
+    from raylake.functions.scd import add_scd2_cols_from
+
+    stamped = add_scd2_cols_from(s1)  # per-row updated_at rule (ref :149)
+    tgt = Table.create(str(tmp_path / "sh"), stamped.schema,
+                       partition_column="id", num_buckets=2,
+                       sort_order=("id",))
+    append(tgt, stamped)
+
+    snap = pipe.run(b2, target=tgt, mode="scd2")
+    assert snap is not None
+    tgt.refresh()
+    df = tgt.scan_arrow(sort=True).to_pandas().sort_values(
+        ["id", "start_timestamp"]).reset_index(drop=True)
+    # s1 changed quantity (1000 -> 1500): closed + new current version;
+    # the closed row's end = the source row's per-row start (updated_at)
+    s1_rows = df[df["id"] == "s1"]
+    assert list(s1_rows["is_current"]) == [False, True]
+    assert list(s1_rows["quantity"]) == [1000, 1500]
+    assert s1_rows["end_timestamp"].iloc[0] == s1_rows["start_timestamp"].iloc[1]
+    # s2 re-delivered with SAME business data (only ingest ts moved):
+    # timestamps are excluded from tracked cols -> NOT versioned
+    s2_rows = df[df["id"] == "s2"]
+    assert list(s2_rows["is_current"]) == [True]
+    assert s2_rows["shareholder_name"].iloc[0] == "UNKNOWN_s2"  # template fill
+    # s3 absent from batch 2: stays current (soft delete is MG3, separate op)
+    assert list(df[df["id"] == "s3"]["is_current"]) == [True]
