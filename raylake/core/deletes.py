@@ -1,0 +1,39 @@
+"""Equality-delete application (merge-on-read, Iceberg v2 parity).
+
+A delete file is a parquet of key tuples committed at sequence `seq`; it
+deletes rows from data files whose `seq_added < seq` (rows written BEFORE
+the delete — a later re-insert of the same key survives, exactly Iceberg's
+sequence-number rule). Scans apply the filter per batch; rewrite ops apply
+it physically while rewriting, so output files (new seq) never resurrect
+deleted rows; `ops/deletes.apply_deletes` purges delete files entirely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Driver/broadcast bound for merge-on-read keys: beyond this, reading every
+# scan pays too much — run ops.deletes.apply_deletes to purge physically.
+MAX_SCAN_DELETE_KEYS = 5_000_000
+
+
+def delete_keep_mask(batch: pa.Table, deletes) -> np.ndarray:
+    """Boolean keep-mask for `batch` against [(key_cols, keys_table), ...]
+    (exact anti-join semantics, null-safe via pandas MultiIndex)."""
+    keep = np.ones(len(batch), dtype=bool)
+    for key_cols, keys in deletes:
+        bidx = pd.MultiIndex.from_arrays(
+            [batch[c].to_pandas() for c in key_cols])
+        kidx = pd.MultiIndex.from_arrays(
+            [keys[c].to_pandas() for c in key_cols])
+        keep &= ~np.asarray(bidx.isin(kidx))
+    return keep
+
+
+def filter_deleted(batch: pa.Table, deletes,
+                   project: list[str] | None = None) -> pa.Table:
+    mask = delete_keep_mask(batch, deletes)
+    out = batch if mask.all() else batch.filter(pa.array(mask))
+    return out.select(project) if project is not None else out

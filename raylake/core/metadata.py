@@ -113,6 +113,12 @@ class Snapshot:
     operation: str  # append | overwrite | compact | zorder | merge | delete
     manifests: list[str]  # relative paths of manifest JSON files
     summary: dict = field(default_factory=dict)
+    # merge-on-read EQUALITY deletes (Iceberg v2 parity): each entry is
+    # {path, rows, key_cols, seq} — a parquet of delete keys committed at
+    # `seq`, applying to rows of data files with seq_added < seq (a later
+    # re-insert of the key is NOT deleted). Rewrites apply applicable
+    # deletes physically, so rewritten files (new seq) never resurrect rows.
+    delete_files: list[dict] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -126,6 +132,7 @@ class Snapshot:
             operation=d["operation"],
             manifests=d["manifests"],
             summary=d.get("summary", {}),
+            delete_files=d.get("delete_files", []),
         )
 
 

@@ -302,7 +302,9 @@ class Table:
 
     def row_count(self, snapshot: int | None = None) -> int:
         """O(metadata) count — no data scan (vs the reference's .count() probes
-        that re-execute the whole Spark plan, ref: _silver_pipeline.py:84-87)."""
+        that re-execute the whole Spark plan, ref: _silver_pipeline.py:84-87).
+        With merge-on-read delete files present this is an UPPER BOUND (the
+        physical row count); apply_deletes restores exactness."""
         return sum(e.rows for e in self.live_entries(snapshot))
 
     # ------------------------------------------------------------------ scan
@@ -356,11 +358,69 @@ class Table:
     def _paths(self, entries: Iterable[ManifestEntry]) -> list[str]:
         return [os.path.join(self.root, e.path) for e in entries]
 
+    # --------------------------------------------------- merge-on-read deletes
+
+    def delete_by_keys(self, keys: pa.Table, summary: dict | None = None):
+        """Merge-on-read EQUALITY delete (Iceberg v2 shape): write one small
+        parquet of key tuples + one metadata commit — O(|keys|), never a
+        data rewrite. The fast-delete path for 100 TB tables where
+        mode="delete" MERGE would rewrite large files to drop a few rows.
+        Scans/rewrites apply it by the sequence rule (see core/deletes.py);
+        `ops.deletes.apply_deletes` purges physically."""
+        key_cols = list(keys.column_names)
+        os.makedirs(os.path.join(self.root, "data", "deletes"), exist_ok=True)
+        rel = f"data/deletes/delete-{uuid.uuid4().hex}.parquet"
+        if keys.schema.metadata:
+            keys = keys.replace_schema_metadata(None)
+        pq.write_table(keys, os.path.join(self.root, rel), compression="zstd")
+        return self.commit(
+            "delete-mor", [],
+            added_deletes=[{"path": rel, "rows": len(keys),
+                            "key_cols": key_cols}],
+            expected_parent=self.current_seq,
+            summary={"deleted_keys": len(keys), **(summary or {})},
+        )
+
+    def delete_files_meta(self, snapshot: int | None = None) -> list[dict]:
+        snap = self.snapshot(snapshot)
+        return list(snap.delete_files) if snap else []
+
+    def _load_delete_keys(self, snapshot: int | None = None):
+        """[(seq, key_cols, keys_table)] — driver-side, bounded."""
+        from raylake.core.deletes import MAX_SCAN_DELETE_KEYS
+
+        metas = self.delete_files_meta(snapshot)
+        total = sum(d["rows"] for d in metas)
+        if total > MAX_SCAN_DELETE_KEYS:
+            raise RuntimeError(
+                f"{total} merge-on-read delete keys exceed the scan bound "
+                f"({MAX_SCAN_DELETE_KEYS}); run ops.deletes.apply_deletes "
+                f"to purge them physically")
+        return [
+            (d["seq"], d["key_cols"],
+             pq.read_table(os.path.join(self.root, d["path"])))
+            for d in metas
+        ]
+
+    @staticmethod
+    def _applicable_seq(seq_added: int, loaded) -> tuple:
+        """Indices of delete files applying to a data file added at
+        `seq_added`: committed AFTER the file's rows were added
+        (seq_added < delete seq; legacy seq_added=-1 counts as oldest)."""
+        return tuple(i for i, (seq, _, _) in enumerate(loaded)
+                     if seq_added < seq)
+
+    def _applicable(self, entry: ManifestEntry, loaded) -> tuple:
+        return self._applicable_seq(entry.seq_added, loaded)
+
+    # ------------------------------------------------------------------ scans
+
     def scan(
         self,
         snapshot: int | None = None,
         columns: list[str] | None = None,
         entries: list[ManifestEntry] | None = None,
+        apply_deletes: bool = True,
         **read_kwargs,
     ):
         """Snapshot-pinned streaming scan → ray.data.Dataset."""
@@ -368,6 +428,9 @@ class Table:
 
         if entries is None:
             entries = self.live_entries(snapshot)
+        if apply_deletes and self.delete_files_meta(snapshot):
+            return self._scan_with_deletes(snapshot, columns, entries,
+                                           **read_kwargs)
         paths = self._paths(entries)
         if not paths:
             return ray.data.from_arrow(self.schema.empty_table())
@@ -398,16 +461,81 @@ class Table:
             )
         return ds
 
+    def _scan_with_deletes(self, snapshot, columns, entries, **read_kwargs):
+        """Split files into groups by which delete files apply (the Iceberg
+        sequence rule), filter each group in map_batches against the
+        broadcast key tables, union the streams."""
+        import ray
+        import ray.data
+
+        from raylake.core.deletes import filter_deleted
+
+        loaded = self._load_delete_keys(snapshot)
+        groups: dict[tuple, list] = {}
+        for e in entries:
+            groups.setdefault(self._applicable(e, loaded), []).append(e)
+
+        parts = []
+        for app, ents in sorted(groups.items()):
+            if not app:
+                parts.append(self.scan(snapshot=snapshot, columns=columns,
+                                       entries=ents, apply_deletes=False,
+                                       **read_kwargs))
+                continue
+            keyset = sorted(set().union(*[set(loaded[i][1]) for i in app]))
+            need = (sorted(set(columns) | set(keyset))
+                    if columns is not None else None)
+            ds = self.scan(snapshot=snapshot, columns=need, entries=ents,
+                           apply_deletes=False, **read_kwargs)
+            dels_ref = ray.put([(loaded[i][1], loaded[i][2]) for i in app])
+            project = columns
+
+            def fn(t: pa.Table, dels_ref=dels_ref, project=project) -> pa.Table:
+                return filter_deleted(t, ray.get(dels_ref), project)
+
+            parts.append(ds.map_batches(fn, batch_format="pyarrow"))
+        if not parts:
+            return ray.data.from_arrow(self.schema.empty_table())
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
     def scan_arrow(
         self,
         snapshot: int | None = None,
         columns: list[str] | None = None,
         entries: list[ManifestEntry] | None = None,
         sort: bool = False,
+        apply_deletes: bool = True,
     ) -> pa.Table:
         """Driver-side scan (tests / duckdb oracles / small results ONLY)."""
         if entries is None:
             entries = self.live_entries(snapshot)
+        if apply_deletes and self.delete_files_meta(snapshot):
+            from raylake.core.deletes import filter_deleted
+
+            loaded = self._load_delete_keys(snapshot)
+            parts = []
+            for e in entries:
+                app = self._applicable(e, loaded)
+                keyset = sorted(set().union(
+                    *[set(loaded[i][1]) for i in app])) if app else []
+                need = (sorted(set(columns) | set(keyset))
+                        if columns is not None else None)
+                t = self.scan_arrow(snapshot=snapshot, columns=need,
+                                    entries=[e], apply_deletes=False)
+                if app:
+                    t = filter_deleted(
+                        t, [(loaded[i][1], loaded[i][2]) for i in app],
+                        columns)
+                parts.append(t)
+            t = (pa.concat_tables(parts) if parts
+                 else self.schema.empty_table())
+            if sort and len(t):
+                t = t.sort_by([(c, "ascending") for c in self.sort_order
+                               if c in t.column_names])
+            return t
         paths = self._paths(entries)
         if not paths:
             t = self.schema.empty_table()
@@ -467,6 +595,8 @@ class Table:
         expected_parent: int | None = None,
         summary: dict | None = None,
         meta_updates: dict | None = None,
+        added_deletes: list[dict] | None = None,
+        removed_delete_paths: set[str] | frozenset[str] = frozenset(),
     ) -> Snapshot:
         """Atomically commit a new snapshot: live' = live - replaced + added.
 
@@ -515,6 +645,15 @@ class Table:
             if added:
                 manifests.append(md.write_manifest(self.root, added))
 
+            # merge-on-read delete files: carry parent's forward, minus
+            # explicitly purged, plus newly added (stamped with this seq)
+            delete_files = [
+                d for d in (parent_snap.delete_files if parent_snap else [])
+                if d["path"] not in removed_delete_paths
+            ]
+            for d in added_deletes or []:
+                delete_files.append({**d, "seq": new_seq})
+
             snap = Snapshot(
                 seq=new_seq,
                 parent=cur,
@@ -529,6 +668,7 @@ class Table:
                     "removed_rows": removed_rows,
                     **(summary or {}),
                 },
+                delete_files=delete_files,
             )
             md.atomic_write_json(
                 os.path.join(self.root, "metadata", f"snap-{new_seq}.json"),

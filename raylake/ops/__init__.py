@@ -4,3 +4,4 @@ from raylake.ops.zorder import zorder, plan_zorder  # noqa: F401
 from raylake.ops.merge import merge_into  # noqa: F401
 from raylake.ops.expire import expire_snapshots  # noqa: F401
 from raylake.ops.repartition import repartition_table  # noqa: F401
+from raylake.ops.deletes import apply_deletes  # noqa: F401

@@ -68,6 +68,8 @@ def expire_snapshots(
                 reachable_meta.add(m)
                 for fe in md.read_manifest(table.root, m):
                     reachable_data.add(fe.path)
+            for d in snap.delete_files:  # merge-on-read delete parquets
+                reachable_data.add(d["path"])
 
         # protect the lineage of IN-FLIGHT jobs: files ledgered by a rewrite
         # task that has not committed yet are on disk but unreachable —

@@ -85,7 +85,25 @@ def read_task_inputs(table: Table, task: dict) -> pa.Table:
     paths = task["input_paths"]
     if not paths:
         return table.schema.empty_table()
-    tabs = [pq.read_table(os.path.join(table.root, p)) for p in paths]
+    # merge-on-read deletes MUST be applied while rewriting: the output file
+    # gets a NEW sequence number, so the delete files would stop applying to
+    # it — skipping this would resurrect deleted rows (Iceberg's rule).
+    metas = table.delete_files_meta()
+    loaded = table._load_delete_keys() if metas else []
+    seqmap = (
+        {e.path: e.seq_added for e in table.live_entries()} if metas else {}
+    )
+    tabs = []
+    for p in paths:
+        t = pq.read_table(os.path.join(table.root, p))
+        if loaded:
+            from raylake.core.deletes import filter_deleted
+
+            app = table._applicable_seq(seqmap.get(p, -1), loaded)
+            if app:
+                t = filter_deleted(
+                    t, [(loaded[i][1], loaded[i][2]) for i in app])
+        tabs.append(t)
     schema = table.schema
     if any(t.schema != schema for t in tabs):
         # files written before a schema evolution: pad/cast to current —
@@ -171,6 +189,7 @@ def run_rewrite_job(
     concurrency: int | None = None,
     max_tasks: int | None = None,
     meta_updates: dict | None = None,
+    removed_delete_paths: list[str] | None = None,
 ):
     """Execute tasks on an actor pool; commit once ALL tasks are ledgered.
 
@@ -195,6 +214,8 @@ def run_rewrite_job(
             # persisted so a crash-resumed job applies the same atomic
             # table-metadata flip (e.g. the partition-spec change)
             meta["meta_updates"] = meta_updates
+        if removed_delete_paths:
+            meta["removed_delete_paths"] = list(removed_delete_paths)
         ledger.write_meta(meta)
     elif "tasks" in meta:
         # RESUME: the persisted plan is authoritative. Re-planning from the
@@ -254,7 +275,8 @@ def commit_from_ledger(table: Table, operation: str, meta: dict,
         ManifestEntry.from_json(e) for rec in done.values() for e in rec["entries"]
     ]
     replaced = {p for rec in done.values() for p in rec["replaced"]}
-    if not added and not replaced:
+    if (not added and not replaced and not meta.get("meta_updates")
+            and not meta.get("removed_delete_paths")):
         ledger.clear()
         return None  # every task was a no-op: nothing to commit
     rewritten_rows = sum(r["rows"] for r in done.values() if not r.get("skipped"))
@@ -280,6 +302,7 @@ def commit_from_ledger(table: Table, operation: str, meta: dict,
         expected_parent=meta["parent_seq"],
         summary=summary,
         meta_updates=meta.get("meta_updates"),
+        removed_delete_paths=frozenset(meta.get("removed_delete_paths", [])),
     )
     ledger.clear()
     return snap
