@@ -451,13 +451,15 @@ class Table:
             read_kwargs.setdefault("partitioning", None)
         ds = ray.data.read_parquet(paths, columns=read_columns, **read_kwargs)
         if needs_norm:
-            from raylake.functions.cleaning import normalize_schema
+            from raylake.functions.cleaning import apply_renames, normalize_schema
 
             schema = self.schema
             if columns is not None:
                 schema = pa.schema([schema.field(c) for c in columns])
+            renames = self.meta.get("column_renames") or {}
             ds = ds.map_batches(
-                lambda t: normalize_schema(t, schema), batch_format="pyarrow"
+                lambda t: normalize_schema(apply_renames(t, renames), schema),
+                batch_format="pyarrow",
             )
         return ds
 
@@ -540,14 +542,23 @@ class Table:
         if not paths:
             t = self.schema.empty_table()
         else:
-            tabs = [pq.read_table(p, columns=columns) for p in paths]
             if self._needs_normalize(entries):
-                from raylake.functions.cleaning import normalize_schema
+                from raylake.functions.cleaning import (
+                    apply_renames,
+                    normalize_schema,
+                )
 
                 schema = self.schema
                 if columns is not None:
                     schema = pa.schema([schema.field(c) for c in columns])
-                tabs = [normalize_schema(x, schema) for x in tabs]
+                renames = self.meta.get("column_renames") or {}
+                tabs = [
+                    normalize_schema(apply_renames(pq.read_table(p), renames),
+                                     schema)
+                    for p in paths
+                ]
+            else:
+                tabs = [pq.read_table(p, columns=columns) for p in paths]
             t = pa.concat_tables(tabs)
         if sort and len(t):
             t = t.sort_by([(c, "ascending") for c in self.sort_order if c in t.column_names])
@@ -569,6 +580,59 @@ class Table:
                 raise ValueError(f"column exists: {name}")
             self.meta["schema"].append([name, type_to_str(dtype)])
             self.meta["schema_last_updated_seq"] = self.current_seq
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta
+            )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only rename (Iceberg-style). Files written before the
+        rename still carry the OLD physical name; normalize_schema cannot
+        map them (it matches by name), so renames of columns with live data
+        are restricted to names recorded in `column_renames` — scans and
+        rewrites consult the alias map before padding nulls."""
+        with _CommitLock(self.root):
+            self.refresh()
+            names = [f[0] for f in self.meta["schema"]]
+            if old not in names:
+                raise ValueError(f"no such column: {old}")
+            if new in names:
+                raise ValueError(f"column exists: {new}")
+            for protected in (self.partition_column, *self.sort_order):
+                if old == protected:
+                    raise ValueError(
+                        f"cannot rename {old!r}: partition/sort key")
+            self.meta["schema"][names.index(old)][0] = new
+            renames = self.meta.setdefault("column_renames", {})
+            # every HISTORICAL physical name must map to the current name
+            # (files from any point in an a→b→c chain resolve in one hop)
+            for k, v in list(renames.items()):
+                if v == old:
+                    renames[k] = new
+            renames[old] = new
+            self.meta["schema_last_updated_seq"] = self.current_seq
+            self.meta["sort_order"] = [
+                new if c == old else c for c in self.meta["sort_order"]]
+            self.meta["stats_columns"] = [
+                new if c == old else c for c in self.meta["stats_columns"]]
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta
+            )
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only drop: scans project it away; compaction physically
+        removes it from rewritten files."""
+        with _CommitLock(self.root):
+            self.refresh()
+            names = [f[0] for f in self.meta["schema"]]
+            if name not in names:
+                raise ValueError(f"no such column: {name}")
+            for protected in (self.partition_column, *self.sort_order):
+                if name == protected:
+                    raise ValueError(f"cannot drop {name!r}: partition/sort key")
+            del self.meta["schema"][names.index(name)]
+            self.meta["schema_last_updated_seq"] = self.current_seq
+            self.meta["stats_columns"] = [
+                c for c in self.meta["stats_columns"] if c != name]
             md.atomic_write_json(
                 os.path.join(self.root, "metadata", "table.json"), self.meta
             )

@@ -39,6 +39,19 @@ def normalize_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
     )
 
 
+def apply_renames(batch: pa.Table, renames: Mapping[str, str]) -> pa.Table:
+    """Map historical physical column names of pre-rename files to the
+    current schema names (Table.rename_column's alias map) — must run
+    BEFORE normalize_schema, which matches by name."""
+    if not renames:
+        return batch
+    have = set(batch.column_names)
+    return batch.rename_columns([
+        renames[c] if c in renames and renames[c] not in have else c
+        for c in batch.column_names
+    ])
+
+
 def rename_columns(batch: pa.Table, mapping: Mapping[str, str]) -> pa.Table:
     """Rename old→new, silently skipping absent names (ref :58-63)."""
     return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])

@@ -106,11 +106,13 @@ def read_task_inputs(table: Table, task: dict) -> pa.Table:
         tabs.append(t)
     schema = table.schema
     if any(t.schema != schema for t in tabs):
-        # files written before a schema evolution: pad/cast to current —
-        # compaction thereby migrates old files to the new schema
-        from raylake.functions.cleaning import normalize_schema
+        # files written before a schema evolution: rename-migrate + pad/cast
+        # to current — compaction thereby migrates old files physically
+        from raylake.functions.cleaning import apply_renames, normalize_schema
 
-        tabs = [normalize_schema(t, schema) for t in tabs]
+        renames = table.meta.get("column_renames") or {}
+        tabs = [normalize_schema(apply_renames(t, renames), schema)
+                for t in tabs]
     return pa.concat_tables(tabs).combine_chunks()
 
 

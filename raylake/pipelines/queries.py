@@ -1643,6 +1643,73 @@ LEFT JOIN dagg g ON d.symbol = g.symbol
 """
 
 
+def q_mor_delete_scan(sf_dir: str):
+    """Merge-on-read equality delete, oracle-checked end-to-end: build the
+    events-derived transcript table (same derivation as maintained_scan),
+    issue one METADATA-ONLY delete of every purchase turn via
+    Table.delete_by_keys (no data rewrite), and return the scan — the
+    sequence-rule filter path is what produces the rows. Oracle = the same
+    derivation with the deleted keys anti-joined out in SQL."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from raylake.core.schema import TRANSCRIPT_SCHEMA
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def to_turns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "conv_id": "c" + g["user_id"].astype(str),
+            "turn_idx": np.arange(len(g), dtype=np.int32),
+            "role": g["event_type"],
+            "text": [hashlib.md5(str(e).encode()).hexdigest()
+                     for e in g["event_id"]],
+            "tool": "",
+            "ts": g["ts"],
+        })
+
+    turns = ds.groupby("user_id").map_groups(to_turns, batch_format="pandas")
+    root = tempfile.mkdtemp(prefix="raylake_morq_")
+    try:
+        tbl = Table.create(os.path.join(root, "t"), TRANSCRIPT_SCHEMA,
+                           partition_column="conv_id", num_buckets=8)
+        append(tbl, turns, batch_size=2048)
+        tbl.refresh()
+        # delete keys: every purchase turn — computed distributed, tiny
+        # key table on the driver (delete keys are small by contract)
+        keys = (
+            tbl.scan(columns=["conv_id", "turn_idx", "role"])
+            .filter(expr="role == 'purchase'")
+            .to_pandas()[["conv_id", "turn_idx"]]
+        )
+        tbl.delete_by_keys(pa.Table.from_pandas(keys, preserve_index=False))
+        tbl.refresh()
+        return tbl.scan_arrow(sort=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_MOR_DELETE_SCAN = """
+WITH r AS (
+  SELECT 'c' || user_id::VARCHAR AS conv_id,
+         (row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         event_type AS role,
+         md5(event_id::VARCHAR) AS text,
+         '' AS tool, ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM r WHERE role <> 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sampling / sketches / sessionization (training-data additions, round 2)
 # ---------------------------------------------------------------------------
@@ -1791,6 +1858,7 @@ QUERIES = {
     "sample_hash": q_sample_hash,
     "kmv_distinct": q_kmv_distinct,
     "sessionize": q_sessionize,
+    "mor_delete_scan": q_mor_delete_scan,
     # non-SQL-expressible (rows-only driver check): minhash banding and IVF
     # probing aren't reproducible in SQL; both carry pytest golden checks.
     "minhash_neardup": q_minhash_neardup,
@@ -1836,4 +1904,5 @@ ORACLES = {
     "sample_hash": SQL_SAMPLE_HASH,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "sessionize": SQL_SESSIONIZE,
+    "mor_delete_scan": SQL_MOR_DELETE_SCAN,
 }

@@ -73,3 +73,65 @@ def test_merge_across_schema_versions(tmp_table_root, ray_session):
     assert len(got) == len(pre)
     merged_rows = got.filter(pc.equal(got["lang"], "vi"))
     assert len(merged_rows) == 5
+
+
+def test_rename_column_metadata_only_and_compact_migrates(
+    tmp_table_root, ray_session
+):
+    """Iceberg-style rename: metadata-only; old files resolve through the
+    alias map on scans/rewrites; compaction rewrites them physically."""
+    from raylake.ops import compact
+
+    t = write_transcript_table(tmp_table_root, 800, rows_per_file=128,
+                               num_buckets=2)
+    pre = t.scan_arrow(sort=True)
+    t.rename_column("tool", "tool_name")
+    assert "tool_name" in t.schema.names and "tool" not in t.schema.names
+    got = t.scan_arrow(sort=True)
+    assert got.column_names == ["conv_id", "turn_idx", "role", "text",
+                                "tool_name", "ts"]
+    assert got["tool_name"].to_pylist() == pre["tool"].to_pylist()
+    # distributed scan resolves the alias too
+    assert t.scan().count() == len(pre)
+    # chain a->b->c: one more rename, old physical files still resolve
+    t.rename_column("tool_name", "tool_kind")
+    assert t.meta["column_renames"] == {"tool": "tool_kind",
+                                        "tool_name": "tool_kind"}
+    got2 = t.scan_arrow(sort=True)
+    assert got2["tool_kind"].to_pylist() == pre["tool"].to_pylist()
+    # compaction migrates files to the new physical name
+    compact(t, target_file_bytes=512 * 1024)
+    import pyarrow.parquet as pq
+    import os
+
+    e = t.live_entries()[0]
+    assert "tool_kind" in pq.read_schema(os.path.join(t.root, e.path)).names
+    assert t.scan_arrow(sort=True)["tool_kind"].to_pylist() == \
+        pre["tool"].to_pylist()
+    # protected columns refuse
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="partition/sort"):
+        t.rename_column("conv_id", "cid")
+
+
+def test_drop_column_metadata_only(tmp_table_root, ray_session):
+    from raylake.ops import compact
+
+    t = write_transcript_table(tmp_table_root, 600, rows_per_file=128,
+                               num_buckets=2)
+    pre = t.scan_arrow(sort=True)
+    t.drop_column("tool")
+    got = t.scan_arrow(sort=True)
+    assert "tool" not in got.column_names
+    assert got.equals(pre.drop(["tool"]))
+    compact(t, target_file_bytes=512 * 1024)
+    import os
+    import pyarrow.parquet as pq
+
+    e = t.live_entries()[0]
+    assert "tool" not in pq.read_schema(os.path.join(t.root, e.path)).names
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="partition/sort"):
+        t.drop_column("turn_idx")
