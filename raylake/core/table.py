@@ -685,6 +685,20 @@ class Table:
                         f"replaced files no longer live (parent {expected_parent}, "
                         f"current {cur}): {sorted(replaced - live_now)[:5]}"
                     )
+                # Iceberg validateNoNewDeleteFiles: a merge-on-read delete
+                # committed after this rewrite was planned may not have been
+                # applied by tasks that ran before it landed — and the
+                # rewritten files' NEW sequence would exempt them from it,
+                # resurrecting deleted rows. Losing rewrite retries.
+                cur_snap = self.snapshot(cur)
+                new_dels = [d for d in (cur_snap.delete_files if cur_snap else [])
+                            if d["seq"] > expected_parent]
+                if new_dels:
+                    raise CommitConflictError(
+                        f"delete files committed after plan (parent "
+                        f"{expected_parent}): "
+                        f"{[d['path'] for d in new_dels][:3]}"
+                    )
             new_seq = self.meta["last_sequence"] + 1
             for e in added:
                 e.seq_added = new_seq

@@ -104,6 +104,41 @@ class QualityScorer:
         return batch
 
 
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    """Distinct lowercase whitespace word n-grams (contamination unit)."""
+    ws = text.lower().split(" ")
+    if len(ws) < n:
+        return set()
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+class ContaminationFlagger:
+    """Benchmark-contamination detector (the decontamination pass every
+    training-data pipeline runs before a benchmark release): flags documents
+    sharing ≥1 word n-gram with a broadcast benchmark n-gram set. Actor-pool
+    stage (ST1): the benchmark set is fetched from the object store ONCE per
+    actor in __init__, never re-shipped per batch."""
+
+    def __init__(self, bench_ref, n: int = 3, text_col: str = "text"):
+        import ray
+
+        self.bench = (ray.get(bench_ref)
+                      if not isinstance(bench_ref, (set, frozenset))
+                      else bench_ref)
+        self.n = n
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        shared = [
+            len(word_ngrams(t, self.n) & self.bench)
+            for t in batch[self.text_col]
+        ]
+        batch["n_shared"] = pd.Series(shared, index=batch.index,
+                                      dtype="int64")
+        batch["contaminated"] = batch["n_shared"] > 0
+        return batch
+
+
 class LangId:
     """Stopword-profile language ID (n-gram heuristic tier). Deterministic:
     argmax of per-language stopword hits, ties broken by language code order,

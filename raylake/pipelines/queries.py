@@ -1643,6 +1643,60 @@ LEFT JOIN dagg g ON d.symbol = g.symbol
 """
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 form the
+    benchmark; every other doc is flagged when it shares ≥1 word trigram.
+    The benchmark trigram set is gathered via a filtered map_batches (only
+    1/97 of the corpus returns to the driver — benchmark sets are small by
+    nature) and broadcast via ray.put; flagging is an actor-pool stage."""
+    import ray
+
+    from raylake.functions.text import ContaminationFlagger, word_ngrams
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def bench_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 97 == 0))
+
+    bench_df = ds.map_batches(bench_rows, batch_format="pyarrow").to_pandas()
+    bench = set()
+    for t in bench_df["text"]:
+        bench |= word_ngrams(t, 3)
+    bench_ref = ray.put(bench)
+
+    out = ds.map_batches(
+        ContaminationFlagger,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": 3},
+        batch_format="pandas", concurrency=(1, 4),
+    )
+    def non_bench(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 97 != 0))
+
+    return (
+        out.map_batches(non_bench, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_shared", "contaminated"])
+    )
+
+
+SQL_CONTAMINATION = r"""
+WITH g AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), t AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS tri
+  FROM g
+), b AS (
+  SELECT flatten(list(tri)) AS bl FROM t WHERE doc_id % 97 = 0
+)
+SELECT doc_id, len(list_intersect(tri, b.bl))::BIGINT AS n_shared,
+       len(list_intersect(tri, b.bl)) > 0 AS contaminated
+FROM t, b WHERE doc_id % 97 <> 0
+"""
+
+
 def q_mor_delete_scan(sf_dir: str):
     """Merge-on-read equality delete, oracle-checked end-to-end: build the
     events-derived transcript table (same derivation as maintained_scan),
@@ -1859,6 +1913,7 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "sessionize": q_sessionize,
     "mor_delete_scan": q_mor_delete_scan,
+    "contamination": q_contamination,
     # non-SQL-expressible (rows-only driver check): minhash banding and IVF
     # probing aren't reproducible in SQL; both carry pytest golden checks.
     "minhash_neardup": q_minhash_neardup,
@@ -1905,4 +1960,5 @@ ORACLES = {
     "kmv_distinct": SQL_KMV_DISTINCT,
     "sessionize": SQL_SESSIONIZE,
     "mor_delete_scan": SQL_MOR_DELETE_SCAN,
+    "contamination": SQL_CONTAMINATION,
 }

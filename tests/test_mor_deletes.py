@@ -160,3 +160,42 @@ def test_mor_time_travel_before_delete(tbl, ray_session):
     seq0 = t.current_seq
     t.delete_by_keys(_keys_of(pre, 40))
     assert t.scan_arrow(snapshot=seq0, sort=True).equals(pre)
+
+
+def test_mor_delete_landing_mid_rewrite_conflicts(tbl, ray_session):
+    """Iceberg validateNoNewDeleteFiles: a rewrite planned BEFORE a delete
+    commit must not land — its output files' new sequence would exempt them
+    from the delete, resurrecting rows. The loser retries and re-reads with
+    the delete applied."""
+    from raylake.core.table import CommitConflictError
+    from raylake.ops import plan_compaction
+    from raylake.ops.compact import _compact_task
+    from raylake.ops.rewrite import run_rewrite_job
+
+    t = tbl
+    pre = _golden(t)
+    tasks = plan_compaction(t, target_file_bytes=512 * 1024)
+    assert tasks
+    # pause the job after one task, then a MOR delete lands
+    assert run_rewrite_job(
+        t, "compact", tasks, _compact_task, job_id="mid-del",
+        params={"target_file_bytes": 512 * 1024}, max_tasks=1, concurrency=1,
+    ) is None
+    t.refresh()
+    t.delete_by_keys(_keys_of(pre, 25))
+    t.refresh()
+    with pytest.raises(CommitConflictError, match="delete files committed"):
+        run_rewrite_job(
+            t, "compact", tasks, _compact_task, job_id="mid-del",
+            params={"target_file_bytes": 512 * 1024}, concurrency=2,
+        )
+    # clean retry with a FRESH plan sees the delete and lands correctly
+    from raylake.state.ledger import Ledger
+
+    Ledger(t.root, "mid-del").clear()
+    want = _golden(t)
+    from raylake.ops import compact
+
+    snap = compact(t, target_file_bytes=512 * 1024)
+    assert snap is not None
+    assert _golden(t).equals(want)
