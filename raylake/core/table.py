@@ -189,7 +189,7 @@ class Table:
         """The bucket count whose partition ids the files of snapshot `seq`
         carry (repartition_table flips spec + rewrites data in ONE commit, so
         each snapshot is internally single-spec)."""
-        seq = self.current_seq if seq is None else seq
+        seq = self.resolve_ref(seq)
         nb = self.partition_spec_log[0]["num_buckets"]
         for e in self.partition_spec_log:
             if e["since_seq"] <= seq:
@@ -210,13 +210,77 @@ class Table:
 
     # -------------------------------------------------------------- metadata
 
-    def snapshot(self, seq: int | None = None) -> Snapshot | None:
-        seq = self.current_seq if seq is None else seq
+    def snapshot(self, seq: int | str | None = None) -> Snapshot | None:
+        seq = self.resolve_ref(seq)
         if seq == 0:
             return None
         return Snapshot.from_json(
             md.read_json(os.path.join(self.root, "metadata", f"snap-{seq}.json"))
         )
+
+    # ---------------------------------------------------------- refs (WAP)
+
+    def resolve_ref(self, ref: int | str | None) -> int:
+        """None → main head; str → named branch/tag head; int passthrough."""
+        if ref is None:
+            return self.current_seq
+        if isinstance(ref, str):
+            refs = self.meta.get("refs", {})
+            if ref not in refs:
+                raise KeyError(f"no such ref: {ref}")
+            return refs[ref]["seq"]
+        return ref
+
+    def create_tag(self, name: str, snapshot: int | None = None) -> None:
+        """Immutable named pointer (Iceberg tag): survives expire_snapshots
+        retention policies — pin a training-data release."""
+        self._set_ref(name, "tag", snapshot)
+
+    def create_branch(self, name: str, snapshot: int | None = None) -> None:
+        """Movable named pointer (Iceberg branch): commit to it with
+        commit(..., branch=name); publish via fast_forward (WAP)."""
+        self._set_ref(name, "branch", snapshot)
+
+    def _set_ref(self, name: str, kind: str, snapshot: int | None) -> None:
+        with _CommitLock(self.root):
+            self.refresh()
+            refs = self.meta.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"ref exists: {name}")
+            refs[name] = {"type": kind,
+                          "seq": self.current_seq if snapshot is None
+                          else snapshot}
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta)
+
+    def drop_ref(self, name: str) -> None:
+        with _CommitLock(self.root):
+            self.refresh()
+            self.meta.get("refs", {}).pop(name, None)
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta)
+
+    def fast_forward(self, branch: str) -> int:
+        """Publish a branch (write-audit-publish): move main to the branch
+        head. Requires main to be an ANCESTOR of the head — a diverged main
+        (concurrent commit since the branch fork) refuses, the WAP conflict."""
+        with _CommitLock(self.root):
+            self.refresh()
+            refs = self.meta.get("refs", {})
+            if branch not in refs or refs[branch]["type"] != "branch":
+                raise KeyError(f"no such branch: {branch}")
+            head = refs[branch]["seq"]
+            s = head
+            while s != 0 and s != self.current_seq:
+                s = self.snapshot(s).parent
+            if s != self.current_seq:
+                raise CommitConflictError(
+                    f"main (seq {self.current_seq}) is not an ancestor of "
+                    f"branch {branch!r} head (seq {head}); rebase the branch")
+            self.meta["current_snapshot"] = head
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta)
+            return head
 
     def snapshot_as_of(self, ts_ms: int) -> int | None:
         """`FOR TIMESTAMP AS OF` (ref create_iceberg_table_by_trino.sql:43):
@@ -661,6 +725,7 @@ class Table:
         meta_updates: dict | None = None,
         added_deletes: list[dict] | None = None,
         removed_delete_paths: set[str] | frozenset[str] = frozenset(),
+        branch: str | None = None,
     ) -> Snapshot:
         """Atomically commit a new snapshot: live' = live - replaced + added.
 
@@ -677,7 +742,13 @@ class Table:
         replaced = set(replaced_paths)
         with _CommitLock(self.root):
             self.refresh()
-            cur = self.current_seq
+            if branch is not None:
+                refs = self.meta.get("refs", {})
+                if branch not in refs or refs[branch]["type"] != "branch":
+                    raise KeyError(f"no such branch: {branch}")
+                cur = refs[branch]["seq"]
+            else:
+                cur = self.current_seq
             if expected_parent is not None and cur != expected_parent and replaced:
                 live_now = {e.path for e in self.live_entries(cur)}
                 if not replaced <= live_now:
@@ -752,7 +823,10 @@ class Table:
                 os.path.join(self.root, "metadata", f"snap-{new_seq}.json"),
                 snap.to_json(),
             )
-            self.meta["current_snapshot"] = new_seq
+            if branch is not None:
+                self.meta["refs"][branch]["seq"] = new_seq
+            else:
+                self.meta["current_snapshot"] = new_seq
             self.meta["last_sequence"] = new_seq
             self.meta["snapshot_log"].append(
                 {"seq": new_seq, "ts_ms": snap.ts_ms, "file": f"metadata/snap-{new_seq}.json"}

@@ -61,8 +61,11 @@ def append(
     concurrency: int | None = None,
     batch_size: int | None = 64 * 1024,
     summary: dict | None = None,
+    branch: str | None = None,
 ):
-    """Append a ray.data.Dataset (or pa.Table) to the table; one commit."""
+    """Append a ray.data.Dataset (or pa.Table) to the table; one commit.
+    With `branch`, commits to that ref instead of main (the WAP write step
+    — main readers never see the rows until fast_forward publishes)."""
     import ray.data
 
     if isinstance(ds, pa.Table):
@@ -78,4 +81,4 @@ def append(
     entries = [ManifestEntry.from_json(json.loads(r["entry_json"])) for r in entry_rows]
     if not entries:
         return None
-    return table.commit("append", entries, summary=summary)
+    return table.commit("append", entries, summary=summary, branch=branch)

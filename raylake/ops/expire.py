@@ -44,12 +44,18 @@ def expire_snapshots(
     with _CommitLock(table.root) as lock:
         table.refresh()
         log = table.meta["snapshot_log"]
+        # named refs (tags/branches) pin their head snapshots regardless of
+        # retention policy — a tagged training-data release must outlive
+        # keep_last (Iceberg ref-retention semantics)
+        ref_heads = {r["seq"] for r in table.meta.get("refs", {}).values()}
         keep: list[dict] = []
         for i, entry in enumerate(log):
             is_current = entry["seq"] == table.current_seq
+            is_ref = entry["seq"] in ref_heads
             recent = keep_last is not None and i >= len(log) - keep_last
             young = older_than_ms is not None and entry["ts_ms"] >= older_than_ms
-            if is_current or recent or young or (keep_last is None and older_than_ms is None):
+            if (is_current or is_ref or recent or young
+                    or (keep_last is None and older_than_ms is None)):
                 keep.append(entry)
         expired = [e for e in log if e not in keep]
         if not dry_run and expired:

@@ -1,0 +1,97 @@
+"""Branch/tag refs + write-audit-publish (Iceberg refs parity): branch
+isolation, fast-forward publish, diverged-main WAP conflict, tag pinning
+through expiry, ref-named time travel."""
+
+import pytest
+
+import pyarrow as pa
+
+from raylake.core.table import CommitConflictError, Table
+from raylake.fixtures.transcripts import write_transcript_table
+from raylake.ops import expire_snapshots
+from raylake.ops.append import append
+
+
+@pytest.fixture()
+def tbl(tmp_table_root):
+    return write_transcript_table(
+        tmp_table_root, n_turns=1500, rows_per_file=128, num_buckets=2
+    )
+
+
+def _golden(t: Table) -> pa.Table:
+    return t.scan_arrow(sort=True)
+
+
+def _late(pre: pa.Table, n=50, tag="wap") -> pa.Table:
+    import pyarrow.compute as pc
+
+    late = pre.slice(0, n)
+    return late.set_column(
+        late.schema.get_field_index("conv_id"), "conv_id",
+        pc.binary_join_element_wise(
+            pa.array([tag] * n), late["conv_id"], "-"),
+    )
+
+
+def test_wap_write_audit_publish(tbl, ray_session):
+    t = tbl
+    pre = _golden(t)
+    t.create_branch("audit")
+    late = _late(pre, 50)
+    append(t, late, branch="audit")
+    t.refresh()
+    # WRITE landed on the branch only — main readers see nothing
+    assert _golden(t).equals(pre)
+    # AUDIT: scan the branch by name
+    branch_scan = t.scan_arrow(snapshot="audit", sort=True)
+    assert len(branch_scan) == len(pre) + 50
+    assert t.scan(snapshot="audit").count() == len(pre) + 50
+    # PUBLISH: fast-forward main
+    head = t.fast_forward("audit")
+    t.refresh()
+    assert t.current_seq == head
+    assert _golden(t).equals(branch_scan)
+
+
+def test_wap_diverged_main_refuses_publish(tbl, ray_session):
+    t = tbl
+    pre = _golden(t)
+    t.create_branch("audit")
+    append(t, _late(pre, 20, "a"), branch="audit")
+    # a concurrent commit lands on MAIN after the fork
+    append(t, _late(pre, 10, "b"))
+    t.refresh()
+    with pytest.raises(CommitConflictError, match="not an ancestor"):
+        t.fast_forward("audit")
+
+
+def test_tag_pins_snapshot_through_expiry(tbl, ray_session):
+    t = tbl
+    pre = _golden(t)
+    t.create_tag("release-1")
+    tagged_seq = t.resolve_ref("release-1")
+    # advance main well past the retention window
+    for i in range(4):
+        append(t, _late(pre, 10, f"r{i}"))
+        t.refresh()
+    report = expire_snapshots(t, keep_last=1, grace_period_s=0.0)
+    assert tagged_seq in report["retained_snapshots"]
+    assert t.scan_arrow(snapshot="release-1", sort=True).equals(pre)
+
+
+def test_branch_commit_conflict_isolated_from_main(tbl, ray_session):
+    """expected_parent on a branch commit checks the BRANCH head."""
+    t = tbl
+    pre = _golden(t)
+    t.create_branch("dev")
+    b1 = t.resolve_ref("dev")
+    e = t.write_file(pre.slice(0, 10), 0)
+    snap = t.commit("append", [e], branch="dev", expected_parent=b1)
+    t.refresh()
+    assert t.resolve_ref("dev") == snap.seq
+    assert t.current_seq != snap.seq
+    # refs listed; dropping works
+    t.drop_ref("dev")
+    with pytest.raises(KeyError):
+        t.resolve_ref("dev")
