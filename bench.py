@@ -110,6 +110,21 @@ def run_bench() -> dict:
     queries["point_lookup_files_read"] = len(ents)
     queries["point_lookup_files_total"] = len(table.live_entries())
 
+    # fast-delete evidence: metadata-only merge-on-read delete vs the
+    # rewrite path for the same keys (2k keys on the maintained table)
+    full = table.scan_arrow(columns=["conv_id", "turn_idx"])
+    keys = full.slice(len(full) // 2, 2000)
+    del full
+    t = time.monotonic()
+    table.delete_by_keys(keys)
+    queries["mor_delete_2k_keys"] = round(time.monotonic() - t, 3)
+    from raylake.ops.deletes import apply_deletes
+
+    t = time.monotonic()
+    apply_deletes(table, target_file_bytes=32 * 1024 * 1024)
+    queries["mor_purge_rewrite"] = round(time.monotonic() - t, 3)
+    table.refresh()
+
     # representative operator timings over the driver testdata at this sf
     from raylake.pipelines.queries import QUERIES
 
