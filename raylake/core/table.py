@@ -270,24 +270,40 @@ class Table:
             if branch not in refs or refs[branch]["type"] != "branch":
                 raise KeyError(f"no such branch: {branch}")
             head = refs[branch]["seq"]
+            chain = []
             s = head
             while s != 0 and s != self.current_seq:
-                s = self.snapshot(s).parent
+                chain.append(s)
+                try:
+                    s = self.snapshot(s).parent
+                except FileNotFoundError:
+                    # ancestor expired → the fork predates retained main
+                    # history, i.e. main moved on: treat as divergence
+                    s = -1
+                    break
             if s != self.current_seq:
                 raise CommitConflictError(
                     f"main (seq {self.current_seq}) is not an ancestor of "
                     f"branch {branch!r} head (seq {head}); rebase the branch")
             self.meta["current_snapshot"] = head
+            # the published chain becomes main history: clear the branch
+            # marker so snapshot_as_of resolves to these snapshots
+            published = set(chain)
+            for e in self.meta["snapshot_log"]:
+                if e["seq"] in published:
+                    e.pop("branch", None)
             md.atomic_write_json(
                 os.path.join(self.root, "metadata", "table.json"), self.meta)
             return head
 
     def snapshot_as_of(self, ts_ms: int) -> int | None:
         """`FOR TIMESTAMP AS OF` (ref create_iceberg_table_by_trino.sql:43):
-        the latest snapshot committed at or before ts_ms, or None."""
+        the latest MAIN-history snapshot committed at or before ts_ms, or
+        None. Unpublished branch commits (WAP audit data) are excluded —
+        fast_forward publishes them into main history."""
         best = None
         for e in self.meta["snapshot_log"]:
-            if e["ts_ms"] <= ts_ms:
+            if e["ts_ms"] <= ts_ms and "branch" not in e:
                 best = e["seq"]
         return best
 
@@ -432,6 +448,15 @@ class Table:
         Scans/rewrites apply it by the sequence rule (see core/deletes.py);
         `ops.deletes.apply_deletes` purges physically."""
         key_cols = list(keys.column_names)
+        missing = [c for c in key_cols if c not in self.schema.names]
+        if missing or not key_cols:
+            # an unvalidated key column would make EVERY later scan raise
+            # inside the delete filter — the table becomes unreadable
+            raise ValueError(
+                f"delete key columns {missing or key_cols} not in schema "
+                f"{self.schema.names}")
+        if len(keys) == 0:
+            raise ValueError("empty delete key set")
         os.makedirs(os.path.join(self.root, "data", "deletes"), exist_ok=True)
         rel = f"data/deletes/delete-{uuid.uuid4().hex}.parquet"
         if keys.schema.metadata:
@@ -665,6 +690,12 @@ class Table:
                 if old == protected:
                     raise ValueError(
                         f"cannot rename {old!r}: partition/sort key")
+            for d in self.delete_files_meta():
+                if old in d["key_cols"]:
+                    raise ValueError(
+                        f"cannot rename {old!r}: a live merge-on-read "
+                        f"delete file keys on it ({d['path']}); run "
+                        f"ops.deletes.apply_deletes first")
             self.meta["schema"][names.index(old)][0] = new
             renames = self.meta.setdefault("column_renames", {})
             # every HISTORICAL physical name must map to the current name
@@ -693,6 +724,12 @@ class Table:
             for protected in (self.partition_column, *self.sort_order):
                 if name == protected:
                     raise ValueError(f"cannot drop {name!r}: partition/sort key")
+            for d in self.delete_files_meta():
+                if name in d["key_cols"]:
+                    raise ValueError(
+                        f"cannot drop {name!r}: a live merge-on-read delete "
+                        f"file keys on it ({d['path']}); run "
+                        f"ops.deletes.apply_deletes first")
             del self.meta["schema"][names.index(name)]
             self.meta["schema_last_updated_seq"] = self.current_seq
             self.meta["stats_columns"] = [
@@ -770,6 +807,16 @@ class Table:
                         f"{expected_parent}): "
                         f"{[d['path'] for d in new_dels][:3]}"
                     )
+            if (meta_updates and "partition_spec" in meta_updates
+                    and expected_parent is not None and cur != expected_parent):
+                # A spec flip may NEVER rebase: files committed concurrently
+                # were bucketed under the OLD spec, and flipping the spec
+                # around them silently mis-routes every point lookup and
+                # merge plan that touches their keys. Loser re-plans.
+                raise CommitConflictError(
+                    f"partition-spec change planned at seq {expected_parent} "
+                    f"but the table advanced to {cur}; re-plan the "
+                    f"repartition")
             new_seq = self.meta["last_sequence"] + 1
             for e in added:
                 e.seq_added = new_seq
@@ -828,9 +875,14 @@ class Table:
             else:
                 self.meta["current_snapshot"] = new_seq
             self.meta["last_sequence"] = new_seq
-            self.meta["snapshot_log"].append(
-                {"seq": new_seq, "ts_ms": snap.ts_ms, "file": f"metadata/snap-{new_seq}.json"}
-            )
+            log_entry = {"seq": new_seq, "ts_ms": snap.ts_ms,
+                         "file": f"metadata/snap-{new_seq}.json"}
+            if branch is not None:
+                # marked so main-history readers (snapshot_as_of) never
+                # resolve to an unpublished branch commit; fast_forward
+                # clears the marker when the chain is published
+                log_entry["branch"] = branch
+            self.meta["snapshot_log"].append(log_entry)
             if meta_updates:
                 for k, v in meta_updates.items():
                     self.meta[k] = v

@@ -34,10 +34,13 @@ def plan_apply_deletes(table: Table, max_task_bytes: int) -> tuple[list[RewriteT
     if not loaded:
         return [], delete_paths
 
-    # sorted first-key values per delete file, for stats-range exclusion
+    # sorted first-key values per delete file, for stats-range exclusion;
+    # null keys can't be excluded by min/max stats → (has_null, sorted)
     sorted_keys = []
     for _, key_cols, keys in loaded:
-        sorted_keys.append(sorted(keys[key_cols[0]].to_pylist()))
+        vals = keys[key_cols[0]].to_pylist()
+        nonnull = [v for v in vals if v is not None]
+        sorted_keys.append((len(nonnull) < len(vals), sorted(nonnull)))
 
     affected_by_part = defaultdict(list)
     for e in table.live_entries():
@@ -48,10 +51,10 @@ def plan_apply_deletes(table: Table, max_task_bytes: int) -> tuple[list[RewriteT
         for i in app:
             k0 = loaded[i][1][0]
             s = e.stats.get(k0)
-            if not s or s[0] is None:
-                hit = True  # no stats → cannot exclude
+            has_null, ks = sorted_keys[i]
+            if has_null or not s or s[0] is None:
+                hit = True  # null keys / no stats → cannot exclude
                 break
-            ks = sorted_keys[i]
             j = bisect.bisect_left(ks, s[0])
             if j < len(ks) and ks[j] <= s[1]:
                 hit = True

@@ -4,11 +4,12 @@ Counterpart of Iceberg's `expire_snapshots` / `remove_orphan_files` — which
 the reference's tables depend on for space reclamation but never run.
 
 Expiry drops snapshot-log entries (keep_last / older_than, always keeping the
-current snapshot), then computes the REACHABLE set = union of all data files
-and manifests referenced by the retained snapshots. Anything on disk that is
-not reachable and older than `grace_period_s` (protects in-flight writes of
-a concurrent committer) is deleted. Time travel to retained snapshots keeps
-working — tests assert both directions.
+current snapshot, ref heads, and branch lineages), then computes the
+REACHABLE set = union of all data files and manifests referenced by the
+retained snapshots. Anything on disk that is not reachable and older than
+`grace_period_s` (protects in-flight writes of a concurrent committer) is
+deleted. Time travel to retained snapshots keeps working — tests assert both
+directions.
 """
 
 from __future__ import annotations
@@ -20,6 +21,22 @@ from raylake.core import metadata as md
 from raylake.core.table import Table, _CommitLock
 
 
+def _protected_seqs(table: Table) -> set[int]:
+    """Ref heads + every commit on a LIVE branch's lineage (branch commits
+    are marked in the snapshot log): fast_forward's ancestry walk reads each
+    snap file on the chain, so expiring an intermediate branch snapshot
+    would break publish. Tag heads need only themselves (a scan reads just
+    the head's manifests)."""
+    refs = table.meta.get("refs", {})
+    live_branches = {name for name, r in refs.items()
+                     if r.get("type") == "branch"}
+    protected = {r["seq"] for r in refs.values()}
+    for e in table.meta["snapshot_log"]:
+        if e.get("branch") in live_branches:
+            protected.add(e["seq"])
+    return protected
+
+
 def expire_snapshots(
     table: Table,
     keep_last: int | None = None,
@@ -29,29 +46,34 @@ def expire_snapshots(
 ) -> dict:
     """Returns a report: expired snapshot seqs, deleted files, freed bytes.
 
-    Safety protocol (two independent guards, both required):
-    - The COMMIT LOCK is held from log truncation through reachability AND
-      the sweep, so no commit can land between keep-set computation and
-      deletion (a commit landing there would add fresh reachable files the
-      sweep would treat as orphans). Long sweeps touch() the lock so the
-      hold is never stale-broken.
+    Safety protocol (three independent guards):
+    - LOG TRUNCATION + REACHABILITY + sweep-candidate ENUMERATION happen
+      under the commit lock, so no commit can land between keep-set
+      computation and the decision of what is an orphan.
+    - The UNLINK LOOP runs AFTER the lock is released: once enumerated, an
+      unreachable path can never become reachable again (commits only add
+      fresh uuid-named files; replaced files were reachable in the kept
+      snapshots), so deleting it lock-free is safe — and concurrent
+      committers aren't starved by a long sweep against their 30 s lock
+      timeout.
     - `grace_period_s` (default 5 min, deliberately non-zero) protects
       files writers create BEFORE taking the commit lock: data files are
       written lock-free and only become reachable at commit time, so a
       young unreachable file may be an in-flight write, not an orphan.
-      Pass 0.0 only in tests on quiesced tables.
+      The mtime check happens at unlink time. Pass 0.0 only in tests on
+      quiesced tables.
     """
-    with _CommitLock(table.root) as lock:
+    with _CommitLock(table.root):
         table.refresh()
         log = table.meta["snapshot_log"]
-        # named refs (tags/branches) pin their head snapshots regardless of
-        # retention policy — a tagged training-data release must outlive
-        # keep_last (Iceberg ref-retention semantics)
-        ref_heads = {r["seq"] for r in table.meta.get("refs", {}).values()}
+        # named refs pin snapshots regardless of retention policy — a
+        # tagged training-data release must outlive keep_last, and branch
+        # lineages must stay walkable for fast_forward
+        protected = _protected_seqs(table)
         keep: list[dict] = []
         for i, entry in enumerate(log):
             is_current = entry["seq"] == table.current_seq
-            is_ref = entry["seq"] in ref_heads
+            is_ref = entry["seq"] in protected
             recent = keep_last is not None and i >= len(log) - keep_last
             young = older_than_ms is not None and entry["ts_ms"] >= older_than_ms
             if (is_current or is_ref or recent or young
@@ -90,26 +112,7 @@ def expire_snapshots(
                     for fe in rec.get("entries", []):
                         reachable_data.add(fe["path"])
 
-        deleted, freed = [], 0
-        now = time.time()
-
-        def sweep(relpaths):
-            nonlocal freed
-            for i, rel in enumerate(relpaths):
-                if i % 1000 == 999:
-                    lock.touch()  # keep long sweeps from going stale
-                p = os.path.join(table.root, rel)
-                try:
-                    if now - os.path.getmtime(p) < grace_period_s:
-                        continue
-                    sz = os.path.getsize(p)
-                    if not dry_run:
-                        os.unlink(p)
-                    deleted.append(rel)
-                    freed += sz
-                except FileNotFoundError:
-                    continue
-
+        # enumerate sweep candidates UNDER the lock (the decision point)
         on_disk_data = []
         data_root = os.path.join(table.root, "data")
         for dirpath, _, files in os.walk(data_root):
@@ -117,15 +120,34 @@ def expire_snapshots(
                 rel = os.path.relpath(os.path.join(dirpath, fn), table.root)
                 if rel not in reachable_data:
                     on_disk_data.append(rel)
-        sweep(on_disk_data)
-
         meta_root = os.path.join(table.root, "metadata")
         orphan_meta = []
         for fn in os.listdir(meta_root):
             rel = f"metadata/{fn}"
             if fn.startswith(("manifest-", "snap-")) and rel not in reachable_meta:
                 orphan_meta.append(rel)
-        sweep(orphan_meta)
+
+    # unlink OUTSIDE the lock (see protocol above)
+    deleted, freed = [], 0
+    now = time.time()
+
+    def sweep(relpaths):
+        nonlocal freed
+        for rel in relpaths:
+            p = os.path.join(table.root, rel)
+            try:
+                if now - os.path.getmtime(p) < grace_period_s:
+                    continue
+                sz = os.path.getsize(p)
+                if not dry_run:
+                    os.unlink(p)
+                deleted.append(rel)
+                freed += sz
+            except FileNotFoundError:
+                continue
+
+    sweep(on_disk_data)
+    sweep(orphan_meta)
 
     return {
         "expired_snapshots": [e["seq"] for e in expired],

@@ -478,9 +478,10 @@ def _scd2_task_body(
     the source rows for that key — so close/insert decisions are local.
     `src` arrives schema-normalized (scd2 columns null); stamps are applied
     here, so any scd2 columns in the raw source are ignored."""
-    tracked = params.get("tracked_cols") or [
-        c for c in src.column_names if c not in keys and c not in SCD2_COLS
-    ]
+    tracked = params.get("tracked_cols")
+    if tracked is None:  # explicit [] must NOT silently flip to all-columns
+        tracked = [c for c in src.column_names
+                   if c not in keys and c not in SCD2_COLS]
     n_src = len(src)
     if params.get("scd2_start_col"):
         start_arr = pc.cast(src[params["scd2_start_col"]], pa.timestamp("us"))
@@ -623,6 +624,11 @@ def merge_into(
         if scd2_start_ts is None and scd2_start_col is None:
             raise ValueError("scd2 merge requires scd2_start_ts or "
                              "scd2_start_col")
+        if tracked_cols is not None and not tracked_cols:
+            raise ValueError(
+                "scd2 merge with an EMPTY tracked_cols list can never close "
+                "a version — pass None for the all-non-key default, or a "
+                "non-empty list")
         if scd2_start_col is not None and scd2_start_col not in table.schema.names:
             raise ValueError(f"scd2_start_col {scd2_start_col!r} not in schema")
         if scd2_start_ts is not None:

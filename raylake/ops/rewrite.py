@@ -88,11 +88,21 @@ def read_task_inputs(table: Table, task: dict) -> pa.Table:
     # merge-on-read deletes MUST be applied while rewriting: the output file
     # gets a NEW sequence number, so the delete files would stop applying to
     # it — skipping this would resurrect deleted rows (Iceberg's rule).
-    metas = table.delete_files_meta()
-    loaded = table._load_delete_keys() if metas else []
-    seqmap = (
-        {e.path: e.seq_added for e in table.live_entries()} if metas else {}
-    )
+    # Memoized per Table instance: _rewrite_batch_inner loads one Table per
+    # task, so the manifest walk + delete-parquet reads happen at most once
+    # per task, and ONLY while delete files exist (they're transient — the
+    # purge op removes them); with no deletes this costs one snapshot read.
+    cache = getattr(table, "_mor_state", None)
+    if cache is None:
+        metas = table.delete_files_meta()
+        loaded = table._load_delete_keys() if metas else []
+        seqmap = (
+            {e.path: e.seq_added for e in table.live_entries()}
+            if metas else {}
+        )
+        cache = (loaded, seqmap)
+        table._mor_state = cache
+    loaded, seqmap = cache
     tabs = []
     for p in paths:
         t = pq.read_table(os.path.join(table.root, p))

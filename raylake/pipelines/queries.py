@@ -1042,8 +1042,10 @@ def q_minhash_neardup(sf_dir: str):
             else:
                 js.append(len(sa & sb) / max(1, len(sa | sb)))
         pb = pb.copy()
+        js = np.asarray(js)
+        keep = js >= 0.5  # threshold on the EXACT value; round only for output
         pb["jaccard"] = np.round(js, 4)
-        return pb[pb["jaccard"] >= 0.5]
+        return pb[keep]
 
     verified = (
         _rd().from_pandas(cand)
@@ -1179,7 +1181,10 @@ def q_transcript_maintenance(sf_dir: str):
 SQL_LANG_ID = r"""
 WITH w AS (
   SELECT doc_id, lang,
-         list_distinct(regexp_extract_all(lower(text), '\w+')) AS ws
+         -- [\p{L}\p{N}_]+ not \w+: RE2's \w is ASCII-only while Python's
+         -- is Unicode — the CJK/umlaut stopwords must tokenize identically
+         list_distinct(regexp_extract_all(lower(text),
+                                          '[\p{L}\p{N}_]+')) AS ws
   FROM documents
 ), h AS (
   SELECT doc_id, lang,

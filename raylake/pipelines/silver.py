@@ -157,6 +157,11 @@ class SilverPipeline:
             start_col = "updated_at" if "updated_at" in names else "ingest_timestamp"
             tracked = [c for c in self.scd_tracked_cols
                        if c not in self.dedup_condition_cols]
+            if not tracked:
+                raise ValueError(
+                    "scd2: every tracked column is a delivery-stamp column "
+                    "(dedup_condition_cols); declare scd_tracked_cols "
+                    "explicitly")
             return merge_into(target, result, mode="scd2",
                               scd2_start_col=start_col,
                               tracked_cols=tracked)

@@ -199,3 +199,25 @@ def test_mor_delete_landing_mid_rewrite_conflicts(tbl, ray_session):
     snap = compact(t, target_file_bytes=512 * 1024)
     assert snap is not None
     assert _golden(t).equals(want)
+
+
+def test_mor_delete_key_validation_and_schema_guards(tbl, ray_session):
+    t = tbl
+    pre = _golden(t)
+    with pytest.raises(ValueError, match="not in schema"):
+        t.delete_by_keys(pa.table({"conv_idx": [1]}))  # typo'd column
+    with pytest.raises(ValueError, match="empty delete key set"):
+        t.delete_by_keys(pre.select(["conv_id", "turn_idx"]).slice(0, 0))
+    # an equality delete keyed on `text` blocks rename/drop of that column
+    t.delete_by_keys(pre.select(["text"]).slice(0, 3))
+    t.refresh()
+    with pytest.raises(ValueError, match="delete file keys on it"):
+        t.rename_column("text", "body")
+    with pytest.raises(ValueError, match="delete file keys on it"):
+        t.drop_column("text")
+    # purging the deletes lifts the guard
+    apply_deletes(t, target_file_bytes=512 * 1024)
+    t.refresh()
+    t.rename_column("text", "body")
+    t.refresh()
+    assert "body" in t.schema.names

@@ -95,3 +95,41 @@ def test_branch_commit_conflict_isolated_from_main(tbl, ray_session):
     t.drop_ref("dev")
     with pytest.raises(KeyError):
         t.resolve_ref("dev")
+
+
+def test_snapshot_as_of_excludes_unpublished_branch(tbl, ray_session):
+    """Timestamp time travel on main must not resolve to WAP audit commits;
+    after publish the chain joins main history."""
+    import time
+
+    t = tbl
+    pre = _golden(t)
+    t.create_branch("audit")
+    append(t, _late(pre, 20, "w"), branch="audit")
+    t.refresh()
+    time.sleep(0.01)
+    now = int(time.time() * 1000)
+    s = t.snapshot_as_of(now)
+    assert t.scan_arrow(snapshot=s, sort=True).equals(pre)  # no leak
+    t.fast_forward("audit")
+    t.refresh()
+    s2 = t.snapshot_as_of(int(time.time() * 1000) + 1)
+    assert len(t.scan_arrow(snapshot=s2)) == len(pre) + 20  # published
+
+
+def test_branch_lineage_survives_expiry_and_publishes(tbl, ray_session):
+    """GC must keep intermediate branch snapshots (fast_forward walks the
+    chain) — not just the head."""
+    t = tbl
+    pre = _golden(t)
+    t.create_branch("audit")
+    append(t, _late(pre, 10, "x"), branch="audit")
+    t.refresh()
+    append(t, _late(pre, 10, "y"), branch="audit")  # 2-deep branch chain
+    t.refresh()
+    expire_snapshots(t, keep_last=1, grace_period_s=0.0)
+    t.refresh()
+    head = t.fast_forward("audit")  # walks the full chain
+    t.refresh()
+    assert t.current_seq == head
+    assert len(_golden(t)) == len(pre) + 20

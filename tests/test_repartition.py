@@ -114,3 +114,46 @@ def test_repartition_resume_after_pause(tbl, ray_session):
 
 def test_repartition_noop_same_buckets(tbl, ray_session):
     assert repartition_table(tbl, tbl.num_buckets) is None
+
+
+def test_repartition_refuses_rebase_over_concurrent_append(tbl, ray_session):
+    """A spec flip may never rebase: a file appended mid-job carries OLD-spec
+    bucket ids, and flipping the spec around it silently breaks pruning and
+    merge routing. The commit must conflict instead."""
+    from raylake.core.table import CommitConflictError
+    from raylake.ops.repartition import _repartition_task
+    from raylake.ops.rewrite import run_rewrite_job
+
+    t = tbl
+    pre = _golden(t)
+    tasks = plan_repartition(t, max_task_bytes=128 * 1024)
+    spec = dict(t.meta["partition_spec"], num_buckets=8)
+    log = t.partition_spec_log + [{"num_buckets": 8, "since_seq": -1}]
+    assert run_rewrite_job(
+        t, "repartition", tasks, _repartition_task, job_id="rp-race",
+        params={"num_buckets": 8, "target_file_bytes": 256 * 1024},
+        max_tasks=1, concurrency=1,
+        meta_updates={"partition_spec": spec, "partition_spec_log": log},
+    ) is None  # paused
+    # concurrent append lands (old-spec bucketing)
+    from raylake.ops.append import append as _append
+
+    late = pre.slice(0, 40)
+    late = late.set_column(
+        late.schema.get_field_index("conv_id"), "conv_id",
+        pc.binary_join_element_wise(
+            pa.array(["race"] * len(late)), late["conv_id"], "-"),
+    )
+    _append(t, late)
+    t.refresh()
+    with pytest.raises(CommitConflictError, match="partition-spec change"):
+        repartition_table(t, 8, job_id="rp-race", concurrency=2)
+    # fresh re-plan succeeds and covers the appended rows
+    from raylake.state.ledger import Ledger
+
+    Ledger(t.root, "rp-race").clear()
+    snap = repartition_table(t, 8, target_file_bytes=256 * 1024)
+    assert snap is not None
+    t.refresh()
+    assert t.num_buckets == 8
+    assert len(_golden(t)) == len(pre) + 40
