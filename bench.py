@@ -251,10 +251,14 @@ def _update_baseline_md(rep: dict) -> None:
         f"No engine change can scale memory-bound work past the machine's\n"
         f"bandwidth; the 8→32 number measures the VM, not the engine.\n"
     )
+    static_marker = "<!-- bench:static -->"
     try:
         with open(path) as f:
             txt = f.read()
-        txt = txt.split(marker)[0].rstrip() + "\n\n" + block
+        static = ""
+        if static_marker in txt:
+            static = "\n\n" + static_marker + txt.split(static_marker, 1)[1]
+        txt = txt.split(marker)[0].rstrip() + "\n\n" + block + static
     except FileNotFoundError:
         txt = block
     with open(path, "w") as f:
