@@ -1071,6 +1071,59 @@ def q_simhash(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs: signatures → 4×16-bit band explode →
+    groupby(band) candidates → Hamming ≤ 3 verify against the broadcast
+    signature index. The pigeonhole band guarantee makes this EXACT for
+    Hamming ≤ 3 (zero false negatives) while the shuffle moves only
+    (band_id, band_val, doc_id) rows. Not SQL-expressible (the signature
+    is the custom kernel); golden-tested against brute force."""
+    import itertools
+
+    import ray
+
+    from raylake.functions.dedup import SimHasher, hamming64, simhash_band_rows
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    sigs = ds.map_batches(SimHasher, batch_format="pandas",
+                          concurrency=(1, 4)).select_columns(
+        ["doc_id", "simhash"])
+    sig_df = sigs.to_pandas()  # (doc_id, uint64) — 16 bytes/doc, bounded
+    sig_map = dict(zip(sig_df["doc_id"].astype(int),
+                       sig_df["simhash"].astype("int64")))
+    sig_ref = ray.put(sig_map)
+
+    bands = rd.from_pandas(sig_df).map_batches(
+        simhash_band_rows, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique().tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        combos = list(itertools.combinations(ids, 2))
+        return pd.DataFrame({"doc_a": [a for a, _ in combos],
+                             "doc_b": [b for _, b in combos]})
+
+    cand = (bands.groupby(["band_id", "band_val"])
+            .map_groups(pairs, batch_format="pandas"))
+
+    def verify(pb: pd.DataFrame, sig_ref=sig_ref) -> pd.DataFrame:
+        sm = ray.get(sig_ref)
+        hd = [hamming64(sm[int(a)] & 0xFFFFFFFFFFFFFFFF,
+                        sm[int(b)] & 0xFFFFFFFFFFFFFFFF)
+              for a, b in zip(pb["doc_a"], pb["doc_b"])]
+        pb = pb.copy()
+        pb["hamming"] = pd.Series(hd, index=pb.index, dtype="int64")
+        return pb[pb["hamming"] <= 3]
+
+    out = (cand.map_batches(verify, batch_format="pandas")
+           .to_pandas().drop_duplicates()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-profile language ID vs the labeled lang column (rows-only)."""
     from raylake.functions.text import LangId
@@ -1923,6 +1976,7 @@ QUERIES = {
     # probing aren't reproducible in SQL; both carry pytest golden checks.
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "ann_ivf": q_ann_ivf,
     "transcript_maintenance": q_transcript_maintenance,
 }

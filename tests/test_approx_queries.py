@@ -78,3 +78,27 @@ def test_cross_block_pair_join_equals_single_task_pairwise():
                 assert key not in got, f"pair {key} emitted twice"
                 got[key] = round(float(z), 6)
     assert got == want
+
+
+def test_simhash_neardup_golden_vs_bruteforce(ray_session):
+    """Pigeonhole guarantee: the banded pipeline must emit EXACTLY the pairs
+    with Hamming(simhash) <= 3 — zero false negatives, verify kills false
+    positives."""
+    from raylake.functions.dedup import hamming64, simhash64_batch
+    from raylake.pipelines.queries import q_simhash_neardup
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    sigs = dict(zip(t["doc_id"].to_pylist(),
+                    (int(s) & 0xFFFFFFFFFFFFFFFF
+                     for s in simhash64_batch(t["text"].to_pylist()))))
+    ids = sorted(sigs)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = hamming64(sigs[a], sigs[b])
+            if h <= 3:
+                brute[(a, b)] = h
+    got = q_simhash_neardup(SF_DIR).to_pandas()
+    got_pairs = {(int(a), int(b)): int(h) for a, b, h in
+                 zip(got["doc_a"], got["doc_b"], got["hamming"])}
+    assert got_pairs == brute
