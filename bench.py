@@ -70,13 +70,16 @@ def run_bench() -> dict:
     # rewrite tasks stay cache/allocator-friendly at high parallelism
     num_buckets = min(512, max(16, n_turns // 120_000))
 
-    # best-of-2: this VM sees intermittent external contention (host
+    # best-of-N: this VM sees intermittent external contention (host
     # co-tenancy) that can inflate a whole run 2-4x; the min reflects the
     # engine. Each attempt rebuilds the table (maintenance mutates it).
+    # Headline runs use 3 attempts (bursty-noise insurance); --scaling
+    # subprocesses set BENCH_ATTEMPTS=2 to keep the 4-level matrix bounded.
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     res = None
     setup_sec = 0.0
     table = sizes = late = None
-    for _ in range(2):
+    for _ in range(attempts):
         t_setup = time.monotonic()
         table, sizes = build_bench_table(root, n_turns, num_buckets=num_buckets)
         late = gen_late_from_meta(sizes, update_frac=0.05, insert_frac=0.02,
@@ -173,7 +176,8 @@ def run_scaling() -> dict:
     """
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_ATTEMPTS="2")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True,
