@@ -116,7 +116,9 @@ def run_bench() -> dict:
     # fast-delete evidence: metadata-only merge-on-read delete vs the
     # rewrite path for the same keys (2k keys on the maintained table)
     full = table.scan_arrow(columns=["conv_id", "turn_idx"])
-    keys = full.slice(len(full) // 2, 2000)
+    # combine_chunks COPIES the 2000 rows — a bare slice would share (and
+    # pin) the full scan's buffers for the rest of the run
+    keys = full.slice(len(full) // 2, 2000).combine_chunks()
     del full
     t = time.monotonic()
     table.delete_by_keys(keys)
@@ -262,7 +264,9 @@ def _update_baseline_md(rep: dict) -> None:
         static = ""
         if static_marker in txt:
             static = "\n\n" + static_marker + txt.split(static_marker, 1)[1]
-        txt = txt.split(marker)[0].rstrip() + "\n\n" + block + static
+        head = txt.split(marker)[0]
+        head = head.split(static_marker)[0]  # never duplicate the static tail
+        txt = head.rstrip() + "\n\n" + block + static
     except FileNotFoundError:
         txt = block
     with open(path, "w") as f:

@@ -159,6 +159,10 @@ class Table:
 
     def refresh(self) -> "Table":
         self.meta = md.read_json(os.path.join(self.root, "metadata", "table.json"))
+        # drop memoized merge-on-read state (rewrite.read_task_inputs):
+        # stale cached "no deletes" across a refresh would resurrect rows
+        if hasattr(self, "_mor_state"):
+            del self._mor_state
         return self
 
     # ------------------------------------------------------------ properties
@@ -247,9 +251,13 @@ class Table:
             refs = self.meta.setdefault("refs", {})
             if name in refs:
                 raise ValueError(f"ref exists: {name}")
-            refs[name] = {"type": kind,
-                          "seq": self.current_seq if snapshot is None
-                          else snapshot}
+            seq = self.current_seq if snapshot is None else snapshot
+            if seq != 0:
+                try:
+                    self.snapshot(seq)
+                except FileNotFoundError:
+                    raise ValueError(f"no such snapshot: {seq}") from None
+            refs[name] = {"type": kind, "seq": seq}
             md.atomic_write_json(
                 os.path.join(self.root, "metadata", "table.json"), self.meta)
 
@@ -474,6 +482,22 @@ class Table:
         snap = self.snapshot(snapshot)
         return list(snap.delete_files) if snap else []
 
+    def _all_retained_delete_cols(self) -> dict[str, str]:
+        """column -> delete-file path, across EVERY retained snapshot (the
+        log) — schema evolution must not break time-travel/ref scans that
+        still apply an old delete file."""
+        out: dict[str, str] = {}
+        for e in self.meta["snapshot_log"]:
+            try:
+                snap = self.snapshot(e["seq"])
+            except FileNotFoundError:
+                continue  # concurrently expired
+            if snap:
+                for d in snap.delete_files:
+                    for c in d["key_cols"]:
+                        out.setdefault(c, d["path"])
+        return out
+
     def _load_delete_keys(self, snapshot: int | None = None):
         """[(seq, key_cols, keys_table)] — driver-side, bounded."""
         from raylake.core.deletes import MAX_SCAN_DELETE_KEYS
@@ -690,12 +714,13 @@ class Table:
                 if old == protected:
                     raise ValueError(
                         f"cannot rename {old!r}: partition/sort key")
-            for d in self.delete_files_meta():
-                if old in d["key_cols"]:
-                    raise ValueError(
-                        f"cannot rename {old!r}: a live merge-on-read "
-                        f"delete file keys on it ({d['path']}); run "
-                        f"ops.deletes.apply_deletes first")
+            dcols = self._all_retained_delete_cols()
+            if old in dcols:
+                raise ValueError(
+                    f"cannot rename {old!r}: a merge-on-read delete file in "
+                    f"a retained snapshot keys on it ({dcols[old]}); purge "
+                    f"with ops.deletes.apply_deletes and expire the old "
+                    f"snapshots first")
             self.meta["schema"][names.index(old)][0] = new
             renames = self.meta.setdefault("column_renames", {})
             # every HISTORICAL physical name must map to the current name
@@ -724,12 +749,13 @@ class Table:
             for protected in (self.partition_column, *self.sort_order):
                 if name == protected:
                     raise ValueError(f"cannot drop {name!r}: partition/sort key")
-            for d in self.delete_files_meta():
-                if name in d["key_cols"]:
-                    raise ValueError(
-                        f"cannot drop {name!r}: a live merge-on-read delete "
-                        f"file keys on it ({d['path']}); run "
-                        f"ops.deletes.apply_deletes first")
+            dcols = self._all_retained_delete_cols()
+            if name in dcols:
+                raise ValueError(
+                    f"cannot drop {name!r}: a merge-on-read delete file in "
+                    f"a retained snapshot keys on it ({dcols[name]}); purge "
+                    f"with ops.deletes.apply_deletes and expire the old "
+                    f"snapshots first")
             del self.meta["schema"][names.index(name)]
             self.meta["schema_last_updated_seq"] = self.current_seq
             self.meta["stats_columns"] = [

@@ -104,22 +104,25 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def simhash_band_rows(batch: pd.DataFrame, id_col: str = "doc_id"
-                      ) -> pd.DataFrame:
+def simhash_band_rows(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """Explode 64-bit simhashes to (band_id, band_val, id) rows — the
     4×16-bit band trick: two signatures within Hamming distance 3 MUST agree
     exactly on at least one of the 4 bands (pigeonhole), so the band groupby
     finds every such pair with zero false negatives. Only 10-byte rows enter
-    the shuffle."""
+    the shuffle. Pure Arrow/numpy per-batch kernel."""
     sig = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-    out = {"band_id": [], "band_val": [], id_col: []}
+    n = len(sig)
     ids = batch[id_col].to_numpy()
-    for b in range(4):
-        out["band_id"].extend([b] * len(ids))
-        out["band_val"].extend(
-            ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).tolist())
-        out[id_col].extend(ids.tolist())
-    return pd.DataFrame(out)
+    band_id = np.repeat(np.arange(4, dtype=np.int32), n)
+    band_val = np.concatenate([
+        ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        for b in range(4)
+    ])
+    return pa.table({
+        "band_id": pa.array(band_id),
+        "band_val": pa.array(band_val),
+        id_col: pa.array(np.tile(ids, 4)),
+    })
 
 
 def cluster_pairs(pairs: list[tuple], keep: str = "min") -> dict:

@@ -70,11 +70,16 @@ def expire_snapshots(
         # tagged training-data release must outlive keep_last, and branch
         # lineages must stay walkable for fast_forward
         protected = _protected_seqs(table)
+        # keep_last counts MAIN-history snapshots only: unpublished branch
+        # commits (marked entries) must not consume the user's retention
+        # window for main
+        main_seqs = [e["seq"] for e in log if "branch" not in e]
+        recent_main = set(main_seqs[-keep_last:]) if keep_last is not None else set()
         keep: list[dict] = []
-        for i, entry in enumerate(log):
+        for entry in log:
             is_current = entry["seq"] == table.current_seq
             is_ref = entry["seq"] in protected
-            recent = keep_last is not None and i >= len(log) - keep_last
+            recent = entry["seq"] in recent_main
             young = older_than_ms is not None and entry["ts_ms"] >= older_than_ms
             if (is_current or is_ref or recent or young
                     or (keep_last is None and older_than_ms is None)):

@@ -1082,44 +1082,67 @@ def q_simhash_neardup(sf_dir: str):
 
     import ray
 
-    from raylake.functions.dedup import SimHasher, hamming64, simhash_band_rows
+    from raylake.functions.dedup import SimHasher, simhash_band_rows
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
     sigs = ds.map_batches(SimHasher, batch_format="pandas",
                           concurrency=(1, 4)).select_columns(
         ["doc_id", "simhash"])
-    sig_df = sigs.to_pandas()  # (doc_id, uint64) — 16 bytes/doc, bounded
+    sig_df = sigs.to_pandas()  # (doc_id, int64) — 16 bytes/doc, bounded
     sig_map = dict(zip(sig_df["doc_id"].astype(int),
                        sig_df["simhash"].astype("int64")))
     sig_ref = ray.put(sig_map)
 
     bands = rd.from_pandas(sig_df).map_batches(
-        simhash_band_rows, batch_format="pandas")
+        simhash_band_rows, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # groupby-within-batch — the one legitimately-pandas stage
         ids = sorted(g["doc_id"].unique().tolist())
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "band_id": pd.Series([], dtype="int32")})
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
+            return empty
         combos = list(itertools.combinations(ids, 2))
         return pd.DataFrame({"doc_a": [a for a, _ in combos],
-                             "doc_b": [b for _, b in combos]})
+                             "doc_b": [b for _, b in combos],
+                             "band_id": np.full(len(combos),
+                                                g["band_id"].iloc[0],
+                                                dtype=np.int32)})
 
     cand = (bands.groupby(["band_id", "band_val"])
             .map_groups(pairs, batch_format="pandas"))
 
-    def verify(pb: pd.DataFrame, sig_ref=sig_ref) -> pd.DataFrame:
+    def verify(t: pa.Table, sig_ref=sig_ref) -> pa.Table:
         sm = ray.get(sig_ref)
-        hd = [hamming64(sm[int(a)] & 0xFFFFFFFFFFFFFFFF,
-                        sm[int(b)] & 0xFFFFFFFFFFFFFFFF)
-              for a, b in zip(pb["doc_a"], pb["doc_b"])]
-        pb = pb.copy()
-        pb["hamming"] = pd.Series(hd, index=pb.index, dtype="int64")
-        return pb[pb["hamming"] <= 3]
+        a_ids = t["doc_a"].to_numpy()
+        b_ids = t["doc_b"].to_numpy()
+        band = t["band_id"].to_numpy()
+        sa = np.array([sm[int(a)] for a in a_ids], np.int64).view(np.uint64)
+        sb = np.array([sm[int(b)] for b in b_ids], np.int64).view(np.uint64)
+        x = sa ^ sb
+        # vectorized popcount via 4x16-bit lookup
+        lut = np.array([bin(i).count("1") for i in range(1 << 16)], np.uint8)
+        hd = sum(lut[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+                 for s in (0, 16, 32, 48)).astype(np.int64)
+        # standard LSH dedup: a pair agreeing on k bands is produced by k
+        # groups — keep it only from its FIRST agreeing band, so the pair
+        # set is exact with zero duplicate verify work downstream
+        first_band = np.full(len(x), 4, np.int32)
+        for b in (3, 2, 1, 0):
+            agree = ((x >> np.uint64(16 * b)) & np.uint64(0xFFFF)) == 0
+            first_band[agree] = b
+        keep = (hd <= 3) & (first_band == band)
+        return pa.table({
+            "doc_a": pa.array(a_ids[keep]),
+            "doc_b": pa.array(b_ids[keep]),
+            "hamming": pa.array(hd[keep]),
+        })
 
-    out = (cand.map_batches(verify, batch_format="pandas")
-           .to_pandas().drop_duplicates()
+    out = (cand.map_batches(verify, batch_format="pyarrow")
+           .to_pandas()
            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
 

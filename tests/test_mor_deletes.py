@@ -211,12 +211,17 @@ def test_mor_delete_key_validation_and_schema_guards(tbl, ray_session):
     # an equality delete keyed on `text` blocks rename/drop of that column
     t.delete_by_keys(pre.select(["text"]).slice(0, 3))
     t.refresh()
-    with pytest.raises(ValueError, match="delete file keys on it"):
+    with pytest.raises(ValueError, match="delete file in a retained"):
         t.rename_column("text", "body")
-    with pytest.raises(ValueError, match="delete file keys on it"):
+    with pytest.raises(ValueError, match="delete file in a retained"):
         t.drop_column("text")
-    # purging the deletes lifts the guard
+    # purging alone is NOT enough: retained snapshots still carry the
+    # delete file for time travel — expiring them lifts the guard
     apply_deletes(t, target_file_bytes=512 * 1024)
+    t.refresh()
+    with pytest.raises(ValueError, match="retained snapshot"):
+        t.rename_column("text", "body")
+    expire_snapshots(t, keep_last=1, grace_period_s=0.0)
     t.refresh()
     t.rename_column("text", "body")
     t.refresh()
