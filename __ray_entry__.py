@@ -9,9 +9,13 @@ here (or in raylake) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one entry per implemented operator/pipeline
                       (SURVEY.md §2 + training-data additions), each taking
                       ``sf_dir``.
-- ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query;
-                      non-SQL ops (minhash LSH, simhash, lang-id, IVF ANN,
-                      the lakehouse maintenance job itself) are rows-only.
+- ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
+                      (38 of 43, including the maintenance pipeline itself
+                      via ``maintained_scan``/``mor_delete_scan`` whose
+                      inputs derive from the events view); rows-only:
+                      minhash/simhash banding, IVF ANN probing, and the
+                      fixture-input transcript_maintenance — each carries a
+                      pytest golden check instead.
 """
 
 from __future__ import annotations
