@@ -1724,6 +1724,86 @@ LEFT JOIN dagg g ON d.symbol = g.symbol
 """
 
 
+def q_incremental_scan(sf_dir: str):
+    """Incremental/CDC read (T8) oracle-checked end-to-end: the
+    events-derived transcript table is loaded in TWO commits split at the
+    time-range midpoint; `added_entries(after_seq=<first commit>)` must
+    return EXACTLY the second delivery — the snapshot-diff read that
+    replaces the reference's data-column high-watermark queries
+    (ref _silver_handler.py:31-41)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from raylake.core.schema import TRANSCRIPT_SCHEMA
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    mm = ds.map_batches(
+        lambda t: pa.table({
+            "lo": [pc.min(pc.cast(t["ts"], pa.int64())).as_py()],
+            "hi": [pc.max(pc.cast(t["ts"], pa.int64())).as_py()],
+        }), batch_format="pyarrow").to_pandas()
+    mid_us = (int(mm["lo"].min()) + int(mm["hi"].max())) // 2
+
+    def to_turns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "conv_id": "c" + g["user_id"].astype(str),
+            "turn_idx": np.arange(len(g), dtype=np.int32),
+            "role": g["event_type"],
+            "text": [hashlib.md5(str(e).encode()).hexdigest()
+                     for e in g["event_id"]],
+            "tool": "",
+            "ts": g["ts"],
+        })
+
+    turns = ds.groupby("user_id").map_groups(to_turns, batch_format="pandas")
+
+    def half(t: pa.Table, late: bool) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        m = pc.greater_equal(us, mid_us) if late else pc.less(us, mid_us)
+        return t.filter(m)
+
+    root = tempfile.mkdtemp(prefix="raylake_incq_")
+    try:
+        tbl = Table.create(os.path.join(root, "t"), TRANSCRIPT_SCHEMA,
+                           partition_column="conv_id", num_buckets=4)
+        append(tbl, turns.map_batches(lambda t: half(t, False),
+                                      batch_format="pyarrow"),
+               batch_size=2048)
+        tbl.refresh()
+        watermark_seq = tbl.current_seq
+        append(tbl, turns.map_batches(lambda t: half(t, True),
+                                      batch_format="pyarrow"),
+               batch_size=2048)
+        tbl.refresh()
+        delta = tbl.added_entries(after_seq=watermark_seq)
+        return tbl.scan_arrow(entries=delta, sort=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_INCREMENTAL_SCAN = """
+WITH b AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events
+), r AS (
+  SELECT 'c' || user_id::VARCHAR AS conv_id,
+         (row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         event_type AS role,
+         md5(event_id::VARCHAR) AS text,
+         '' AS tool, ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM r, b WHERE epoch_us(ts) >= b.mid
+"""
+
+
 def q_contamination(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 97 == 0 form the
     benchmark; every other doc is flagged when it shares ≥1 word trigram.
@@ -1995,6 +2075,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "mor_delete_scan": q_mor_delete_scan,
     "contamination": q_contamination,
+    "incremental_scan": q_incremental_scan,
     # non-SQL-expressible (rows-only driver check): minhash banding and IVF
     # probing aren't reproducible in SQL; both carry pytest golden checks.
     "minhash_neardup": q_minhash_neardup,
@@ -2043,4 +2124,5 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "mor_delete_scan": SQL_MOR_DELETE_SCAN,
     "contamination": SQL_CONTAMINATION,
+    "incremental_scan": SQL_INCREMENTAL_SCAN,
 }
