@@ -1731,8 +1731,88 @@ def q_incremental_scan(sf_dir: str):
     return EXACTLY the second delivery — the snapshot-diff read that
     replaces the reference's data-column high-watermark queries
     (ref _silver_handler.py:31-41)."""
-    import hashlib
     import shutil
+
+    tbl, watermark_seq, root = _two_commit_table(sf_dir)
+    try:
+        delta = tbl.added_entries(after_seq=watermark_seq)
+        return tbl.scan_arrow(entries=delta, sort=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_INCREMENTAL_SCAN = """
+WITH b AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events
+), r AS (
+  SELECT 'c' || user_id::VARCHAR AS conv_id,
+         (row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         event_type AS role,
+         md5(event_id::VARCHAR) AS text,
+         '' AS tool, ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM r, b WHERE epoch_us(ts) >= b.mid
+"""
+
+
+def q_time_travel(sf_dir: str):
+    """Snapshot time travel (T2) oracle-checked: after the second delivery
+    commits, a scan pinned to the FIRST snapshot must still return exactly
+    the first delivery — the oracle recomputes that half in SQL."""
+    tbl, watermark_seq, root = _two_commit_table(sf_dir)
+    import shutil
+
+    try:
+        return tbl.scan_arrow(snapshot=watermark_seq, sort=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_TIME_TRAVEL = """
+WITH b AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events
+), r AS (
+  SELECT 'c' || user_id::VARCHAR AS conv_id,
+         (row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         event_type AS role,
+         md5(event_id::VARCHAR) AS text,
+         '' AS tool, ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM r, b WHERE epoch_us(ts) < b.mid
+"""
+
+
+def q_wap_isolation(sf_dir: str):
+    """Write-audit-publish isolation, oracle-checked: the second delivery is
+    appended to an UNPUBLISHED branch; the main scan must still equal the
+    first delivery exactly (the oracle), while the branch scan holds
+    everything (asserted here — publish is exercised in pytest)."""
+    import shutil
+
+    tbl, watermark_seq, root = _two_commit_table(sf_dir, second_on_branch=True)
+    try:
+        n_main = tbl.scan_arrow(sort=True).num_rows
+        n_branch = tbl.scan_arrow(snapshot="audit", sort=True).num_rows
+        assert n_branch > n_main  # branch holds the unpublished delivery
+        return tbl.scan_arrow(sort=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_WAP_ISOLATION = SQL_TIME_TRAVEL  # main == first delivery, verbatim
+
+
+def _two_commit_table(sf_dir: str, second_on_branch: bool = False):
+    """Shared fixture for incremental/time-travel/WAP oracles: the
+    events-derived transcript table loaded as two commits split at the
+    time-range midpoint (second commit optionally on an 'audit' branch)."""
+    import hashlib
     import tempfile
 
     from raylake.core.schema import TRANSCRIPT_SCHEMA
@@ -1768,40 +1848,22 @@ def q_incremental_scan(sf_dir: str):
         m = pc.greater_equal(us, mid_us) if late else pc.less(us, mid_us)
         return t.filter(m)
 
-    root = tempfile.mkdtemp(prefix="raylake_incq_")
-    try:
-        tbl = Table.create(os.path.join(root, "t"), TRANSCRIPT_SCHEMA,
-                           partition_column="conv_id", num_buckets=4)
-        append(tbl, turns.map_batches(lambda t: half(t, False),
-                                      batch_format="pyarrow"),
-               batch_size=2048)
-        tbl.refresh()
-        watermark_seq = tbl.current_seq
-        append(tbl, turns.map_batches(lambda t: half(t, True),
-                                      batch_format="pyarrow"),
-               batch_size=2048)
-        tbl.refresh()
-        delta = tbl.added_entries(after_seq=watermark_seq)
-        return tbl.scan_arrow(entries=delta, sort=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-
-
-SQL_INCREMENTAL_SCAN = """
-WITH b AS (
-  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events
-), r AS (
-  SELECT 'c' || user_id::VARCHAR AS conv_id,
-         (row_number() OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id) - 1)::INT AS turn_idx,
-         event_type AS role,
-         md5(event_id::VARCHAR) AS text,
-         '' AS tool, ts
-  FROM events
-)
-SELECT conv_id, turn_idx, role, text, tool, ts
-FROM r, b WHERE epoch_us(ts) >= b.mid
-"""
+    root = tempfile.mkdtemp(prefix="raylake_2cq_")
+    tbl = Table.create(os.path.join(root, "t"), TRANSCRIPT_SCHEMA,
+                       partition_column="conv_id", num_buckets=4)
+    append(tbl, turns.map_batches(lambda t: half(t, False),
+                                  batch_format="pyarrow"), batch_size=2048)
+    tbl.refresh()
+    watermark_seq = tbl.current_seq
+    branch = None
+    if second_on_branch:
+        tbl.create_branch("audit")
+        branch = "audit"
+    append(tbl, turns.map_batches(lambda t: half(t, True),
+                                  batch_format="pyarrow"),
+           batch_size=2048, branch=branch)
+    tbl.refresh()
+    return tbl, watermark_seq, root
 
 
 def q_contamination(sf_dir: str):
@@ -2076,6 +2138,8 @@ QUERIES = {
     "mor_delete_scan": q_mor_delete_scan,
     "contamination": q_contamination,
     "incremental_scan": q_incremental_scan,
+    "time_travel": q_time_travel,
+    "wap_isolation": q_wap_isolation,
     # non-SQL-expressible (rows-only driver check): minhash banding and IVF
     # probing aren't reproducible in SQL; both carry pytest golden checks.
     "minhash_neardup": q_minhash_neardup,
@@ -2125,4 +2189,6 @@ ORACLES = {
     "mor_delete_scan": SQL_MOR_DELETE_SCAN,
     "contamination": SQL_CONTAMINATION,
     "incremental_scan": SQL_INCREMENTAL_SCAN,
+    "time_travel": SQL_TIME_TRAVEL,
+    "wap_isolation": SQL_WAP_ISOLATION,
 }
