@@ -268,6 +268,26 @@ class Table:
             md.atomic_write_json(
                 os.path.join(self.root, "metadata", "table.json"), self.meta)
 
+    def rollback(self, seq: int) -> int:
+        """Iceberg `rollback_to_snapshot`: move main back to a RETAINED
+        snapshot (bad-data escape hatch). Later snapshots stay readable
+        until expiry; new commits parent off the rolled-back snapshot and
+        sequence numbers never reuse (last_sequence keeps growing)."""
+        with _CommitLock(self.root):
+            self.refresh()
+            entry = next((e for e in self.meta["snapshot_log"]
+                          if e["seq"] == seq), None)
+            if entry is None:
+                raise ValueError(f"snapshot {seq} is not retained")
+            if "branch" in entry:
+                raise ValueError(
+                    f"snapshot {seq} is an unpublished branch commit; "
+                    f"fast_forward the branch instead")
+            self.meta["current_snapshot"] = seq
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta)
+            return seq
+
     def fast_forward(self, branch: str) -> int:
         """Publish a branch (write-audit-publish): move main to the branch
         head. Requires main to be an ANCESTOR of the head — a diverged main

@@ -133,3 +133,34 @@ def test_branch_lineage_survives_expiry_and_publishes(tbl, ray_session):
     t.refresh()
     assert t.current_seq == head
     assert len(_golden(t)) == len(pre) + 20
+
+
+def test_rollback_to_snapshot(tbl, ray_session):
+    """Iceberg rollback parity: bad data escape — main returns to an older
+    snapshot; new commits parent off it with fresh sequence numbers."""
+    from raylake.ops import compact
+
+    t = tbl
+    pre = _golden(t)
+    good_seq = t.current_seq
+    append(t, _late(pre, 30, "bad"))  # the 'bad' delivery
+    t.refresh()
+    assert len(_golden(t)) == len(pre) + 30
+    t.rollback(good_seq)
+    t.refresh()
+    assert t.current_seq == good_seq
+    assert _golden(t).equals(pre)
+    # new work parents off the rolled-back snapshot, seqs never reuse
+    snap = compact(t, target_file_bytes=512 * 1024)
+    assert snap is not None and snap.parent == good_seq
+    assert snap.seq > good_seq + 1  # the bad commit's seq is not reused
+    assert _golden(t).equals(pre)
+    # invalid rollbacks refuse
+    with pytest.raises(ValueError, match="not retained"):
+        t.rollback(99999)
+    t.create_branch("b2")
+    append(t, _late(pre, 5, "z"), branch="b2")
+    t.refresh()
+    bseq = t.resolve_ref("b2")
+    with pytest.raises(ValueError, match="unpublished branch"):
+        t.rollback(bseq)
