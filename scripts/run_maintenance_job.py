@@ -24,7 +24,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OPS = ("compact", "zorder", "merge", "apply-deletes", "repartition", "expire")
+OPS = ("compact", "zorder", "merge", "apply-deletes", "repartition",
+       "expire", "rollback")
 
 
 def main() -> int:
@@ -40,6 +41,7 @@ def main() -> int:
     ap.add_argument("--num-buckets", type=int, default=None,
                     help="for repartition")
     ap.add_argument("--keep-last", type=int, default=10, help="for expire")
+    ap.add_argument("--to-seq", type=int, default=None, help="for rollback")
     args = ap.parse_args()
 
     import ray
@@ -95,11 +97,16 @@ def main() -> int:
                 raise SystemExit("--num-buckets required for repartition")
             snap = run(lambda tbl, **kw: repartition_table(
                 tbl, args.num_buckets, **kw), jid, target_file_bytes=tfb)
+        elif op == "rollback":
+            if args.to_seq is None:
+                raise SystemExit("--to-seq required for rollback")
+            snap = None
+            report["rollback"] = {"to_seq": t.rollback(args.to_seq)}
         else:  # expire
             snap = None
             report["expire"] = expire_snapshots(t, keep_last=args.keep_last)
         t.refresh()
-        if op != "expire":
+        if op not in ("expire", "rollback"):
             report[op] = {
                 "sec": round(time.monotonic() - t0, 3),
                 "snapshot": snap.seq if snap else None,
