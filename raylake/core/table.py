@@ -662,8 +662,13 @@ class Table:
                                     entries=[e], apply_deletes=False)
                 if app:
                     t = filter_deleted(
-                        t, [(loaded[i][1], loaded[i][2]) for i in app],
-                        columns)
+                        t, [(loaded[i][1], loaded[i][2]) for i in app])
+                # Project unconditionally: entries WITHOUT applicable deletes
+                # were read with the sorted key-superset column order, so a
+                # mixed-applicability concat would raise ArrowInvalid (and an
+                # all-clean scan would silently return sorted column order).
+                if columns is not None:
+                    t = t.select(columns)
                 parts.append(t)
             t = (pa.concat_tables(parts) if parts
                  else self.schema.empty_table())
@@ -823,7 +828,7 @@ class Table:
         pair would mis-bucket every point lookup).
         """
         replaced = set(replaced_paths)
-        with _CommitLock(self.root):
+        with _CommitLock(self.root) as lk:
             self.refresh()
             if branch is not None:
                 refs = self.meta.get("refs", {})
@@ -874,6 +879,7 @@ class Table:
             parent_snap = self.snapshot(cur)
             if parent_snap is not None:
                 for m in parent_snap.manifests:
+                    lk.touch()  # keep a long manifest rewrite from going stale
                     entries = md.read_manifest(self.root, m)
                     if replaced and any(e.path in replaced for e in entries):
                         kept = [e for e in entries if e.path not in replaced]

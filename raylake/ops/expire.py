@@ -63,7 +63,7 @@ def expire_snapshots(
       The mtime check happens at unlink time. Pass 0.0 only in tests on
       quiesced tables.
     """
-    with _CommitLock(table.root):
+    with _CommitLock(table.root) as lk:
         table.refresh()
         log = table.meta["snapshot_log"]
         # named refs pin snapshots regardless of retention policy — a
@@ -95,6 +95,7 @@ def expire_snapshots(
         reachable_data: set[str] = set()
         reachable_meta: set[str] = {"metadata/table.json"}
         for entry in keep:
+            lk.touch()  # long reachability walks must not be stale-broken
             reachable_meta.add(entry["file"])
             snap = table.snapshot(entry["seq"])
             for m in snap.manifests:
@@ -121,6 +122,7 @@ def expire_snapshots(
         on_disk_data = []
         data_root = os.path.join(table.root, "data")
         for dirpath, _, files in os.walk(data_root):
+            lk.touch()
             for fn in files:
                 rel = os.path.relpath(os.path.join(dirpath, fn), table.root)
                 if rel not in reachable_data:

@@ -484,7 +484,21 @@ def _scd2_task_body(
                    if c not in keys and c not in SCD2_COLS]
     n_src = len(src)
     if params.get("scd2_start_col"):
-        start_arr = pc.cast(src[params["scd2_start_col"]], pa.timestamp("us"))
+        # str = single column; list = coalesce in order (the reference's
+        # updated_at-else-ingest_timestamp rule, _silver_handler.py:149-150).
+        cols = params["scd2_start_col"]
+        if isinstance(cols, str):
+            cols = [cols]
+        start_arr = pc.cast(src[cols[0]], pa.timestamp("us"))
+        for c in cols[1:]:
+            start_arr = pc.coalesce(
+                start_arr, pc.cast(src[c], pa.timestamp("us")))
+        if pc.any(pc.is_null(start_arr)).as_py():
+            # A null here would round-trip through float NaN in the int64
+            # cast below and stamp garbage end_timestamps on closed rows.
+            raise ValueError(
+                f"scd2 start column(s) {cols} contain nulls; coalesce with a "
+                f"non-null fallback (e.g. ['updated_at','ingest_timestamp'])")
         start_arr = start_arr.combine_chunks() if isinstance(
             start_arr, pa.ChunkedArray) else start_arr
     else:
@@ -602,7 +616,7 @@ def merge_into(
     concurrency: int | None = None,
     max_tasks: int | None = None,
     scd2_start_ts=None,
-    scd2_start_col: str | None = None,
+    scd2_start_col: str | list[str] | None = None,
     tracked_cols: list[str] | None = None,
 ):
     """MERGE source (ray Dataset | pa.Table) into table. Returns the committed
@@ -629,8 +643,12 @@ def merge_into(
                 "scd2 merge with an EMPTY tracked_cols list can never close "
                 "a version — pass None for the all-non-key default, or a "
                 "non-empty list")
-        if scd2_start_col is not None and scd2_start_col not in table.schema.names:
-            raise ValueError(f"scd2_start_col {scd2_start_col!r} not in schema")
+        if scd2_start_col is not None:
+            _cols = ([scd2_start_col] if isinstance(scd2_start_col, str)
+                     else list(scd2_start_col))
+            bad = [c for c in _cols if c not in table.schema.names]
+            if bad:
+                raise ValueError(f"scd2_start_col {bad} not in schema")
         if scd2_start_ts is not None:
             scd2_start_us = (
                 int(scd2_start_ts)

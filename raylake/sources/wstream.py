@@ -8,8 +8,10 @@ Semantics (standard watermark streaming):
 - watermark = max event ts seen − allowed lateness;
 - a window is FLUSHED (its aggregate appended to the results table) once
   `window_end <= watermark`; rows arriving for already-flushed windows are
-  true stragglers and are side-output to a `late/` audit table (the batch
-  repair path is a MERGE recompute over them — never silent loss);
+  true stragglers and are side-output to a late audit stream persisted in
+  the tick's own commit summary — atomic with state+output, so a crash
+  between ticks never drops them (the batch repair path is a MERGE
+  recompute over `late_table()` — never silent loss);
 - open-window partial state is (key, window) → (count, sum): mergeable,
   bounded by #keys × (lateness/window + 1) windows.
 
@@ -86,6 +88,7 @@ class WindowedStreamAggregator:
         late = batch.filter(late_mask)
         if len(late):
             self.late_rows.append(late)
+            self._late_schema = late.schema
         live = batch.filter(pc.invert(late_mask))
         if len(live):
             lt = live.append_column(
@@ -138,10 +141,16 @@ class WindowedStreamAggregator:
             "open": [[k, w, n, s] for (k, w), (n, s) in
                      sorted(self.open.items())],
         }
-        self.table.commit(
-            "stream-window", added,
-            summary={"stream_offset": offset, "wstream_state": state},
-        )
+        summary = {"stream_offset": offset, "wstream_state": state}
+        if len(late):
+            # Persist this tick's stragglers IN the tick commit: state,
+            # output and the late audit rows advance atomically, so a crash
+            # between ticks never silently drops them (they are rare by
+            # construction — only rows behind the watermark). late_table()
+            # rebuilds from the snapshot log; the batch repair path MERGEs
+            # them back in.
+            summary["wstream_late"] = late.to_pydict()
+        self.table.commit("stream-window", added, summary=summary)
         self.last_offset = offset
         return True
 
@@ -166,4 +175,16 @@ class WindowedStreamAggregator:
         return self.table.refresh().scan_arrow(sort=True)
 
     def late_table(self) -> pa.Table | None:
-        return pa.concat_tables(self.late_rows) if self.late_rows else None
+        """All straggler rows, rebuilt from the snapshot log (restart-safe:
+        each tick's late rows ride in that tick's commit summary)."""
+        parts = []
+        for snap in self.table.refresh().snapshots():
+            d = snap.summary.get("wstream_late")
+            if d:
+                parts.append(pa.table(d))
+        if not parts:
+            return None
+        schema = getattr(self, "_late_schema", None)
+        if schema is not None:
+            parts = [p.cast(schema) for p in parts]
+        return pa.concat_tables(parts)
