@@ -27,6 +27,56 @@ def stable_hash64(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=True).astype(np.uint64)
 
 
+SPLITMIX_GOLDEN = 0x9E3779B97F4A7C15
+SPLITMIX_C1 = 0xBF58476D1CE4E5B9
+SPLITMIX_C2 = 0x94D049BB133111EB
+U64_MOD = 1 << 64
+
+
+def mix64(ids) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over an int64 column → uint64.
+
+    The production hash for sampling / sketches: pure numpy (wrapping uint64
+    arithmetic, no per-row Python), deterministic across processes, and —
+    unlike SipHash — EXACTLY reproducible in ANSI SQL via HUGEINT mod-2^64
+    arithmetic (`sql_mix64_cte` emits the DuckDB transcription), so queries
+    built on it stay fully oracle-backed."""
+    if isinstance(ids, (pa.Array, pa.ChunkedArray)):
+        ids = ids.to_numpy(zero_copy_only=False)
+    z = np.asarray(ids).astype(np.uint64) + np.uint64(SPLITMIX_GOLDEN)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(SPLITMIX_C1)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(SPLITMIX_C2)
+    return z ^ (z >> np.uint64(31))
+
+
+def _sql_wrapmul(expr: str, c: int) -> str:
+    """(expr * c) mod 2^64 in DuckDB without INT128 overflow: split c into
+    32-bit halves (u64 × u64 products can exceed HUGEINT's 2^127-1)."""
+    clo, chi = c & 0xFFFFFFFF, c >> 32
+    return (f"((({expr})::HUGEINT * {clo} + ((({expr})::HUGEINT * {chi}) "
+            f"% 4294967296) * 4294967296) % {U64_MOD})::UBIGINT")
+
+
+def sql_mix64_cte(source_sql: str, col: str, carry: tuple = (),
+                  alias: str = "mx") -> str:
+    """DuckDB CTE chain computing mix64(col) bit-for-bit (xor/shift on
+    UBIGINT, wrap-around multiplies via split-half HUGEINT arithmetic; the
+    `+n % n` guard matches numpy's two's-complement wrap for negative
+    inputs). `source_sql` is a relation exposing `col` and the `carry`
+    columns; the final relation `alias` has columns (*carry, h). Splice
+    after WITH."""
+    n, g = U64_MOD, SPLITMIX_GOLDEN
+    pre = "".join(f"{c}, " for c in carry)
+    return f"""
+{alias}_0 AS (SELECT {pre}((({col}::HUGEINT + {g}) % {n} + {n}) % {n})::UBIGINT
+              AS z FROM ({source_sql})),
+{alias}_1 AS (SELECT {pre}{_sql_wrapmul("xor(z, z >> 30)", SPLITMIX_C1)}
+              AS z FROM {alias}_0),
+{alias}_2 AS (SELECT {pre}{_sql_wrapmul("xor(z, z >> 27)", SPLITMIX_C2)}
+              AS z FROM {alias}_1),
+{alias} AS (SELECT {pre}xor(z, z >> 31) AS h FROM {alias}_2)"""
+
+
 def partition_of(values, num_buckets: int) -> np.ndarray:
     """bucket = stable_hash64(conv_id) % P  (int32)."""
     return (stable_hash64(values) % np.uint64(num_buckets)).astype(np.int32)

@@ -4,9 +4,13 @@ The scale path for COUNT(DISTINCT) at 10^12 rows: each batch contributes a
 bounded sketch (its k smallest 60-bit hashes of the distinct values seen),
 sketches merge associatively (union → keep k smallest), and the estimate is
 (k-1) / u_k where u_k is the k-th smallest hash normalized to (0,1].
-Deterministic by construction (md5 — no seed), so the DuckDB oracle can
-recompute it EXACTLY: hex-prefix-to-UBIGINT matches Python's
-int(md5hex[:15], 16) bit for bit.
+
+Hashing is the vectorized splitmix64 finalizer (`core.hashing.mix64`) —
+pure numpy over the whole batch (no per-row Python), deterministic with no
+seed state, and exactly reproducible in DuckDB via HUGEINT mod-2^64
+arithmetic, so the SQL oracle recomputes the ESTIMATE bit for bit. String
+inputs fall back to `stable_hash64` (vectorized SipHash — deterministic but
+not SQL-transcribable; oracle-backed queries should hash integer keys).
 
 Standard construction: Bar-Yossef et al., "Counting distinct elements in a
 data stream" (RANDOM 2002); the (k-1)/u_k unbiased form follows
@@ -15,20 +19,32 @@ Beyer et al., SIGMOD 2007.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
+import pyarrow as pa
 
-KMV_BITS = 60  # 15 hex chars — fits UBIGINT on the DuckDB side
+from raylake.core.hashing import mix64, stable_hash64
+
+KMV_BITS = 60  # fits UBIGINT comfortably on the DuckDB side
 KMV_NORM = float(1 << KMV_BITS)
 
 
 def kmv_hash(values) -> np.ndarray:
-    """Deterministic 60-bit hashes of stringified values (sorted, distinct)."""
-    hs = {
-        int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) for v in values
-    }
-    return np.array(sorted(hs), dtype=np.uint64)
+    """Vectorized 60-bit hashes of a column (sorted, distinct).
+
+    int64 columns use the SQL-reproducible splitmix64 mix; anything else
+    uses stable_hash64 over the stringified values."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_integer(values.type):
+            h = mix64(values)
+        else:
+            h = stable_hash64(values)
+    else:
+        arr = np.asarray(values)
+        if np.issubdtype(arr.dtype, np.integer):
+            h = mix64(arr)
+        else:
+            h = stable_hash64([str(v) for v in arr])
+    return np.unique(h >> np.uint64(64 - KMV_BITS))
 
 
 def kmv_partial(values, k: int) -> np.ndarray:

@@ -1991,29 +1991,37 @@ FROM r WHERE role <> 'purchase'
 # Sampling / sketches / sessionization (training-data additions, round 2)
 # ---------------------------------------------------------------------------
 
+SAMPLE_RATE_NUM = 6554  # keep when mix64(event_id) >> 48 < 6554 (~10.0%)
+
+
 def q_sample_hash(sf_dir: str):
-    """Deterministic Bernoulli sample (~9.8%) by content hash — the
-    reproducible-sampling primitive for training-data pipelines (same rows
-    selected on every engine, every run; no seed state to ship). Pure
-    per-batch filter, embarrassingly parallel."""
-    import hashlib
+    """Deterministic Bernoulli sample (~10%) by key hash — the reproducible-
+    sampling primitive for training-data pipelines (same rows selected on
+    every engine, every run; no seed state to ship). The hash is the
+    vectorized splitmix64 finalizer (core/hashing.mix64): pure numpy over
+    the batch — no per-row Python — and exactly transcribable to SQL, so
+    the query stays fully oracle-backed. Embarrassingly parallel."""
+    from raylake.core.hashing import mix64
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["event_id", "user_id", "value"])
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b["event_id"].map(
-            lambda e: hashlib.md5(str(e).encode()).hexdigest()[:4] < "1999"
-        )
-        return b[keep]
+    def fn(b: pa.Table) -> pa.Table:
+        h = mix64(b["event_id"].combine_chunks())
+        return b.filter(pa.array(
+            (h >> np.uint64(48)) < np.uint64(SAMPLE_RATE_NUM)))
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
-SQL_SAMPLE_HASH = """
-SELECT event_id, user_id, value FROM events
-WHERE substr(md5(event_id::VARCHAR), 1, 4) < '1999'
+from raylake.core.hashing import sql_mix64_cte as _sql_mix64_cte  # noqa: E402
+
+SQL_SAMPLE_HASH = f"""
+WITH {_sql_mix64_cte("SELECT event_id, user_id, value FROM events",
+                     "event_id", carry=("event_id", "user_id", "value"))}
+SELECT event_id, user_id, value FROM mx
+WHERE (h >> 48) < {SAMPLE_RATE_NUM}
 """
 
 
@@ -2024,15 +2032,16 @@ def q_kmv_distinct(sf_dir: str):
     """COUNT(DISTINCT user_id) via the mergeable KMV sketch
     (functions/sketch.py): per-batch bounded sketches (k smallest 60-bit
     hashes) → tiny driver merge → estimate. At 10^12 rows the shuffle moves
-    k uint64s per batch instead of every distinct value. Deterministic
-    (md5), so the oracle recomputes the ESTIMATE exactly in SQL."""
+    k uint64s per batch instead of every distinct value. The hash is the
+    vectorized splitmix64 mix (no per-row Python, no seed), so the oracle
+    recomputes the ESTIMATE exactly in SQL."""
     from raylake.functions.sketch import kmv_estimate, kmv_merge, kmv_partial
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
 
     def partial(b: pa.Table) -> pa.Table:
-        sk = kmv_partial(b["user_id"].to_pylist(), KMV_K)
+        sk = kmv_partial(b["user_id"].combine_chunks(), KMV_K)
         return pa.table({"h": pa.array(sk.astype(np.int64))})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -2041,15 +2050,12 @@ def q_kmv_distinct(sf_dir: str):
     return pa.table({"est_distinct_users": pa.array([est], pa.float64())})
 
 
-SQL_KMV_DISTINCT = """
-WITH d AS (SELECT DISTINCT user_id FROM events),
-h AS (SELECT DISTINCT
-        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT AS hv
-      FROM d),
-o AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
-SELECT CASE WHEN (SELECT count(*) FROM o) < 64
+SQL_KMV_DISTINCT = f"""
+WITH {_sql_mix64_cte("SELECT DISTINCT user_id FROM events", "user_id")},
+o AS (SELECT DISTINCT (h >> 4) AS hv FROM mx ORDER BY hv LIMIT {KMV_K})
+SELECT CASE WHEN (SELECT count(*) FROM o) < {KMV_K}
             THEN (SELECT count(*) FROM o)::DOUBLE
-            ELSE 63 / ((SELECT max(hv) FROM o)::DOUBLE
+            ELSE {KMV_K - 1} / ((SELECT max(hv) FROM o)::DOUBLE
                        / 1152921504606846976.0)
        END AS est_distinct_users
 """

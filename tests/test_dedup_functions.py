@@ -104,3 +104,39 @@ def test_kmv_sketch_accuracy_and_merge():
     # small-cardinality exact branch
     tiny = kmv_partial(["a", "b", "c"], k)
     assert kmv_estimate(tiny, k) == 3.0
+
+
+def test_mix64_matches_sql_transcription():
+    """The production splitmix64 kernel (vectorized numpy) and its DuckDB
+    CTE transcription must agree bit for bit — including negative ids
+    (numpy wraps two's-complement; the SQL guard reproduces it)."""
+    import duckdb
+    import numpy as np
+
+    from raylake.core.hashing import mix64, sql_mix64_cte
+
+    rng = np.random.default_rng(7)
+    ids = np.concatenate([
+        rng.integers(-2**63, 2**63, 200, dtype=np.int64),
+        np.array([0, 1, -1, 2**62, -2**62], dtype=np.int64),
+    ])
+    want = mix64(ids)
+    vals = ",".join(str(int(v)) for v in ids)
+    sql = (f"WITH src AS (SELECT unnest([{vals}]::BIGINT[]) AS x), "
+           f"{sql_mix64_cte('SELECT x FROM src', 'x')} SELECT h FROM mx")
+    got = np.array([r[0] for r in duckdb.sql(sql).fetchall()], np.uint64)
+    assert (got == want).all()
+
+
+def test_kmv_hash_vectorized_int_path():
+    """Integer columns take the mix64 path (no per-row Python); estimates
+    stay within the KMV error bound."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raylake.functions.sketch import kmv_estimate, kmv_partial
+
+    k = 256
+    ids = pa.array(np.arange(20_000), pa.int64())
+    est = kmv_estimate(kmv_partial(ids, k), k)
+    assert abs(est - 20_000) / 20_000 < 2 / np.sqrt(k) * 2
