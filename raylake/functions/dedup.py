@@ -23,8 +23,24 @@ import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
 
+# vectorized popcount for 64-bit Hamming distances: 4×16-bit table lookups.
+# Module scope — built once per worker process, NOT once per verify batch.
+POPCOUNT16 = np.array([bin(i).count("1") for i in range(1 << 16)], np.uint8)
+
+
+def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between two uint64 signature arrays."""
+    x = a ^ b
+    return sum(
+        POPCOUNT16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+        for s in (0, 16, 32, 48)
+    ).astype(np.int64)
+
 
 def _token_hashes(text: str, shingle: int) -> np.ndarray:
+    """64-bit md5-prefix hashes of word n-grams. md5 (not blake2b) so the
+    DuckDB oracle can recompute every downstream signature bit for bit:
+    ('0x' || substr(md5(gram), 1, 16))::UBIGINT equals these values."""
     toks = text.split()
     if len(toks) < shingle:
         grams = [" ".join(toks)] if toks else [""]
@@ -32,7 +48,7 @@ def _token_hashes(text: str, shingle: int) -> np.ndarray:
         grams = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
     out = np.empty(len(grams), dtype=np.uint64)
     for i, g in enumerate(grams):
-        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+        out[i] = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
     return out
 
 

@@ -966,13 +966,80 @@ FROM documents
 # Non-SQL-expressible (rows-only driver check)
 # ---------------------------------------------------------------------------
 
-def q_minhash_neardup(sf_dir: str):
-    """MinHash+LSH near-dup candidates verified by true 3-gram Jaccard ≥ 0.5.
-    shingle→minhash per batch → explode to (band_id, band_hash, doc_id) →
-    groupby bands → candidate pairs → verify. Not SQL-expressible."""
+def _neardup_pairs_groupfn(id_col: str = "doc_id", carry_band: bool = False):
+    """map_groups body emitting all id pairs within one LSH bucket."""
     import itertools
 
-    from raylake.functions.dedup import MinHasher, lsh_band_rows
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique().tolist())
+        cols = {"doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64")}
+        if carry_band:
+            cols["band_id"] = pd.Series([], dtype="int32")
+        if len(ids) < 2:
+            return pd.DataFrame(cols)
+        combos = list(itertools.combinations(ids, 2))
+        out = {"doc_a": [a for a, _ in combos],
+               "doc_b": [b for _, b in combos]}
+        if carry_band:
+            out["band_id"] = np.full(len(combos), g["band_id"].iloc[0],
+                                     dtype=np.int32)
+        return pd.DataFrame(out)
+
+    return pairs
+
+
+def _binary_u64_flat(col) -> tuple:
+    """Vectorized decode of a binary column of packed-uint64 sets →
+    (flat values, per-row element counts). Pure buffer math, no per-row
+    Python: a BinaryArray's data between offsets[0] and offsets[-1] is the
+    rows' payload concatenated in order."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    vals = data[off[0]:off[-1]].view(np.uint64)
+    return vals, np.diff(off) // 8
+
+
+def _hash_join(left, right, on, right_on=None):
+    """Dataset.join sized to the session: num_partitions scales with CPUs
+    (on a real cluster: with data volume), and aggregator actors take
+    fractional CPUs so they can't starve the map stages into a deadlock on
+    small nodes (observed: 16 one-CPU aggregators wedge a 4-CPU session)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    parts = max(2, min(16, cpus // 2))
+    return left.join(right, "inner", num_partitions=parts, on=on,
+                     right_on=right_on,
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+
+
+def _join_pair_sides(cand, side_ds_factory):
+    """Hash-join candidate pairs back to a per-doc payload stream on BOTH
+    sides (doc_a, then doc_b) — the distributed replacement for the r02
+    driver-side {doc_id: payload} broadcast dict. Only (pair, payload) rows
+    flow; the driver holds nothing. `side_ds_factory(id_name, suffix)`
+    returns a Dataset keyed `id_name` carrying payload columns renamed with
+    `suffix`."""
+    j = _hash_join(cand, side_ds_factory("doc_a", "_a"), on=("doc_a",))
+    return _hash_join(j, side_ds_factory("doc_b", "_b"), on=("doc_b",))
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup candidates verified by true 3-gram Jaccard ≥ 0.5.
+
+    shingle→minhash per batch → explode to (band_id, band_hash, doc_id) →
+    groupby bands → candidate pairs → distributed dedup (groupby pair) →
+    hash-join each side back to the shingle-hash stream → vectorized
+    intersection counts (pandas merge on flattened (pair_idx, hash) rows).
+    The driver holds ONLY the final verified pair rows — no candidate list,
+    no {doc_id: shingle-set} dict (r02 verdict items 3). Oracle: the SQL
+    transcription replicates the FULL LSH pipeline (md5 gram hashes →
+    universal-hash minhash with the same wrap semantics → banding →
+    verify), so the match is exact including banding false negatives."""
+    from raylake.functions.dedup import MinHasher, _token_hashes, lsh_band_rows
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -980,80 +1047,76 @@ def q_minhash_neardup(sf_dir: str):
                           batch_format="pandas")
     bands = sigs.map_batches(lambda b: lsh_band_rows(b, "doc_id", bands=16),
                              batch_format="pandas")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique().tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        combos = list(itertools.combinations(ids, 2))
-        return pd.DataFrame({"doc_a": [a for a, _ in combos],
-                             "doc_b": [b for _, b in combos]})
-
-    import ray
-
-    from raylake.functions.dedup import _token_hashes
-
     cand = (
         bands.groupby(["band_id", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
+        .map_groups(_neardup_pairs_groupfn(), batch_format="pandas")
+        .groupby(["doc_a", "doc_b"]).count()  # distributed cross-band dedup
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()  # object store (bounded by |candidates|), not driver
     )
-    cand = cand.drop_duplicates().reset_index(drop=True)
-    if len(cand) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if cand.count() == 0:
+        return empty
 
-    # Distributed verify (VERDICT r01 fix — the driver never holds the
-    # corpus): broadcast the candidate-id set, semi-join documents inside
-    # map_batches, emit each candidate's 3-gram shingle-hash set (8-byte
-    # hashes, not text). Only |candidates| rows come back — bounded by the
-    # banding stage's output, tiny relative to the corpus.
-    cand_ids = np.unique(np.concatenate([cand["doc_a"].to_numpy(),
-                                         cand["doc_b"].to_numpy()]))
-    ids_ref = ray.put(set(int(i) for i in cand_ids))
+    # per-doc shingle-hash sets for candidate docs only: semi-join documents
+    # against the candidate-id stream (shuffle join — no driver id set),
+    # then emit sorted-unique 8-byte hashes, never text.
+    ids = (cand.map_batches(
+        lambda t: pa.table({"doc_id": np.concatenate(
+            [t["doc_a"].to_numpy(), t["doc_b"].to_numpy()])}),
+        batch_format="pyarrow")
+        .groupby("doc_id").count().select_columns(["doc_id"]))
+    docs = _hash_join(ds, ids, on=("doc_id",))
 
-    def shingle_sets(t: pa.Table, ids_ref=ids_ref) -> pa.Table:
-        want = ray.get(ids_ref)
-        mask = pa.array([int(d) in want for d in t["doc_id"].to_pylist()])
-        t = t.filter(mask)
-        hs = [
-            _token_hashes(s, 3).astype(np.int64)
-            for s in t["text"].to_pylist()
-        ]
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        # binary-encoded uint64 sets: Acero hash joins reject list<> payload
+        # columns, and the byte blobs decode vectorized on the other side
+        hs = [np.unique(_token_hashes(s, 3)).tobytes()
+              for s in t["text"].to_pylist()]
         return pa.table({
             "doc_id": t["doc_id"],
-            "hashes": pa.array([h.tolist() for h in hs],
-                               pa.list_(pa.int64())),
+            "hashes": pa.array(hs, pa.binary()),
         })
 
-    got = ds.map_batches(shingle_sets, batch_format="pyarrow").to_pandas()
-    hset = {int(d): set(h) for d, h in zip(got["doc_id"], got["hashes"])}
-    hs_ref = ray.put(hset)
+    hset = docs.map_batches(shingle_sets, batch_format="pyarrow").materialize()
 
-    def verify(pb: pd.DataFrame, hs_ref=hs_ref) -> pd.DataFrame:
-        hs = ray.get(hs_ref)  # broadcast once per task, zero-copy from store
-        js = []
-        for a, b in zip(pb["doc_a"], pb["doc_b"]):
-            sa, sb = hs[int(a)], hs[int(b)]
-            if not sa and not sb:
-                js.append(1.0)
-            else:
-                js.append(len(sa & sb) / max(1, len(sa | sb)))
-        pb = pb.copy()
-        js = np.asarray(js)
-        keep = js >= 0.5  # threshold on the EXACT value; round only for output
-        pb["jaccard"] = np.round(js, 4)
-        return pb[keep]
+    def side(id_name, suffix):
+        return hset.map_batches(
+            lambda t, id_name=id_name, suffix=suffix: pa.table({
+                id_name: t["doc_id"],
+                f"hashes{suffix}": t["hashes"],
+            }), batch_format="pyarrow")
 
-    verified = (
-        _rd().from_pandas(cand)
-        .map_batches(verify, batch_format="pandas", batch_size=4096)
-        .to_pandas()
-        .sort_values(["doc_a", "doc_b"], kind="mergesort")
-        .reset_index(drop=True)
-    )
+    joined = _join_pair_sides(cand, side)
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return empty
+        va, la = _binary_u64_flat(t["hashes_a"])
+        vb, lb = _binary_u64_flat(t["hashes_b"])
+        # flatten to (pair_idx, hash) rows; intersection counts via ONE
+        # vectorized merge instead of a per-pair Python loop
+        dfa = pd.DataFrame({"i": np.repeat(np.arange(n), la), "h": va})
+        dfb = pd.DataFrame({"i": np.repeat(np.arange(n), lb), "h": vb})
+        inter = np.zeros(n, dtype=np.int64)
+        m = dfa.merge(dfb, on=["i", "h"]).groupby("i").size()
+        inter[m.index.to_numpy()] = m.to_numpy()
+        union = la + lb - inter
+        js = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = js >= 0.5
+        return pa.table({
+            "doc_a": t["doc_a"].filter(pa.array(keep)),
+            "doc_b": t["doc_b"].filter(pa.array(keep)),
+            "jaccard": pa.array(js[keep], pa.float64()),
+        })
+
+    verified = (joined.map_batches(verify, batch_format="pyarrow")
+                .to_pandas()  # final pairs only — the answer itself
+                .sort_values(["doc_a", "doc_b"], kind="mergesort")
+                .reset_index(drop=True))
     return pa.table({
         "doc_a": pa.array(verified["doc_a"], pa.int64()),
         "doc_b": pa.array(verified["doc_b"], pa.int64()),
@@ -1073,78 +1136,70 @@ def q_simhash(sf_dir: str):
 
 def q_simhash_neardup(sf_dir: str):
     """SimHash near-dup pairs: signatures → 4×16-bit band explode →
-    groupby(band) candidates → Hamming ≤ 3 verify against the broadcast
-    signature index. The pigeonhole band guarantee makes this EXACT for
-    Hamming ≤ 3 (zero false negatives) while the shuffle moves only
-    (band_id, band_val, doc_id) rows. Not SQL-expressible (the signature
-    is the custom kernel); golden-tested against brute force."""
-    import itertools
-
-    import ray
-
-    from raylake.functions.dedup import SimHasher, simhash_band_rows
+    groupby(band) candidates → hash-join each side back to the signature
+    stream → vectorized Hamming ≤ 3 verify. The pigeonhole band guarantee
+    makes this EXACT for Hamming ≤ 3 (zero false negatives) while the
+    shuffle moves only (band_id, band_val, doc_id) and (pair, sig) rows —
+    no driver-side {doc_id: sig} map (r02 verdict item 4; at 10^12 docs
+    that map alone would be 16 TB). The popcount LUT lives at module scope
+    in functions/dedup.py (built once per worker, not per batch). Oracle:
+    md5 token hashes make the signature SQL-transcribable; the SQL emits
+    all pairs with bit_count(xor) ≤ 3 — pigeonhole says that's the same
+    set."""
+    from raylake.functions.dedup import (
+        SimHasher,
+        hamming64_batch,
+        simhash_band_rows,
+    )
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
-    sigs = ds.map_batches(SimHasher, batch_format="pandas",
-                          concurrency=(1, 4)).select_columns(
-        ["doc_id", "simhash"])
-    sig_df = sigs.to_pandas()  # (doc_id, int64) — 16 bytes/doc, bounded
-    sig_map = dict(zip(sig_df["doc_id"].astype(int),
-                       sig_df["simhash"].astype("int64")))
-    sig_ref = ray.put(sig_map)
-
-    bands = rd.from_pandas(sig_df).map_batches(
-        simhash_band_rows, batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # groupby-within-batch — the one legitimately-pandas stage
-        ids = sorted(g["doc_id"].unique().tolist())
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                              "doc_b": pd.Series([], dtype="int64"),
-                              "band_id": pd.Series([], dtype="int32")})
-        if len(ids) < 2:
-            return empty
-        combos = list(itertools.combinations(ids, 2))
-        return pd.DataFrame({"doc_a": [a for a, _ in combos],
-                             "doc_b": [b for _, b in combos],
-                             "band_id": np.full(len(combos),
-                                                g["band_id"].iloc[0],
-                                                dtype=np.int32)})
-
+    sigs = (ds.map_batches(SimHasher, batch_format="pandas",
+                           concurrency=(1, 4))
+            .select_columns(["doc_id", "simhash"])
+            .materialize())  # object store (16 B/doc), reused by two stages
+    bands = sigs.map_batches(simhash_band_rows, batch_format="pyarrow")
     cand = (bands.groupby(["band_id", "band_val"])
-            .map_groups(pairs, batch_format="pandas"))
+            .map_groups(_neardup_pairs_groupfn(carry_band=True),
+                        batch_format="pandas"))
 
-    def verify(t: pa.Table, sig_ref=sig_ref) -> pa.Table:
-        sm = ray.get(sig_ref)
-        a_ids = t["doc_a"].to_numpy()
-        b_ids = t["doc_b"].to_numpy()
+    def side(id_name, suffix):
+        return sigs.map_batches(
+            lambda t, id_name=id_name, suffix=suffix: pa.table({
+                id_name: t["doc_id"],
+                f"sig{suffix}": t["simhash"],
+            }), batch_format="pyarrow")
+
+    joined = _join_pair_sides(cand, side)
+
+    def verify(t: pa.Table) -> pa.Table:
+        sa = t["sig_a"].to_numpy().astype(np.int64).view(np.uint64)
+        sb = t["sig_b"].to_numpy().astype(np.int64).view(np.uint64)
         band = t["band_id"].to_numpy()
-        sa = np.array([sm[int(a)] for a in a_ids], np.int64).view(np.uint64)
-        sb = np.array([sm[int(b)] for b in b_ids], np.int64).view(np.uint64)
-        x = sa ^ sb
-        # vectorized popcount via 4x16-bit lookup
-        lut = np.array([bin(i).count("1") for i in range(1 << 16)], np.uint8)
-        hd = sum(lut[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
-                 for s in (0, 16, 32, 48)).astype(np.int64)
+        hd = hamming64_batch(sa, sb)
         # standard LSH dedup: a pair agreeing on k bands is produced by k
         # groups — keep it only from its FIRST agreeing band, so the pair
         # set is exact with zero duplicate verify work downstream
+        x = sa ^ sb
         first_band = np.full(len(x), 4, np.int32)
         for b in (3, 2, 1, 0):
             agree = ((x >> np.uint64(16 * b)) & np.uint64(0xFFFF)) == 0
             first_band[agree] = b
         keep = (hd <= 3) & (first_band == band)
         return pa.table({
-            "doc_a": pa.array(a_ids[keep]),
-            "doc_b": pa.array(b_ids[keep]),
+            "doc_a": t["doc_a"].filter(pa.array(keep)),
+            "doc_b": t["doc_b"].filter(pa.array(keep)),
             "hamming": pa.array(hd[keep]),
         })
 
-    out = (cand.map_batches(verify, batch_format="pyarrow")
+    out = (joined.map_batches(verify, batch_format="pyarrow")
            .to_pandas()
            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.table({
+        "doc_a": pa.array(out["doc_a"], pa.int64()),
+        "doc_b": pa.array(out["doc_b"], pa.int64()),
+        "hamming": pa.array(out["hamming"], pa.int64()),
+    })
 
 
 def q_lang_id(sf_dir: str):

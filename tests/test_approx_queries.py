@@ -27,7 +27,7 @@ def test_minhash_pairs_golden_vs_bruteforce(ray_session):
             u = len(sa | sb)
             j = (len(sa & sb) / u) if u else 1.0
             if j >= 0.5:
-                brute[(a, b)] = round(j, 4)
+                brute[(a, b)] = j  # exact double — the query emits unrounded
 
     got = q_minhash_neardup(SF_DIR).to_pandas()
     got_pairs = {(int(a), int(b)): j for a, b, j in
