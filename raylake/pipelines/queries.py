@@ -1202,6 +1202,102 @@ def q_simhash_neardup(sf_dir: str):
     })
 
 
+# SQL transcriptions of the near-dup pipelines (exact: md5-based gram
+# hashes make every signature reproducible in DuckDB; verified bit-for-bit
+# in tests). Shared gram/token CTE prefix:
+
+_SQL_GRAMS3 = r"""
+tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                  t -> t != '') AS toks FROM documents),
+g0 AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN [array_to_string(toks[i+1:i+3], ' ')
+                   for i in range(len(toks)-2)]
+             ELSE [array_to_string(toks, ' ')] END AS grams
+       FROM tk),
+gh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g),1,16))::UBIGINT AS hv
+       FROM (SELECT doc_id, unnest(grams) AS g FROM g0))"""
+
+
+def _sql_minhash_neardup() -> str:
+    """Full-LSH transcription: same 64 universal-hash perms (seed 1), same
+    uint64 wrap semantics, same 16×4 banding, same Jaccard ≥ 0.5 verify —
+    so banding false NEGATIVES match too (the match is exact, not just
+    'all true pairs')."""
+    from raylake.functions.dedup import _MERSENNE, MinHasher
+
+    mh = MinHasher(num_perm=64, shingle=3, seed=1)
+    perm_vals = ",".join(
+        f"({i},{int(a)},{int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b)))
+    n = 1 << 64
+    return rf"""
+WITH {_SQL_GRAMS3},
+perms AS (SELECT * FROM (VALUES {perm_vals}) AS p(perm, pa, pb)),
+sig AS (SELECT doc_id, perm,
+               min((((pa::HUGEINT * hv::HUGEINT) % {n} + pb) % {n})
+                   % {_MERSENNE}) AS s
+        FROM gh, perms GROUP BY doc_id, perm),
+band AS (SELECT doc_id, (perm // 4) AS band_id,
+                string_agg(s::VARCHAR, ',' ORDER BY perm) AS bv
+         FROM sig GROUP BY doc_id, (perm // 4)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b
+           ON a.band_id = b.band_id AND a.bv = b.bv
+          AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN gh x ON x.doc_id = c.doc_a
+          JOIN gh y ON y.doc_id = c.doc_b AND y.hv = x.hv
+          GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       i.i::DOUBLE / (sa.n + sb.n - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.5
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+SQL_MINHASH_NEARDUP = _sql_minhash_neardup()
+
+_SQL_SIMHASH_SIG = r"""
+tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                  t -> t != '') AS toks FROM documents),
+t1 AS (SELECT doc_id, CASE WHEN len(toks) >= 1 THEN toks ELSE ['']
+                      END AS toks FROM tk),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS hv
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM t1)),
+bits AS (SELECT doc_id, bit,
+                sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM th, (SELECT unnest(range(64)) AS bit) b
+         GROUP BY doc_id, bit),
+sig AS (SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                        ELSE 0::HUGEINT END) AS s
+        FROM bits GROUP BY doc_id)"""
+
+SQL_SIMHASH = f"""
+WITH {_SQL_SIMHASH_SIG}
+SELECT doc_id,
+       (CASE WHEN s >= 9223372036854775808
+             THEN s - 18446744073709551616 ELSE s END)::BIGINT AS simhash
+FROM sig ORDER BY doc_id
+"""
+
+# pigeonhole: Hamming ≤ 3 on 4×16-bit bands ⇒ at least one band agrees
+# exactly, so the banded Ray pipeline emits EXACTLY the ≤3 pair set.
+SQL_SIMHASH_NEARDUP = f"""
+WITH {_SQL_SIMHASH_SIG}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.s::UBIGINT, b.s::UBIGINT))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s::UBIGINT, b.s::UBIGINT)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-profile language ID vs the labeled lang column (rows-only)."""
     from raylake.functions.text import LangId
@@ -2252,4 +2348,7 @@ ORACLES = {
     "incremental_scan": SQL_INCREMENTAL_SCAN,
     "time_travel": SQL_TIME_TRAVEL,
     "wap_isolation": SQL_WAP_ISOLATION,
+    "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "simhash": SQL_SIMHASH,
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
 }
