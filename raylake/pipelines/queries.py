@@ -2075,6 +2075,90 @@ FROM t, b WHERE doc_id % 97 <> 0
 """
 
 
+def q_catalog_medallion(sf_dir: str):
+    """Medallion flow through the CATALOG surface (S11 parity with the
+    reference's three-schema init, ref docker/init/lakehouse_init.sql:1-3):
+    bronze ingest of supplier → silver clean (trim names, nullify negative
+    balances, fill 0 — SilverPipeline kernels) → gold per-nation rollup —
+    every hop creates/loads its table via `Catalog` identifiers, writes
+    through the distributed append, and reads back through table scans.
+    Sums are integer cents (floor(v*100+0.5), identical IEEE both sides)."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from raylake.core.catalog import Catalog
+    from raylake.functions import cleaning as cl
+    from raylake.ops.append import append as tbl_append
+
+    wh = tempfile.mkdtemp(prefix="raylake_cat_", dir="/tmp")
+    try:
+        cat = Catalog.init_medallion(wh)
+        rd = _rd()
+        src = rd.read_parquet(
+            _pq(sf_dir, "supplier"),
+            columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+        bronze = cat.create_table(
+            "bronze.supplier", pa.schema([
+                ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64()),
+            ]), partition_column="s_suppkey", num_buckets=4,
+            sort_order=("s_suppkey",))
+        tbl_append(bronze, src)
+
+        silver = cat.create_table(
+            "silver.supplier", bronze.schema, partition_column="s_suppkey",
+            num_buckets=4, sort_order=("s_suppkey",))
+
+        def clean(t: pa.Table) -> pa.Table:
+            t = cl.trim_strings(t, ["s_name"])
+            t = cl.nullify_negative(t, ["s_acctbal"])
+            return cl.fill_null_fixed(t, {"s_acctbal": 0.0})
+
+        tbl_append(silver, cat.load_table("bronze.supplier").scan()
+                   .map_batches(clean, batch_format="pyarrow"))
+
+        def cents(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+                "bal_cents": pa.array(np.floor(
+                    t["s_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)),
+            })
+
+        agg = (cat.load_table("silver.supplier").scan()
+               .map_batches(cents, batch_format="pyarrow")
+               .groupby("s_nationkey")
+               .aggregate(Count(), Sum("bal_cents")))
+        gold = cat.create_table(
+            "gold.nation_balance", pa.schema([
+                ("s_nationkey", pa.int64()), ("n_suppliers", pa.int64()),
+                ("sum_bal_cents", pa.int64()),
+            ]), partition_column=None, sort_order=("s_nationkey",))
+        tbl_append(gold, agg.map_batches(
+            lambda t: pa.table({
+                "s_nationkey": t["s_nationkey"],
+                "n_suppliers": pc.cast(t["count()"], pa.int64()),
+                "sum_bal_cents": pc.cast(t["sum(bal_cents)"], pa.int64()),
+            }), batch_format="pyarrow"))
+
+        assert cat.list_tables("gold") == ["nation_balance"]
+        return cat.load_table("gold.nation_balance").scan_arrow(sort=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+SQL_CATALOG_MEDALLION = """
+SELECT s_nationkey::BIGINT AS s_nationkey,
+       count(*)::BIGINT AS n_suppliers,
+       sum(floor(CASE WHEN s_acctbal < 0 THEN 0.0 ELSE s_acctbal END
+                 * 100 + 0.5))::BIGINT AS sum_bal_cents
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
 def q_mor_delete_scan(sf_dir: str):
     """Merge-on-read equality delete, oracle-checked end-to-end: build the
     events-derived transcript table (same derivation as maintained_scan),
@@ -2308,6 +2392,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "ann_ivf": q_ann_ivf,
     "transcript_maintenance": q_transcript_maintenance,
+    "catalog_medallion": q_catalog_medallion,
 }
 
 ORACLES = {
@@ -2355,4 +2440,5 @@ ORACLES = {
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "simhash": SQL_SIMHASH,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
+    "catalog_medallion": SQL_CATALOG_MEDALLION,
 }
