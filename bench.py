@@ -34,8 +34,30 @@ def parse_sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def _memcpy_probe(seconds: float = 0.5) -> float:
+    """Single-thread memcpy GB/s — a no-engine host-contention probe. The
+    r02 bench regression was adjudicated as host noise only because Σ
+    task-CPU counters were printed; this stamp makes the JSON
+    self-adjudicating: a depressed probe (vs the ~10+ GB/s quiet-window
+    norm recorded in BASELINE.md) marks the attempt's wall-clock as
+    contaminated by co-tenancy, not by the engine."""
+    import numpy as np
+
+    a = np.empty(1 << 27, np.uint8)  # 128 MB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # touch pages before timing
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < seconds:
+        np.copyto(b, a)
+        n += 1
+    return round(n * a.nbytes / (time.monotonic() - t0) / 1e9, 2)
+
+
 def run_bench() -> dict:
     import ray
+
+    probe_pre = _memcpy_probe()
 
     sf = parse_sf(SF_DIR)
     n_turns = max(10_000, int(TURNS_PER_SF * sf))
@@ -159,6 +181,12 @@ def run_bench() -> dict:
         "rewritten_rows": res["rewritten_rows"],
         "turns_per_sec": res["turns_per_sec"],
         "setup_sec": round(setup_sec, 3),
+        "validity": {
+            "memcpy_gbps_pre": probe_pre,
+            "memcpy_gbps_post": _memcpy_probe(),
+            "task_cpu_total_s": round(sum(
+                v.get("task_cpu_s", 0) for v in res["stages"].values()), 1),
+        },
     }
     ray.shutdown()
     return out
@@ -234,39 +262,41 @@ def _update_baseline_md(rep: dict) -> None:
         f"| {n} | {rep['sec'][n]} | {rep['turns_per_sec'][n]} | {rep['task_cpu_s'][n]} |\n"
         for n in ("4", "8", "16", "32")
     )
+    # validity check for THIS matrix (the single-VM proxy rule established
+    # in r02: the 4→16 ratio measures the ENGINE only when per-task CPU is
+    # flat between the two levels; inflation = host contention)
+    c4, c16 = rep["task_cpu_s"]["4"], rep["task_cpu_s"]["16"]
+    infl = (c16 / c4 - 1) * 100 if c4 else 0.0
+    flat = abs(infl) <= 5.0
+    verdict = (
+        f"Σ task CPU 4→16: {c4} → {c16} s ({infl:+.0f}%) — "
+        + ("**flat: valid engine window**."
+           if flat else
+           f"**inflated: host-contaminated window** (CPU-normalized "
+           f"efficiency ≈ {round(rep['scaling_efficiency'] * c16 / c4, 3)}); "
+           f"see the per-matrix validity history below.")
+    )
     block = (
         f"{marker}\n## Measured (bench.py --scaling, sf={rep['sf']}, "
         f"n_turns={rep['n_turns']}, compact→zorder→merge on tmpfs)\n\n"
         f"| num_cpus | maintenance sec | turns/sec rewritten | Σ task CPU s |\n"
         f"|---|---|---|---|\n{rows}\n"
         f"**Scaling efficiency (N→4N): {rep['scaling_efficiency']} at 4→16 "
-        f"(primary), {rep['scaling_efficiency_8_32']} at 8→32.**\n\n"
-        f"The 4→16 pair is the honest cluster-size proxy on this sandbox: "
-        f"per-task CPU time stays flat across 4/8/16 workers (no shared-"
-        f"resource contention), so the ratio measures the engine's "
-        f"partitioning/scheduling efficiency — what transfers to N vs 4N "
-        f"separate nodes, each bringing its own memory buses and disks. At "
-        f"32 workers this single VM saturates memory bandwidth (Σ task CPU "
-        f"inflates), which a real 4N-node cluster does not share.\n\n"
-        f"**Direct evidence** (`scripts/scaling_evidence.py`, fixed work per\n"
-        f"process, plain multiprocessing — no Ray, no engine): per-process\n"
-        f"CPU inflation going 4 → 32 concurrent processes is **1.26×** for\n"
-        f"ALU-bound work (the 32 vCPUs are real compute), **5.34×** for a\n"
-        f"pure 200 MB memcpy loop (the memory bus saturates), and 2.4–3.1×\n"
-        f"for parquet encode/decode round-trips (the engine's hot kernel).\n"
-        f"No engine change can scale memory-bound work past the machine's\n"
-        f"bandwidth; the 8→32 number measures the VM, not the engine.\n"
+        f"(primary), {rep['scaling_efficiency_8_32']} at 8→32.** "
+        f"{verdict}\n"
     )
+    analysis_marker = "<!-- bench:analysis -->"
     static_marker = "<!-- bench:static -->"
     try:
         with open(path) as f:
             txt = f.read()
-        static = ""
-        if static_marker in txt:
-            static = "\n\n" + static_marker + txt.split(static_marker, 1)[1]
+        tail = ""
+        for m in (analysis_marker, static_marker):
+            if m in txt:
+                tail = "\n\n" + m + txt.split(m, 1)[1]
+                break
         head = txt.split(marker)[0]
-        head = head.split(static_marker)[0]  # never duplicate the static tail
-        txt = head.rstrip() + "\n\n" + block + static
+        txt = head.rstrip() + "\n\n" + block + tail
     except FileNotFoundError:
         txt = block
     with open(path, "w") as f:

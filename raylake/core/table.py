@@ -26,7 +26,9 @@ import time
 import uuid
 from typing import Any, Iterable, Sequence
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from raylake.core import metadata as md
@@ -498,6 +500,47 @@ class Table:
             summary={"deleted_keys": len(keys), **(summary or {})},
         )
 
+    def delete_by_positions(self, pos: pa.Table, summary: dict | None = None):
+        """Merge-on-read POSITION delete (Iceberg v2's second delete shape):
+        `pos` has columns (file_path, pos) naming exact row ordinals inside
+        specific live data files. One small parquet + one metadata commit —
+        the natural output of a scan that located bad rows (file/row
+        provenance), where an equality delete would need key columns the
+        table may not have. Positions bind to the file VERSION: rewrites
+        apply them while reading and the commit prunes replaced targets."""
+        if set(pos.column_names) != {"file_path", "pos"}:
+            raise ValueError(
+                f"position deletes need columns ('file_path','pos'), got "
+                f"{pos.column_names}")
+        if len(pos) == 0:
+            raise ValueError("empty position delete set")
+        if pc.any(pc.is_null(pos["file_path"])).as_py() or pc.any(
+                pc.is_null(pos["pos"])).as_py():
+            raise ValueError("null file_path/pos in position delete set")
+        live = {e.path: e.rows for e in self.live_entries()}
+        targets = sorted(set(pos["file_path"].to_pylist()))
+        bad = [t for t in targets if t not in live]
+        if bad:
+            raise ValueError(f"position delete targets not live: {bad[:3]}")
+        pdf = pos.to_pandas()
+        over = pdf[pdf["pos"] >= pdf["file_path"].map(live)]
+        if len(over) or (pdf["pos"] < 0).any():
+            raise ValueError("position out of range for target file")
+        os.makedirs(os.path.join(self.root, "data", "deletes"), exist_ok=True)
+        rel = f"data/deletes/posdelete-{uuid.uuid4().hex}.parquet"
+        if pos.schema.metadata:
+            pos = pos.replace_schema_metadata(None)
+        pq.write_table(pos.sort_by([("file_path", "ascending"),
+                                    ("pos", "ascending")]),
+                       os.path.join(self.root, rel), compression="zstd")
+        return self.commit(
+            "delete-pos", [],
+            added_deletes=[{"path": rel, "rows": len(pos), "kind": "pos",
+                            "targets": targets}],
+            expected_parent=self.current_seq,
+            summary={"deleted_positions": len(pos), **(summary or {})},
+        )
+
     def delete_files_meta(self, snapshot: int | None = None) -> list[dict]:
         snap = self.snapshot(snapshot)
         return list(snap.delete_files) if snap else []
@@ -514,6 +557,8 @@ class Table:
                 continue  # concurrently expired
             if snap:
                 for d in snap.delete_files:
+                    if d.get("kind") == "pos":
+                        continue  # positions reference no key columns
                     for c in d["key_cols"]:
                         out.setdefault(c, d["path"])
         return out
@@ -532,8 +577,28 @@ class Table:
         return [
             (d["seq"], d["key_cols"],
              pq.read_table(os.path.join(self.root, d["path"])))
-            for d in metas
+            for d in metas if d.get("kind") != "pos"
         ]
+
+    def _load_pos_deletes(self, snapshot: int | None = None) -> dict:
+        """{target data-file path: sorted int64 positions}, merged across
+        every position-delete file in the snapshot. Driver-side, bounded by
+        the same scan cap as equality keys (_load_delete_keys enforces the
+        combined total)."""
+        import numpy as np
+
+        import pandas as pd
+
+        frames = [
+            pq.read_table(os.path.join(self.root, d["path"])).to_pandas()
+            for d in self.delete_files_meta(snapshot)
+            if d.get("kind") == "pos"
+        ]
+        if not frames:
+            return {}
+        df = pd.concat(frames, ignore_index=True)
+        return {p: np.unique(g.to_numpy().astype(np.int64))
+                for p, g in df.groupby("file_path")["pos"]}
 
     @staticmethod
     def _applicable_seq(seq_added: int, loaded) -> tuple:
@@ -599,13 +664,19 @@ class Table:
     def _scan_with_deletes(self, snapshot, columns, entries, **read_kwargs):
         """Split files into groups by which delete files apply (the Iceberg
         sequence rule), filter each group in map_batches against the
-        broadcast key tables, union the streams."""
+        broadcast key tables, union the streams. Files targeted by POSITION
+        deletes are read file-at-a-time in tasks (positions index the file's
+        own row order, so the reader must know which file a batch came
+        from) with the position map broadcast once."""
         import ray
         import ray.data
 
         from raylake.core.deletes import filter_deleted
 
         loaded = self._load_delete_keys(snapshot)
+        posmap = self._load_pos_deletes(snapshot)
+        pos_entries = [e for e in entries if e.path in posmap]
+        entries = [e for e in entries if e.path not in posmap]
         groups: dict[tuple, list] = {}
         for e in entries:
             groups.setdefault(self._applicable(e, loaded), []).append(e)
@@ -629,6 +700,62 @@ class Table:
                 return filter_deleted(t, ray.get(dels_ref), project)
 
             parts.append(ds.map_batches(fn, batch_format="pyarrow"))
+
+        if pos_entries:
+            pos_ref = ray.put(posmap)
+            dels_ref = ray.put(loaded)
+            root = self.root
+            keyset = sorted(set().union(
+                set(), *[set(kc) for _, kc, _ in loaded]))
+            need = (sorted(set(columns) | set(keyset))
+                    if columns is not None else None)
+            renames = self.meta.get("column_renames") or {}
+            need_schema = (pa.schema([self.schema.field(c) for c in need])
+                           if need is not None else self.schema)
+            project = columns
+
+            def read_pos(batch: pa.Table) -> pa.Table:
+                from raylake.functions.cleaning import (
+                    apply_renames,
+                    normalize_schema,
+                )
+
+                pm = ray.get(pos_ref)
+                dl = ray.get(dels_ref)
+                tabs = []
+                for p, sa in zip(batch["path"].to_pylist(),
+                                 batch["seq_added"].to_pylist()):
+                    try:
+                        t = pq.read_table(os.path.join(root, p),
+                                          columns=need)
+                    except (pa.ArrowInvalid, KeyError):
+                        # pre-evolution file lacking a selected column
+                        t = pq.read_table(os.path.join(root, p))
+                    if t.schema != need_schema:  # pre-evolution layout
+                        t = normalize_schema(apply_renames(t, renames),
+                                             need_schema)
+                    mask = np.ones(len(t), bool)
+                    mask[pm[p]] = False  # positions index file row order
+                    t = t.filter(pa.array(mask))
+                    app = Table._applicable_seq(sa, dl)
+                    if app:
+                        t = filter_deleted(
+                            t, [(dl[i][1], dl[i][2]) for i in app])
+                    if project is not None:
+                        t = t.select(project)
+                    tabs.append(t)
+                return pa.concat_tables(tabs)
+
+            items = pa.table({
+                "path": pa.array([e.path for e in pos_entries]),
+                "seq_added": pa.array([e.seq_added for e in pos_entries],
+                                      pa.int64()),
+            })
+            parts.append(
+                ray.data.from_arrow(items)
+                .repartition(len(pos_entries))  # one read task per file
+                .map_batches(read_pos, batch_format="pyarrow"))
+
         if not parts:
             return ray.data.from_arrow(self.schema.empty_table())
         out = parts[0]
@@ -651,6 +778,7 @@ class Table:
             from raylake.core.deletes import filter_deleted
 
             loaded = self._load_delete_keys(snapshot)
+            posmap = self._load_pos_deletes(snapshot)
             parts = []
             for e in entries:
                 app = self._applicable(e, loaded)
@@ -660,6 +788,13 @@ class Table:
                         if columns is not None else None)
                 t = self.scan_arrow(snapshot=snapshot, columns=need,
                                     entries=[e], apply_deletes=False)
+                pos = posmap.get(e.path)
+                if pos is not None:
+                    # positions index the file's own row order — apply
+                    # BEFORE any row-dropping equality filter
+                    mask = np.ones(len(t), bool)
+                    mask[pos] = False
+                    t = t.filter(pa.array(mask))
                 if app:
                     t = filter_deleted(
                         t, [(loaded[i][1], loaded[i][2]) for i in app])
@@ -722,6 +857,48 @@ class Table:
                 os.path.join(self.root, "metadata", "table.json"), self.meta
             )
 
+    def set_sort_order(self, cols: Sequence[str]) -> None:
+        """Sort-order EVOLUTION (Iceberg `replaceSortOrder` parity):
+        metadata-only — existing files keep their old clustering (their
+        stats stay valid); appends, compaction and merge rewrites adopt the
+        new order, so a follow-up compact() re-clusters physically.
+
+        MERGE keys are NOT derived from the new order: the first evolution
+        freezes the original sort_order[:2] into `identifier_fields`
+        (Iceberg's identifier-field separation), because upsert identity
+        must never silently change with a clustering hint."""
+        cols = list(cols)
+        if not cols:
+            raise ValueError("sort order cannot be empty")
+        unknown = [c for c in cols if c not in self.schema.names]
+        if unknown:
+            raise ValueError(f"sort columns not in schema: {unknown}")
+        with _CommitLock(self.root):
+            self.refresh()
+            if "identifier_fields" not in self.meta:
+                self.meta["identifier_fields"] = self.meta["sort_order"][:2]
+            log = self.meta.setdefault("sort_order_log", [
+                {"order": self.meta["sort_order"], "since_seq": 0}
+            ])
+            log.append({"order": cols, "since_seq": self.current_seq})
+            self.meta["sort_order"] = cols
+            # stats for the new leading columns make pruning work on files
+            # written from now on (older files prune conservatively)
+            for c in cols:
+                if c not in self.meta["stats_columns"]:
+                    self.meta["stats_columns"].append(c)
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta
+            )
+
+    @property
+    def identifier_fields(self) -> list[str]:
+        """Upsert-identity columns (MERGE keys). Defaults to the CREATION
+        sort order's first two columns; pinned explicitly the first time
+        the sort order evolves."""
+        return list(self.meta.get("identifier_fields")
+                    or self.meta["sort_order"][:2])
+
     def rename_column(self, old: str, new: str) -> None:
         """Metadata-only rename (Iceberg-style). Files written before the
         rename still carry the OLD physical name; normalize_schema cannot
@@ -735,7 +912,8 @@ class Table:
                 raise ValueError(f"no such column: {old}")
             if new in names:
                 raise ValueError(f"column exists: {new}")
-            for protected in (self.partition_column, *self.sort_order):
+            for protected in (self.partition_column, *self.sort_order,
+                              *self.identifier_fields):
                 if old == protected:
                     raise ValueError(
                         f"cannot rename {old!r}: partition/sort key")
@@ -771,7 +949,8 @@ class Table:
             names = [f[0] for f in self.meta["schema"]]
             if name not in names:
                 raise ValueError(f"no such column: {name}")
-            for protected in (self.partition_column, *self.sort_order):
+            for protected in (self.partition_column, *self.sort_order,
+                              *self.identifier_fields):
                 if name == protected:
                     raise ValueError(f"cannot drop {name!r}: partition/sort key")
             dcols = self._all_retained_delete_cols()
@@ -894,11 +1073,22 @@ class Table:
                 manifests.append(md.write_manifest(self.root, added))
 
             # merge-on-read delete files: carry parent's forward, minus
-            # explicitly purged, plus newly added (stamped with this seq)
-            delete_files = [
-                d for d in (parent_snap.delete_files if parent_snap else [])
-                if d["path"] not in removed_delete_paths
-            ]
+            # explicitly purged, plus newly added (stamped with this seq).
+            # POSITION deletes (kind="pos") target specific file VERSIONS:
+            # when a rewrite replaces a target, its positions are meaningless
+            # against the successor (rewrites apply them while reading), so
+            # prune replaced paths from target lists and drop entries that
+            # have no surviving target — their parquets become GC orphans.
+            delete_files = []
+            for d in (parent_snap.delete_files if parent_snap else []):
+                if d["path"] in removed_delete_paths:
+                    continue
+                if d.get("kind") == "pos" and replaced:
+                    targets = [t for t in d["targets"] if t not in replaced]
+                    if not targets:
+                        continue
+                    d = {**d, "targets": targets}
+                delete_files.append(d)
             for d in added_deletes or []:
                 delete_files.append({**d, "seq": new_seq})
 

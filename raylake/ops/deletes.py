@@ -1,10 +1,12 @@
-"""Physically apply merge-on-read equality deletes (`Table.delete_by_keys`)
-— the Iceberg `rewrite_position_delete_files`/minor-compaction counterpart.
+"""Physically apply merge-on-read deletes — equality (`Table.delete_by_keys`)
+and position (`Table.delete_by_positions`) — the Iceberg
+`rewrite_position_delete_files`/minor-compaction counterpart.
 
 Plan (metadata + delete keys, driver-side, bounded by the scan cap): a data
 file is AFFECTED iff at least one delete file applies to it by the sequence
 rule AND its key-column min/max stats cannot exclude every applicable delete
-key (no stats → conservatively affected). Execute: rewrite tasks read their
+key (no stats → conservatively affected); position-targeted files are
+always affected (positions name rows directly). Execute: rewrite tasks read their
 files through `read_task_inputs` (which applies the deletes) and write the
 filtered rows back; a task whose file contained no matching key skips its
 rewrite. Commit: replaced files + ALL current delete files removed, in one
@@ -30,8 +32,9 @@ from raylake.ops.rewrite import (
 
 def plan_apply_deletes(table: Table, max_task_bytes: int) -> tuple[list[RewriteTask], list[str]]:
     loaded = table._load_delete_keys()
+    posmap = table._load_pos_deletes()
     delete_paths = [d["path"] for d in table.delete_files_meta()]
-    if not loaded:
+    if not loaded and not posmap:
         return [], delete_paths
 
     # sorted first-key values per delete file, for stats-range exclusion;
@@ -44,6 +47,9 @@ def plan_apply_deletes(table: Table, max_task_bytes: int) -> tuple[list[RewriteT
 
     affected_by_part = defaultdict(list)
     for e in table.live_entries():
+        if e.path in posmap:  # position-targeted files always rewrite
+            affected_by_part[e.partition].append(e)
+            continue
         app = table._applicable(e, loaded)
         if not app:
             continue

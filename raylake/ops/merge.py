@@ -65,13 +65,14 @@ from raylake.ops.rewrite import (
 from raylake.state.ledger import Ledger
 
 def table_keys(table: Table) -> tuple[str, str | None]:
-    """Merge keys derived from the table's declared sort order: the primary
-    key column (= partition column domain) and an optional secondary key.
-    Transcripts: ("conv_id", "turn_idx"). Generic silver tables declare
-    their own sort order at create time."""
-    so = table.sort_order
-    k0 = so[0] if so else table.partition_column
-    k1 = so[1] if len(so) > 1 else None
+    """Merge keys = the table's IDENTIFIER FIELDS (creation sort order's
+    first columns, pinned across sort-order evolution — a clustering change
+    must never silently change upsert identity). Transcripts:
+    ("conv_id", "turn_idx"). Generic silver tables declare their own order
+    at create time."""
+    idf = table.identifier_fields
+    k0 = idf[0] if idf else table.partition_column
+    k1 = idf[1] if len(idf) > 1 else None
     return k0, k1
 
 

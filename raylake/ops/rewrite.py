@@ -96,16 +96,27 @@ def read_task_inputs(table: Table, task: dict) -> pa.Table:
     if cache is None:
         metas = table.delete_files_meta()
         loaded = table._load_delete_keys() if metas else []
+        posmap = table._load_pos_deletes() if metas else {}
         seqmap = (
             {e.path: e.seq_added for e in table.live_entries()}
             if metas else {}
         )
-        cache = (loaded, seqmap)
+        cache = (loaded, seqmap, posmap)
         table._mor_state = cache
-    loaded, seqmap = cache
+    loaded, seqmap, posmap = cache
     tabs = []
     for p in paths:
         t = pq.read_table(os.path.join(table.root, p))
+        pos = posmap.get(p)
+        if pos is not None:
+            # position deletes bind to THIS file version: apply while
+            # rewriting (the commit prunes the entry's replaced targets),
+            # and before any equality filter (positions index file order)
+            import numpy as np
+
+            mask = np.ones(len(t), bool)
+            mask[pos] = False
+            t = t.filter(pa.array(mask))
         if loaded:
             from raylake.core.deletes import filter_deleted
 

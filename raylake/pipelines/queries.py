@@ -1002,29 +1002,36 @@ def _binary_u64_flat(col) -> tuple:
     return vals, np.diff(off) // 8
 
 
-def _hash_join(left, right, on, right_on=None):
+def _hash_join(left, right, on, right_on=None, rows_hint=None):
     """Dataset.join sized to the session: num_partitions scales with CPUs
-    (on a real cluster: with data volume), and aggregator actors take
-    fractional CPUs so they can't starve the map stages into a deadlock on
-    small nodes (observed: 16 one-CPU aggregators wedge a 4-CPU session)."""
+    and (when known) the row count — every partition costs an aggregator
+    ACTOR spawn (~100 ms each; three 16-partition joins add seconds of pure
+    actor startup to a small-candidate run). On a real cluster: size by
+    data volume instead. Aggregators take fractional CPUs so they can't
+    starve the map stages into a deadlock on small nodes (observed: 16
+    one-CPU aggregators wedge a 4-CPU session)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     parts = max(2, min(16, cpus // 2))
+    if rows_hint is not None:
+        parts = max(2, min(parts, int(rows_hint) // 50_000 + 2))
     return left.join(right, "inner", num_partitions=parts, on=on,
                      right_on=right_on,
                      aggregator_ray_remote_args={"num_cpus": 0.25})
 
 
-def _join_pair_sides(cand, side_ds_factory):
+def _join_pair_sides(cand, side_ds_factory, rows_hint=None):
     """Hash-join candidate pairs back to a per-doc payload stream on BOTH
     sides (doc_a, then doc_b) — the distributed replacement for the r02
     driver-side {doc_id: payload} broadcast dict. Only (pair, payload) rows
     flow; the driver holds nothing. `side_ds_factory(id_name, suffix)`
     returns a Dataset keyed `id_name` carrying payload columns renamed with
     `suffix`."""
-    j = _hash_join(cand, side_ds_factory("doc_a", "_a"), on=("doc_a",))
-    return _hash_join(j, side_ds_factory("doc_b", "_b"), on=("doc_b",))
+    j = _hash_join(cand, side_ds_factory("doc_a", "_a"), on=("doc_a",),
+                   rows_hint=rows_hint)
+    return _hash_join(j, side_ds_factory("doc_b", "_b"), on=("doc_b",),
+                      rows_hint=rows_hint)
 
 
 def q_minhash_neardup(sf_dir: str):
@@ -1057,7 +1064,8 @@ def q_minhash_neardup(sf_dir: str):
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return empty
 
     # per-doc shingle-hash sets for candidate docs only: semi-join documents
@@ -1068,7 +1076,7 @@ def q_minhash_neardup(sf_dir: str):
             [t["doc_a"].to_numpy(), t["doc_b"].to_numpy()])}),
         batch_format="pyarrow")
         .groupby("doc_id").count().select_columns(["doc_id"]))
-    docs = _hash_join(ds, ids, on=("doc_id",))
+    docs = _hash_join(ds, ids, on=("doc_id",), rows_hint=n_cand)
 
     def shingle_sets(t: pa.Table) -> pa.Table:
         # binary-encoded uint64 sets: Acero hash joins reject list<> payload
@@ -1089,7 +1097,7 @@ def q_minhash_neardup(sf_dir: str):
                 f"hashes{suffix}": t["hashes"],
             }), batch_format="pyarrow")
 
-    joined = _join_pair_sides(cand, side)
+    joined = _join_pair_sides(cand, side, rows_hint=n_cand)
 
     def verify(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -1170,7 +1178,10 @@ def q_simhash_neardup(sf_dir: str):
                 f"sig{suffix}": t["simhash"],
             }), batch_format="pyarrow")
 
-    joined = _join_pair_sides(cand, side)
+    # n_docs bounds both join sides (signatures are 1/doc; candidate pairs
+    # are band-bucket-bounded) — a cheap metadata count on the materialized
+    # signature set
+    joined = _join_pair_sides(cand, side, rows_hint=sigs.count())
 
     def verify(t: pa.Table) -> pa.Table:
         sa = t["sig_a"].to_numpy().astype(np.int64).view(np.uint64)
