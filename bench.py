@@ -296,6 +296,10 @@ def _update_baseline_md(rep: dict) -> None:
                 tail = "\n\n" + m + txt.split(m, 1)[1]
                 break
         head = txt.split(marker)[0]
+        # never duplicate the tail: if the scaling marker was hand-removed,
+        # head still contains the analysis/static sections — strip them
+        for m in (analysis_marker, static_marker):
+            head = head.split(m)[0]
         txt = head.rstrip() + "\n\n" + block + tail
     except FileNotFoundError:
         txt = block

@@ -37,3 +37,14 @@ def filter_deleted(batch: pa.Table, deletes,
     mask = delete_keep_mask(batch, deletes)
     out = batch if mask.all() else batch.filter(pa.array(mask))
     return out.select(project) if project is not None else out
+
+
+def apply_positions(t: pa.Table, pos) -> pa.Table:
+    """Drop the rows at ordinals `pos` (sorted int64 array) from a FULL
+    file table. Positions index the file's own row order, so this must run
+    before any row-dropping (equality) filter — the shared kernel for the
+    three position-delete read sites (driver scan, distributed scan task,
+    rewrite task)."""
+    mask = np.ones(len(t), bool)
+    mask[pos] = False
+    return t.filter(pa.array(mask))

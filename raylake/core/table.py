@@ -734,9 +734,9 @@ class Table:
                     if t.schema != need_schema:  # pre-evolution layout
                         t = normalize_schema(apply_renames(t, renames),
                                              need_schema)
-                    mask = np.ones(len(t), bool)
-                    mask[pm[p]] = False  # positions index file row order
-                    t = t.filter(pa.array(mask))
+                    from raylake.core.deletes import apply_positions
+
+                    t = apply_positions(t, pm[p])
                     app = Table._applicable_seq(sa, dl)
                     if app:
                         t = filter_deleted(
@@ -790,11 +790,9 @@ class Table:
                                     entries=[e], apply_deletes=False)
                 pos = posmap.get(e.path)
                 if pos is not None:
-                    # positions index the file's own row order — apply
-                    # BEFORE any row-dropping equality filter
-                    mask = np.ones(len(t), bool)
-                    mask[pos] = False
-                    t = t.filter(pa.array(mask))
+                    from raylake.core.deletes import apply_positions
+
+                    t = apply_positions(t, pos)
                 if app:
                     t = filter_deleted(
                         t, [(loaded[i][1], loaded[i][2]) for i in app])
@@ -1016,6 +1014,23 @@ class Table:
                 cur = refs[branch]["seq"]
             else:
                 cur = self.current_seq
+            # Iceberg validateDataFilesExist: a position delete is planned
+            # against specific file VERSIONS; if a rewrite replaced any
+            # target while this commit waited, rebasing would append an
+            # entry pointing at dead paths — scans would ignore it and the
+            # deleted rows silently survive in the successor files.
+            if (expected_parent is not None and cur != expected_parent
+                    and added_deletes):
+                live_now = {e.path for e in self.live_entries(cur)}
+                for d in added_deletes:
+                    if d.get("kind") != "pos":
+                        continue
+                    gone = [t for t in d["targets"] if t not in live_now]
+                    if gone:
+                        raise CommitConflictError(
+                            f"position-delete targets rewritten since plan "
+                            f"(parent {expected_parent}, current {cur}): "
+                            f"{gone[:3]}")
             if expected_parent is not None and cur != expected_parent and replaced:
                 live_now = {e.path for e in self.live_entries(cur)}
                 if not replaced <= live_now:

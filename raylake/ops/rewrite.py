@@ -110,13 +110,10 @@ def read_task_inputs(table: Table, task: dict) -> pa.Table:
         pos = posmap.get(p)
         if pos is not None:
             # position deletes bind to THIS file version: apply while
-            # rewriting (the commit prunes the entry's replaced targets),
-            # and before any equality filter (positions index file order)
-            import numpy as np
+            # rewriting (the commit prunes the entry's replaced targets)
+            from raylake.core.deletes import apply_positions
 
-            mask = np.ones(len(t), bool)
-            mask[pos] = False
-            t = t.filter(pa.array(mask))
+            t = apply_positions(t, pos)
         if loaded:
             from raylake.core.deletes import filter_deleted
 

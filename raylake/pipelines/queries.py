@@ -1179,7 +1179,13 @@ def q_simhash_neardup(sf_dir: str):
     bands = sigs.map_batches(simhash_band_rows, batch_format="pyarrow")
     cand = (bands.groupby(["band_id", "band_val"])
             .map_groups(_neardup_pairs_groupfn(carry_band=True),
-                        batch_format="pandas"))
+                        batch_format="pandas")
+            .materialize())
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if cand.count() == 0:  # no bucket held two docs — joins would KeyError
+        return empty
 
     def side(id_name, suffix):
         return sigs.map_batches(

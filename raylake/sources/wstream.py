@@ -59,7 +59,6 @@ class WindowedStreamAggregator:
                 root, RESULT_SCHEMA, partition_column="key", num_buckets=4,
                 sort_order=("key", "window_start_us"),
             )
-        self.late_rows: list[pa.Table] = []
         # resume: restore operator state from the last stream snapshot
         self.open: dict[tuple, list] = {}
         self.max_ts = -1
@@ -86,9 +85,6 @@ class WindowedStreamAggregator:
         # stragglers: window already flushed (end <= current watermark)
         late_mask = pc.less_equal(pc.add(win, self.window_us), wm)
         late = batch.filter(late_mask)
-        if len(late):
-            self.late_rows.append(late)
-            self._late_schema = late.schema
         live = batch.filter(pc.invert(late_mask))
         if len(live):
             lt = live.append_column(
@@ -146,10 +142,19 @@ class WindowedStreamAggregator:
             # Persist this tick's stragglers IN the tick commit: state,
             # output and the late audit rows advance atomically, so a crash
             # between ticks never silently drops them (they are rare by
-            # construction — only rows behind the watermark). late_table()
-            # rebuilds from the snapshot log; the batch repair path MERGEs
-            # them back in.
-            summary["wstream_late"] = late.to_pydict()
+            # construction — only rows behind the watermark). Serialized as
+            # base64 Arrow IPC: schema-exact round-trip, and JSON-safe for
+            # any column type (a raw to_pydict of a timestamp column would
+            # crash the tick commit's json.dump). late_table() rebuilds
+            # from the snapshot log; the batch repair path MERGEs them in.
+            import base64
+            import io
+
+            buf = io.BytesIO()
+            with pa.ipc.new_stream(buf, late.schema) as w:
+                w.write_table(late)
+            summary["wstream_late_ipc"] = base64.b64encode(
+                buf.getvalue()).decode("ascii")
         self.table.commit("stream-window", added, summary=summary)
         self.last_offset = offset
         return True
@@ -176,15 +181,14 @@ class WindowedStreamAggregator:
 
     def late_table(self) -> pa.Table | None:
         """All straggler rows, rebuilt from the snapshot log (restart-safe:
-        each tick's late rows ride in that tick's commit summary)."""
+        each tick's late rows ride in that tick's commit summary as Arrow
+        IPC, so schema and dtypes round-trip exactly)."""
+        import base64
+
         parts = []
         for snap in self.table.refresh().snapshots():
-            d = snap.summary.get("wstream_late")
-            if d:
-                parts.append(pa.table(d))
-        if not parts:
-            return None
-        schema = getattr(self, "_late_schema", None)
-        if schema is not None:
-            parts = [p.cast(schema) for p in parts]
-        return pa.concat_tables(parts)
+            b = snap.summary.get("wstream_late_ipc")
+            if b:
+                parts.append(pa.ipc.open_stream(
+                    base64.b64decode(b)).read_all())
+        return pa.concat_tables(parts) if parts else None

@@ -175,3 +175,28 @@ def test_scd2_start_col_coalesce_list(tmp_table_root, ray_session):
             want = src_df.loc[row["entity_id"], "ingest_timestamp"]
         assert row["end_timestamp"] == want
     assert len(df) == 50  # every key changed → every v0 closed
+
+
+def test_wstream_late_rows_with_timestamp_column(tmp_path, ray_session):
+    """Late rows with a non-JSON-native column (timestamp) must persist in
+    the tick commit (Arrow IPC in the summary) and round-trip dtypes."""
+    import pyarrow.compute as pc
+
+    window, late_us = 60_000_000, 120_000_000
+    base = 1_000_000_000_000
+    agg = WindowedStreamAggregator(str(tmp_path / "wts"), window, late_us)
+
+    def tick(i, ts_list):
+        return i, pa.table({
+            "key": pa.array(["a"] * len(ts_list)),
+            "ts": pc.cast(pa.array(ts_list, pa.int64()),
+                          pa.timestamp("us")),
+            "value": pa.array([1.0] * len(ts_list)),
+        })
+
+    agg.process_tick(*tick(0, [base + i * 30_000_000 for i in range(20)]))
+    agg.process_tick(*tick(1, [base]))  # straggler — used to crash json.dump
+    lt = WindowedStreamAggregator(str(tmp_path / "wts"), window,
+                                  late_us).late_table()
+    assert lt is not None and len(lt) == 1
+    assert lt.schema.field("ts").type == pa.timestamp("us")

@@ -163,3 +163,22 @@ def test_pos_delete_time_travel(tbl, ray_session):
         "pos": pa.array([0], pa.int64())}))
     assert len(t.scan_arrow()) == len(pre) - 1
     assert t.scan_arrow(snapshot=seq_before, sort=True).equals(pre)
+
+
+def test_pos_delete_commit_race_raises(tbl, ray_session):
+    """validateDataFilesExist: a position delete planned before a rewrite
+    replaced its target must CONFLICT at commit time, not silently append
+    an entry pointing at dead paths (deleted rows would resurrect)."""
+    from raylake.core.table import CommitConflictError
+
+    t = tbl
+    e0 = t.live_entries()[0]
+    planned_at = t.current_seq
+    compact(t, target_file_bytes=1 << 30)  # replaces every file
+    with pytest.raises(CommitConflictError, match="position-delete targets"):
+        t.commit(
+            "delete-pos", [],
+            added_deletes=[{"path": "data/deletes/fake.parquet", "rows": 1,
+                            "kind": "pos", "targets": [e0.path]}],
+            expected_parent=planned_at,
+        )
