@@ -2102,6 +2102,63 @@ FROM t, b WHERE doc_id % 97 <> 0
 """
 
 
+PACK_BUDGET = 512  # tokens per training sequence
+PACK_SHARD = 100  # docs per deterministic shard (doc_id // PACK_SHARD)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing — the LLM-pretraining concat-and-chunk op: documents
+    are concatenated in doc_id order and chunked into fixed token-budget
+    training sequences; each doc gets (seq_id, seq_offset) = where its
+    tokens start in the packed stream. Deterministic sharding
+    (doc_id // PACK_SHARD) makes packing embarrassingly parallel: token
+    counts are computed vectorized in map_batches (text never shuffles),
+    the groupby moves only (doc_id, shard, n_tokens) rows, and the
+    per-shard cumsum is one numpy pass. At 100 TB each shard packs
+    independently — no global sequential dependency."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.add(pc.count_substring(t["text"], " "), 1), pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shard": pc.cast(pc.divide(t["doc_id"], PACK_SHARD), pa.int64()),
+            "n_tokens": n,
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        start = g["n_tokens"].cumsum().shift(fill_value=0)
+        g["seq_id"] = (start // PACK_BUDGET).astype("int64")
+        g["seq_offset"] = (start % PACK_BUDGET).astype("int64")
+        return g
+
+    return (ds.map_batches(counts, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(pack, batch_format="pandas"))
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH tok AS (
+  SELECT doc_id, (doc_id // {PACK_SHARD})::BIGINT AS shard,
+         (strlen(text) - strlen(replace(text, ' ', '')) + 1)::BIGINT
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM tok
+)
+SELECT doc_id, shard, n_tokens,
+       (start_off // {PACK_BUDGET})::BIGINT AS seq_id,
+       (start_off % {PACK_BUDGET})::BIGINT AS seq_offset
+FROM c ORDER BY doc_id
+"""
+
+
 def q_catalog_medallion(sf_dir: str):
     """Medallion flow through the CATALOG surface (S11 parity with the
     reference's three-schema init, ref docker/init/lakehouse_init.sql:1-3):
@@ -2420,6 +2477,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "transcript_maintenance": q_transcript_maintenance,
     "catalog_medallion": q_catalog_medallion,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -2468,4 +2526,5 @@ ORACLES = {
     "simhash": SQL_SIMHASH,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "catalog_medallion": SQL_CATALOG_MEDALLION,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

@@ -107,3 +107,49 @@ def test_write_sink_csv_json_roundtrip(tmp_path, ray_session):
         import pandas as pd
 
         pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_stream_table_join_enriches_and_tracks_dim_version(tmp_path, ray_session):
+    """StreamTableJoiner: micro-batches enriched against a dim table;
+    dim updates picked up on version change; replayed offsets skipped;
+    each tick records the dim snapshot it used."""
+    import pyarrow as pa
+
+    from raylake.ops.append import append as tbl_append
+    from raylake.sources.stream import StreamTableJoiner
+
+    dim = Table.create(str(tmp_path / "dim"), pa.schema([
+        ("user_id", pa.int64()), ("segment", pa.string()),
+    ]), partition_column=None, sort_order=("user_id",))
+    tbl_append(dim, pa.table({"user_id": [1, 2, 3],
+                              "segment": ["a", "b", "c"]}))
+
+    out = Table.create(str(tmp_path / "out"), pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("segment", pa.string()),
+    ]), partition_column=None, sort_order=("event_id",))
+    j = StreamTableJoiner(out, dim, on="user_id")
+
+    t0 = pa.table({"event_id": [10, 11], "user_id": [1, 9]})
+    assert j.process_tick(0, t0)
+    got = out.scan_arrow(sort=True).to_pydict()
+    assert got["segment"] == ["a", None]  # left join; unknown user → null
+
+    # dim advances between ticks → next tick sees the new mapping
+    tbl_append(dim, pa.table({"user_id": [9], "segment": ["z"]}))
+    t1 = pa.table({"event_id": [12], "user_id": [9]})
+    assert j.process_tick(1, t1)
+    got = out.scan_arrow(sort=True).to_pydict()
+    assert got["segment"] == ["a", None, "z"]
+
+    # replay is a no-op (exactly-once), including after a crash-rebuild
+    assert not j.process_tick(1, t1)
+    j2 = StreamTableJoiner(Table.load(str(tmp_path / "out")), dim,
+                           on="user_id")
+    assert not j2.process_tick(0, t0)
+    assert len(out.refresh().scan_arrow()) == 3
+
+    # lineage: each tick recorded which dim snapshot stamped it
+    dim_seqs = [s.summary.get("dim_seq") for s in out.snapshots()
+                if s.summary.get("stream_offset") is not None]
+    assert dim_seqs == sorted(dim_seqs) and len(set(dim_seqs)) == 2
