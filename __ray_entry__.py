@@ -10,12 +10,12 @@ here (or in raylake) calls ``ray.init()`` / ``ray.shutdown()``.
                       (SURVEY.md §2 + training-data additions), each taking
                       ``sf_dir``.
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (38 of 43, including the maintenance pipeline itself
-                      via ``maintained_scan``/``mor_delete_scan`` whose
-                      inputs derive from the events view); rows-only:
-                      minhash/simhash banding, IVF ANN probing, and the
-                      fixture-input transcript_maintenance — each carries a
-                      pytest golden check instead.
+                      (46 of 48 as of round 3 — including the maintenance
+                      pipeline itself via ``maintained_scan``/
+                      ``mor_delete_scan`` and the full-LSH transcriptions of
+                      minhash/simhash near-dup); rows-only: IVF ANN probing
+                      and the fixture-input transcript_maintenance — each
+                      carries a pytest golden check instead.
 """
 
 from __future__ import annotations
