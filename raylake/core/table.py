@@ -458,12 +458,20 @@ class Table:
             p = int(partition_of([conv_value], self.num_buckets_at(snapshot))[0])
             entries = [e for e in entries if e.partition in (p, -1)]
         h32 = int(stable_hash64([conv_value])[0]) >> 32
-        return [
+        out = [
             e
             for e in entries
             if e.overlaps(col or "conv_id", conv_value, conv_value)
             and e.overlaps("conv_h32", h32, h32)
         ]
+        bkey = f"{col or 'conv_id'}__bloom"
+        if any(bkey in e.stats for e in out):
+            from raylake.core.bloom import bloom_might_contain
+
+            out = [e for e in out
+                   if bkey not in e.stats  # no bloom → cannot exclude
+                   or bloom_might_contain(e.stats[bkey], conv_value)]
+        return out
 
     def _paths(self, entries: Iterable[ManifestEntry]) -> list[str]:
         return [os.path.join(self.root, e.path) for e in entries]
@@ -1174,10 +1182,20 @@ class Table:
         # benches hide the read cost).
         codec = self.meta.get("properties", {}).get("write.compression", "zstd")
         pq.write_table(table, abspath, compression=codec)
+        stats = md.column_stats(table, self.stats_columns)
+        # opt-in per-file bloom filters (`write.bloom_columns` property):
+        # point-lookup pruning for columns min/max can't help (core/bloom.py)
+        for c in self.meta.get("properties", {}).get("write.bloom_columns",
+                                                     []):
+            if c in table.column_names and len(table):
+                from raylake.core.bloom import STAT_SUFFIX, bloom_build
+
+                stats[f"{c}{STAT_SUFFIX}"] = bloom_build(
+                    table[c].combine_chunks())
         return ManifestEntry(
             path=rel,
             partition=partition,
             rows=len(table),
             bytes=os.path.getsize(abspath),
-            stats=md.column_stats(table, self.stats_columns),
+            stats=stats,
         )
