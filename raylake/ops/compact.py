@@ -78,7 +78,7 @@ def plan_compaction(
 
 
 def _compact_task(table: Table, task: dict, params: dict) -> dict:
-    data = read_task_inputs(table, task)
+    data = read_task_inputs(table, task, snapshot=params.get("branch"))
     data = data.sort_by([(c, "ascending") for c in table.sort_order])
     bpr = task["input_bytes"] / max(1, task["input_rows"])
     entries = cut_and_write(
@@ -93,19 +93,24 @@ def compact(
     job_id: str | None = None,
     concurrency: int | None = None,
     max_tasks: int | None = None,
+    branch: str | None = None,
     **plan_kwargs,
 ):
     """Plan + execute + commit. Returns the Snapshot (or None if no work /
     incomplete). Resumable: pass the same job_id to continue a partial run —
     the plan persisted in the job meta is reused (never re-planned from the
-    possibly-advanced current snapshot)."""
+    possibly-advanced current snapshot). With `branch`, the whole job is
+    scoped to that ref (planned from its head, branch deletes applied,
+    committed to it) — WAP maintenance: audit the compacted branch, then
+    fast_forward to publish."""
     from raylake.state.ledger import Ledger
 
     if job_id is not None and Ledger(table.root, job_id).read_meta() is not None:
         tasks = []  # resume path: run_rewrite_job reloads the persisted plan
     else:
         tasks = plan_compaction(
-            table, target_file_bytes=target_file_bytes, **plan_kwargs
+            table, target_file_bytes=target_file_bytes,
+            snapshot=branch, **plan_kwargs
         )
         if not tasks:
             return None
@@ -115,7 +120,8 @@ def compact(
         tasks,
         _compact_task,
         job_id=job_id,
-        params={"target_file_bytes": target_file_bytes},
+        params={"target_file_bytes": target_file_bytes, "branch": branch},
         concurrency=concurrency,
         max_tasks=max_tasks,
+        branch=branch,
     )

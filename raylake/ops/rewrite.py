@@ -81,7 +81,11 @@ class RewriteTask:
     extra: dict = field(default_factory=dict)
 
 
-def read_task_inputs(table: Table, task: dict) -> pa.Table:
+def read_task_inputs(table: Table, task: dict,
+                     snapshot: int | str | None = None) -> pa.Table:
+    """`snapshot` (seq or branch name) pins the DELETE state applied while
+    rewriting — branch-scoped maintenance must apply the branch's deletes,
+    not main's."""
     paths = task["input_paths"]
     if not paths:
         return table.schema.empty_table()
@@ -93,17 +97,17 @@ def read_task_inputs(table: Table, task: dict) -> pa.Table:
     # per task, and ONLY while delete files exist (they're transient — the
     # purge op removes them); with no deletes this costs one snapshot read.
     cache = getattr(table, "_mor_state", None)
-    if cache is None:
-        metas = table.delete_files_meta()
-        loaded = table._load_delete_keys() if metas else []
-        posmap = table._load_pos_deletes() if metas else {}
+    if cache is None or cache[0] != snapshot:
+        metas = table.delete_files_meta(snapshot)
+        loaded = table._load_delete_keys(snapshot) if metas else []
+        posmap = table._load_pos_deletes(snapshot) if metas else {}
         seqmap = (
-            {e.path: e.seq_added for e in table.live_entries()}
+            {e.path: e.seq_added for e in table.live_entries(snapshot)}
             if metas else {}
         )
-        cache = (loaded, seqmap, posmap)
+        cache = (snapshot, loaded, seqmap, posmap)
         table._mor_state = cache
-    loaded, seqmap, posmap = cache
+    _, loaded, seqmap, posmap = cache
     tabs = []
     for p in paths:
         t = pq.read_table(os.path.join(table.root, p))
@@ -210,12 +214,15 @@ def run_rewrite_job(
     max_tasks: int | None = None,
     meta_updates: dict | None = None,
     removed_delete_paths: list[str] | None = None,
+    branch: str | None = None,
 ):
     """Execute tasks on an actor pool; commit once ALL tasks are ledgered.
 
     Returns the committed Snapshot, or None if the job is incomplete
     (`max_tasks` reached / crash) — call again with the same `job_id` to
-    resume — or if every task was a no-op skip.
+    resume — or if every task was a no-op skip. With `branch`, the job is
+    scoped to that ref: planned against its head and committed to it (WAP
+    maintenance — main readers never see the rewrite until fast_forward).
     """
     import ray
     import ray.data
@@ -226,10 +233,12 @@ def run_rewrite_job(
     if meta is None:
         meta = {
             "operation": operation,
-            "parent_seq": table.current_seq,
+            "parent_seq": table.resolve_ref(branch),
             "task_ids": [t.task_id for t in tasks],
             "tasks": [asdict(t) for t in tasks],
         }
+        if branch is not None:
+            meta["branch"] = branch
         if meta_updates:
             # persisted so a crash-resumed job applies the same atomic
             # table-metadata flip (e.g. the partition-spec change)
@@ -323,6 +332,7 @@ def commit_from_ledger(table: Table, operation: str, meta: dict,
         summary=summary,
         meta_updates=meta.get("meta_updates"),
         removed_delete_paths=frozenset(meta.get("removed_delete_paths", [])),
+        branch=meta.get("branch"),
     )
     ledger.clear()
     return snap

@@ -164,3 +164,50 @@ def test_rollback_to_snapshot(tbl, ray_session):
     bseq = t.resolve_ref("b2")
     with pytest.raises(ValueError, match="unpublished branch"):
         t.rollback(bseq)
+
+
+def test_branch_scoped_compaction_wap(tbl, ray_session):
+    """Maintenance on a branch (WAP): compact(branch=...) plans from the
+    branch head, applies the BRANCH's delete state, commits to the branch
+    — main is untouched until fast_forward publishes."""
+    from raylake.ops.compact import compact
+
+    t = tbl
+    t.create_branch("maint")
+    main_files = {e.path for e in t.live_entries()}
+    main_pre = t.scan_arrow(sort=True)
+
+    # branch-only delete (committed to the branch head, not main):
+    # branch maintenance must apply it while rewriting
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    keys = main_pre.select(["conv_id", "turn_idx"]).slice(0, 30)
+    _os.makedirs(_os.path.join(t.root, "data", "deletes"), exist_ok=True)
+    rel = f"data/deletes/delete-{_uuid.uuid4().hex}.parquet"
+    _pq.write_table(keys.replace_schema_metadata(None),
+                    _os.path.join(t.root, rel), compression="zstd")
+    t.commit("delete-mor", [],
+             added_deletes=[{"path": rel, "rows": len(keys),
+                             "key_cols": ["conv_id", "turn_idx"]}],
+             branch="maint")
+
+    branch_pre = t.scan_arrow(snapshot="maint", sort=True)
+    assert len(branch_pre) == len(main_pre) - 30
+
+    snap = compact(t, target_file_bytes=1 << 30, branch="maint")
+    assert snap is not None
+    t.refresh()
+    # main: untouched files AND untouched data
+    assert {e.path for e in t.live_entries()} == main_files
+    assert t.scan_arrow(sort=True).equals(main_pre)
+    # branch: bit-for-bit rows, fewer files, branch delete applied & purged
+    got = t.scan_arrow(snapshot="maint", sort=True)
+    assert got.equals(branch_pre)
+    assert len(t.live_entries("maint")) < len(main_files)
+
+    # publish: main now serves the compacted (and branch-deleted) data
+    t.fast_forward("maint")
+    assert t.scan_arrow(sort=True).equals(branch_pre)
