@@ -2423,6 +2423,116 @@ FROM (
 """
 
 
+_STREAM_SESSION_GAP_US = 7_200_000_000  # 2 h
+_STREAM_SESSION_SHARDS = 4
+
+
+def q_stream_sessions(sf_dir: str):
+    """STREAMING session windows over the replayed event log (SURVEY §2.10
+    depth; streaming form of `sessionize`, ref the reference's dead Spark
+    structured-streaming path src/elt/silver/_silver_handler.py:233-255).
+
+    The events table is replayed in event-time order as micro-batch ticks;
+    each tick is hash-routed by user to a pool of SessionStreamAggregator
+    ACTORS (one lakehouse result table per shard — operator state, session
+    output and the stream offset advance atomically in each tick's commit),
+    and the per-shard session tables are unioned at the end. Watermark
+    flushing makes the stream converge to EXACTLY the batch gap-split
+    answer, so the SQL oracle value-hash-checks the whole streaming path.
+    Values are summed as integer cents (floor(v*100+0.5)) on both sides —
+    no float-summation-order drift.
+
+    Scale shape: shards own disjoint key ranges (Kafka-partition parity) —
+    a cluster runs one aggregator actor per core with the same hash
+    routing; the driver only routes zero-copy Arrow slices and never
+    aggregates. The replay `sort("t")` stands in for the log's arrival
+    order; a real source is already time-ordered per partition."""
+    import tempfile
+
+    import ray
+
+    from raylake.core.hashing import partition_of
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["user_id"], pa.string()),
+            "t": pc.cast(t["ts"], pa.int64()),
+            "cents": pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+        })
+
+    root = tempfile.mkdtemp(prefix="raylake_sstq_")
+    shard_cls = ray.remote(_SessionShard)
+    shards = [
+        shard_cls.options(num_cpus=0.25).remote(
+            f"{root}/shard={i}", _STREAM_SESSION_GAP_US, 1_000_000)
+        for i in range(_STREAM_SESSION_SHARDS)
+    ]
+    pending = []
+    ordered = ds.map_batches(project, batch_format="pyarrow").sort("t")
+    for off, batch in enumerate(
+            ordered.iter_batches(batch_size=2000, batch_format="pyarrow")):
+        parts = partition_of(batch["key"], _STREAM_SESSION_SHARDS)
+        for i in np.unique(parts):
+            pending.append(shards[int(i)].process_tick.remote(
+                off, batch.filter(pa.array(parts == i))))
+    ray.get(pending)
+    out = pa.concat_tables(ray.get([s.finish.remote() for s in shards]))
+    out = pa.table({
+        "key": out["key"],
+        "session_start_us": out["session_start_us"],
+        "session_end_us": out["session_end_us"],
+        "n": out["n"],
+        "sum_cents": pc.cast(out["sum_value"], pa.int64()),
+    })
+    return out.sort_by([("key", "ascending"),
+                        ("session_start_us", "ascending")])
+
+
+class _SessionShard:
+    """One key-shard of the streaming session aggregation: hosts a
+    SessionStreamAggregator over its own lakehouse table root."""
+
+    def __init__(self, root: str, gap_us: int, late_us: int):
+        from raylake.sources.wstream import SessionStreamAggregator
+
+        self.agg = SessionStreamAggregator(
+            root, gap_us, late_us, key_col="key", ts_col="t",
+            value_col="cents")
+
+    def process_tick(self, offset: int, t: pa.Table) -> None:
+        self.agg.process_tick(offset, t)
+
+    def finish(self) -> pa.Table:
+        self.agg.final_flush()
+        return self.agg.results()
+
+
+SQL_STREAM_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id::VARCHAR AS key, epoch_us(ts) AS t,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT key, t, cents,
+         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY t)
+              > {_STREAM_SESSION_GAP_US} THEN 1 ELSE 0 END AS ig
+  FROM e),
+s AS (
+  SELECT key, t, cents,
+         sum(ig) OVER (PARTITION BY key ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g)
+SELECT key, min(t) AS session_start_us, max(t) AS session_end_us,
+       count(*) AS n, sum(cents)::BIGINT AS sum_cents
+FROM s GROUP BY key, sess
+ORDER BY key, session_start_us
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -2464,6 +2574,7 @@ QUERIES = {
     "sample_hash": q_sample_hash,
     "kmv_distinct": q_kmv_distinct,
     "sessionize": q_sessionize,
+    "stream_sessions": q_stream_sessions,
     "mor_delete_scan": q_mor_delete_scan,
     "contamination": q_contamination,
     "incremental_scan": q_incremental_scan,
@@ -2517,6 +2628,7 @@ ORACLES = {
     "sample_hash": SQL_SAMPLE_HASH,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "sessionize": SQL_SESSIONIZE,
+    "stream_sessions": SQL_STREAM_SESSIONS,
     "mor_delete_scan": SQL_MOR_DELETE_SCAN,
     "contamination": SQL_CONTAMINATION,
     "incremental_scan": SQL_INCREMENTAL_SCAN,

@@ -192,3 +192,212 @@ class WindowedStreamAggregator:
                 parts.append(pa.ipc.open_stream(
                     base64.b64decode(b)).read_all())
         return pa.concat_tables(parts) if parts else None
+
+
+SESSION_SCHEMA = pa.schema([
+    ("key", pa.string()),
+    ("session_start_us", pa.int64()),
+    ("session_end_us", pa.int64()),
+    ("n", pa.int64()),
+    ("sum_value", pa.float64()),
+])
+
+
+class SessionStreamAggregator:
+    """Stateful SESSION windows over the micro-batch stream — the streaming
+    form of the batch `sessionize` query (split a key's event stream at
+    > gap silence): the `.groupBy(session_window(...))` shape of Spark
+    streaming, re-expressed on the lakehouse.
+
+    Semantics: a session is a maximal run of a key's events where
+    consecutive sorted timestamps differ ≤ gap. Open state per key is a
+    set of disjoint intervals [min_ts, max_ts, n, sum]; each incoming
+    tick's rows are pre-aggregated per key (vectorized gap-split within
+    the tick), then INTERVAL-MERGED into the open set — so out-of-order
+    arrival within the lateness bound converges to exactly the batch
+    answer (two open intervals merge when a bridging row lands between
+    them). A session flushes once the watermark (max ts seen − lateness)
+    passes its end + gap: no future in-bound row can extend it. Rows
+    behind an already-flushed horizon side-output to the late audit
+    stream (IPC-in-summary, as in the tumbling aggregator).
+
+    Exactly-once: open intervals + offset ride in each flush commit's
+    snapshot summary; a crash-rebuilt aggregator resumes from the log.
+    State is bounded by #keys × open intervals (≤ lateness/gap + 1)."""
+
+    def __init__(self, root: str, gap_us: int, allowed_lateness_us: int,
+                 key_col: str = "key", ts_col: str = "ts",
+                 value_col: str = "value"):
+        self.gap_us = gap_us
+        self.lateness_us = allowed_lateness_us
+        self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
+        try:
+            self.table = Table.load(root)
+        except FileNotFoundError:
+            self.table = Table.create(
+                root, SESSION_SCHEMA, partition_column="key", num_buckets=4,
+                sort_order=("key", "session_start_us"),
+            )
+        # {key: [[min_ts, max_ts, n, sum], ...] sorted by min_ts}
+        self.open: dict = {}
+        self.max_ts = -1
+        self.last_offset = -1
+        self.flushed_horizon: dict = {}  # key -> last flushed session end
+        for snap in self.table.snapshots():
+            st = snap.summary.get("sstream_state")
+            if st is not None:
+                self.open = {k: [list(iv) for iv in ivs]
+                             for k, ivs in st["open"]}
+                self.max_ts = st["max_ts"]
+                self.last_offset = st["offset"]
+                self.flushed_horizon = dict(st["horizon"])
+
+    def _merge_key(self, key: str, intervals: list) -> list:
+        """Merge new [min,max,n,sum] intervals into the key's open set;
+        returns rows that fall behind the flushed horizon (true late)."""
+        horizon = self.flushed_horizon.get(key)
+        late = []
+        ivs = self.open.get(key, [])
+        for iv in intervals:
+            # A chain whose FIRST row lands within gap of a flushed session's
+            # end would, in the batch answer, have merged the WHOLE chain into
+            # that (already emitted) session — so the whole interval is late.
+            if horizon is not None and iv[0] <= horizon + self.gap_us:
+                late.append(iv)
+                continue
+            ivs.append(list(iv))
+        ivs.sort(key=lambda x: x[0])
+        merged: list = []
+        for iv in ivs:
+            if merged and iv[0] - merged[-1][1] <= self.gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], iv[1])
+                m[2] += iv[2]
+                m[3] += iv[3]
+            else:
+                merged.append(iv)
+        if merged:
+            self.open[key] = merged
+        return late
+
+    def process_tick(self, offset: int, batch: pa.Table) -> bool:
+        if offset <= self.last_offset:
+            return False
+        import numpy as np
+        import pandas as pd
+
+        late_parts = []
+        if len(batch):
+            df = pd.DataFrame({
+                "k": batch[self.key_col].to_pandas(),
+                "t": pc.cast(batch[self.ts_col], pa.int64()).to_pandas(),
+                "v": batch[self.value_col].to_pandas(),
+            }).sort_values(["k", "t"], kind="mergesort")
+            # vectorized within-tick gap split per key
+            newkey = df["k"].ne(df["k"].shift())
+            gap = df["t"].diff().gt(self.gap_us) | newkey
+            df["s"] = gap.cumsum()
+            agg = df.groupby(["k", "s"], sort=True).agg(
+                lo=("t", "min"), hi=("t", "max"),
+                n=("t", "size"), sm=("v", "sum")).reset_index()
+            for k, g in agg.groupby("k", sort=True):
+                late_ivs = self._merge_key(
+                    str(k), g[["lo", "hi", "n", "sm"]].values.tolist())
+                for lo, hi, n, sm in late_ivs:
+                    sel = df[(df["k"] == k) & (df["t"] >= lo)
+                             & (df["t"] <= hi)]
+                    late_parts.append(pa.table({
+                        self.key_col: pa.array(sel["k"]),
+                        self.ts_col: pa.array(sel["t"].astype("int64")),
+                        self.value_col: pa.array(sel["v"]),
+                    }))
+            self.max_ts = max(self.max_ts, int(df["t"].max()))
+
+        # flush sessions no in-bound row can extend
+        wm = self.max_ts - self.lateness_us
+        rows = []
+        for k in sorted(self.open):
+            keep = []
+            for iv in self.open[k]:
+                if iv[1] + self.gap_us < wm:
+                    rows.append((k, *iv))
+                    h = self.flushed_horizon.get(k)
+                    self.flushed_horizon[k] = (
+                        iv[1] if h is None else max(h, iv[1]))
+                else:
+                    keep.append(iv)
+            if keep:
+                self.open[k] = keep
+            else:
+                self.open.pop(k, None)
+
+        added = []
+        if rows:
+            import numpy as np
+
+            from raylake.core.hashing import partition_of
+
+            out = pa.table({
+                "key": pa.array([r[0] for r in rows]),
+                "session_start_us": pa.array([r[1] for r in rows], pa.int64()),
+                "session_end_us": pa.array([r[2] for r in rows], pa.int64()),
+                "n": pa.array([int(r[3]) for r in rows], pa.int64()),
+                "sum_value": pa.array([float(r[4]) for r in rows],
+                                      pa.float64()),
+            })
+            parts = partition_of(out["key"], self.table.num_buckets)
+            for p in np.unique(parts):
+                added.append(self.table.write_file(
+                    out.filter(pa.array(parts == p)), int(p)))
+
+        state = {
+            "offset": offset,
+            "max_ts": self.max_ts,
+            "open": sorted(
+                (k, [list(iv) for iv in ivs])
+                for k, ivs in self.open.items()),
+            "horizon": sorted(self.flushed_horizon.items()),
+        }
+        summary = {"stream_offset": offset, "sstream_state": state}
+        if late_parts:
+            import base64
+            import io
+
+            lt = pa.concat_tables(late_parts)
+            buf = io.BytesIO()
+            with pa.ipc.new_stream(buf, lt.schema) as w:
+                w.write_table(lt)
+            summary["wstream_late_ipc"] = base64.b64encode(
+                buf.getvalue()).decode("ascii")
+        self.table.commit("stream-session", added, summary=summary)
+        self.last_offset = offset
+        return True
+
+    def run(self, ticks) -> int:
+        n = 0
+        for offset, batch in ticks:
+            if self.process_tick(offset, batch):
+                n += 1
+        return n
+
+    def final_flush(self) -> None:
+        self.max_ts = max(self.max_ts, 2**62)
+        self.process_tick(
+            self.last_offset + 1,
+            pa.table({self.key_col: pa.array([], pa.string()),
+                      self.ts_col: pa.array([], pa.int64()),
+                      self.value_col: pa.array([], pa.float64())}))
+
+    def results(self) -> pa.Table:
+        return self.table.refresh().scan_arrow(sort=True)
+
+    def late_table(self) -> pa.Table | None:
+        import base64
+
+        parts = []
+        for snap in self.table.refresh().snapshots():
+            b = snap.summary.get("wstream_late_ipc")
+            if b:
+                parts.append(pa.ipc.open_stream(
+                    base64.b64decode(b)).read_all())
+        return pa.concat_tables(parts) if parts else None
