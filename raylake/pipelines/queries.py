@@ -653,6 +653,68 @@ SELECT event_type,
 FROM events GROUP BY event_type, window_start
 """
 
+_HOP_WINDOW_US = 3_600_000_000  # 1 h windows ...
+_HOP_SLIDE_US = 900_000_000  # ... hopping every 15 min (k=4 overlap)
+
+
+def q_window_hop(sf_dir: str):
+    """HOPPING (sliding) 1h/15min event-time windows per type — each row
+    lands in k = window/slide overlapping windows. The explode is a
+    vectorized numpy repeat inside map_batches (k small and fixed), then
+    per-batch partial aggregation so the groupby shuffle moves ~k×|types|
+    rows per block, not k×|events|. Values summed as integer cents
+    (floor(v*100+0.5)) on both sides — exact vs the oracle."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+    k = _HOP_WINDOW_US // _HOP_SLIDE_US
+
+    def fn(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5))
+        w0 = us // _HOP_SLIDE_US * _HOP_SLIDE_US
+        starts = (w0[:, None]
+                  - np.arange(k, dtype=np.int64) * _HOP_SLIDE_US)
+        idx = pa.array(np.repeat(np.arange(len(us)), k))
+        exploded = pa.table({
+            "event_type": t["event_type"].take(idx),
+            "window_start_us": pa.array(starts.ravel(), pa.int64()),
+            "cents": pc.cast(cents, pa.int64()).take(idx),
+        })
+        part = pa.TableGroupBy(
+            exploded, ["event_type", "window_start_us"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return part.rename_columns(
+            ["event_type", "window_start_us", "n", "sum_cents"])
+
+    agg = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_us"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+    )
+    out = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return out.sort_by([("event_type", "ascending"),
+                        ("window_start_us", "ascending")])
+
+
+SQL_WINDOW_HOP = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+x AS (
+  SELECT event_type, cents,
+         (t // {_HOP_SLIDE_US} - r.i) * {_HOP_SLIDE_US} AS window_start_us
+  FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) r(i))
+SELECT event_type, window_start_us,
+       count(*) AS n, sum(cents)::BIGINT AS sum_cents
+FROM x GROUP BY event_type, window_start_us
+ORDER BY event_type, window_start_us
+"""
+
 
 # ---------------------------------------------------------------------------
 # Text analysis over `documents`
@@ -2557,6 +2619,7 @@ QUERIES = {
     "window_ffill": q_window_ffill,
     "asof_join": q_asof_join,
     "window_agg": q_window_agg,
+    "window_hop": q_window_hop,
     "text_stats": q_text_stats,
     "token_bpe": q_token_bpe,
     "quality_score": q_quality_score,
@@ -2611,6 +2674,7 @@ ORACLES = {
     "window_ffill": SQL_WINDOW_FFILL,
     "asof_join": SQL_ASOF_JOIN,
     "window_agg": SQL_WINDOW_AGG,
+    "window_hop": SQL_WINDOW_HOP,
     "text_stats": SQL_TEXT_STATS,
     "token_bpe": SQL_TOKEN_BPE,
     "quality_score": SQL_QUALITY_SCORE,

@@ -40,6 +40,12 @@ RESULT_SCHEMA = pa.schema([
 
 
 class WindowedStreamAggregator:
+    """Tumbling by default; pass slide_us < window_us for HOPPING (sliding)
+    windows — each row then contributes to ceil(window/slide) overlapping
+    windows (window starts on multiples of slide). State/flush/late logic is
+    shared: a window [s, s+window) flushes when s+window <= watermark, and a
+    row is late only when even its LAST covering window is already flushed."""
+
     def __init__(
         self,
         root: str,
@@ -48,8 +54,12 @@ class WindowedStreamAggregator:
         key_col: str = "key",
         ts_col: str = "ts",
         value_col: str = "value",
+        slide_us: int | None = None,
     ):
         self.window_us = window_us
+        self.slide_us = slide_us if slide_us is not None else window_us
+        if self.slide_us > window_us or window_us % self.slide_us:
+            raise ValueError("slide_us must divide window_us")
         self.lateness_us = allowed_lateness_us
         self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
         try:
@@ -81,21 +91,39 @@ class WindowedStreamAggregator:
             return False
         wm = self.max_ts - self.lateness_us
         ts_us = pc.cast(batch[self.ts_col], pa.int64())
-        win = pc.multiply(pc.divide(ts_us, self.window_us), self.window_us)
-        # stragglers: window already flushed (end <= current watermark)
-        late_mask = pc.less_equal(pc.add(win, self.window_us), wm)
+        # last (highest-start) window covering each ts; a row is a straggler
+        # only when even THAT window is flushed (end <= current watermark)
+        win0 = pc.multiply(pc.divide(ts_us, self.slide_us), self.slide_us)
+        late_mask = pc.less_equal(pc.add(win0, self.window_us), wm)
         late = batch.filter(late_mask)
         live = batch.filter(pc.invert(late_mask))
         if len(live):
-            lt = live.append_column(
-                "__win", pc.multiply(
-                    pc.divide(pc.cast(live[self.ts_col], pa.int64()),
-                              self.window_us), self.window_us))
-            agg = pa.TableGroupBy(
-                pa.table({
-                    "k": lt[self.key_col], "w": lt["__win"],
-                    "v": lt[self.value_col],
-                }), ["k", "w"]).aggregate([("v", "count"), ("v", "sum")])
+            lts = pc.cast(live[self.ts_col], pa.int64())
+            if self.slide_us == self.window_us:
+                grp = pa.table({
+                    "k": live[self.key_col],
+                    "w": pc.multiply(pc.divide(lts, self.window_us),
+                                     self.window_us),
+                    "v": live[self.value_col],
+                })
+            else:
+                # hop: explode each row into its k covering window starts
+                # (window divisible by slide -> always exactly k of them)
+                import numpy as np
+
+                k = self.window_us // self.slide_us
+                t = lts.to_numpy(zero_copy_only=False)
+                w0 = t // self.slide_us * self.slide_us
+                starts = (w0[:, None]
+                          - np.arange(k, dtype=np.int64) * self.slide_us)
+                idx = np.repeat(np.arange(len(t)), k)
+                grp = pa.table({
+                    "k": live[self.key_col].take(pa.array(idx)),
+                    "w": pa.array(starts.ravel(), pa.int64()),
+                    "v": live[self.value_col].take(pa.array(idx)),
+                })
+            agg = pa.TableGroupBy(grp, ["k", "w"]).aggregate(
+                [("v", "count"), ("v", "sum")])
             for k, w, n, s in zip(agg["k"].to_pylist(), agg["w"].to_pylist(),
                                   agg["v_count"].to_pylist(),
                                   agg["v_sum"].to_pylist()):

@@ -97,3 +97,66 @@ def test_windowed_stream_crash_resume_exactly_once(tmp_path, ray_session):
     got["sum_value"] = got["sum_value"].round(6)
     want["sum_value"] = want["sum_value"].round(6)
     pd.testing.assert_frame_equal(got, want)
+
+
+HOP = 20_000_000  # 20 s slide inside the 1 min window (k=3 overlap)
+
+
+def _batch_oracle_hop(ticks, exclude_straggler_of_last_tick=True):
+    dfs = [t.to_pandas() for _, t in ticks]
+    df = pd.concat(dfs, ignore_index=True)
+    if exclude_straggler_of_last_tick:
+        df = df.drop(df.index[len(df) - len(dfs[-1])])
+    k = WINDOW // HOP
+    reps = df.loc[df.index.repeat(k)].reset_index(drop=True)
+    offs = np.tile(np.arange(k) * HOP, len(df))
+    reps["window_start_us"] = reps["ts"] // HOP * HOP - offs
+    g = (reps.groupby(["key", "window_start_us"])
+         .agg(n=("value", "count"), sum_value=("value", "sum"))
+         .reset_index()
+         .sort_values(["key", "window_start_us"]).reset_index(drop=True))
+    g["n"] = g["n"].astype("int64")
+    return g
+
+
+def test_hopping_stream_matches_batch_recompute(tmp_path, ray_session):
+    """slide < window: every row lands in k overlapping windows; the stream
+    must still equal a batch recompute and side-output the straggler."""
+    ticks = _ticks()
+    agg = WindowedStreamAggregator(str(tmp_path / "h"), WINDOW, LATE,
+                                   slide_us=HOP)
+    assert agg.run(ticks) == len(ticks)
+    agg.final_flush()
+    got = agg.results().to_pandas().sort_values(
+        ["key", "window_start_us"]).reset_index(drop=True)
+    want = _batch_oracle_hop(ticks)
+    assert want["n"].sum() == (WINDOW // HOP) * (len(ticks) * 200 - 1)
+    got["sum_value"] = got["sum_value"].round(6)
+    want["sum_value"] = want["sum_value"].round(6)
+    pd.testing.assert_frame_equal(got, want)
+    late = agg.late_table()
+    assert late is not None and len(late) == 1
+
+
+def test_hopping_stream_crash_resume(tmp_path, ray_session):
+    ticks = _ticks()
+    root = str(tmp_path / "h")
+    a1 = WindowedStreamAggregator(root, WINDOW, LATE, slide_us=HOP)
+    for off, batch in ticks[:4]:
+        a1.process_tick(off, batch)
+    a2 = WindowedStreamAggregator(root, WINDOW, LATE, slide_us=HOP)
+    for off, batch in ticks[2:]:
+        a2.process_tick(off, batch)
+    a2.final_flush()
+    got = a2.results().to_pandas().sort_values(
+        ["key", "window_start_us"]).reset_index(drop=True)
+    want = _batch_oracle_hop(ticks)
+    got["sum_value"] = got["sum_value"].round(6)
+    want["sum_value"] = want["sum_value"].round(6)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hop_slide_must_divide_window(tmp_path, ray_session):
+    with pytest.raises(ValueError):
+        WindowedStreamAggregator(str(tmp_path / "x"), WINDOW, LATE,
+                                 slide_us=7_000_000)
