@@ -20,5 +20,6 @@ keys. Metadata is Avro-free JSON (manifests + snapshot log); data is Parquet.
 from raylake.core.table import Table, CommitConflictError  # noqa: F401
 from raylake.core.schema import TRANSCRIPT_SCHEMA  # noqa: F401
 from raylake.core.catalog import Catalog  # noqa: F401
+from raylake.core.transaction import CatalogTransaction  # noqa: F401
 
 __version__ = "0.1.0"

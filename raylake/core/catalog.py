@@ -141,6 +141,50 @@ class Catalog:
                     f"{identifier} holds data; pass purge=True to delete it")
         shutil.rmtree(path)
 
+    # ---------------------------------------------------------- transactions
+
+    def transaction(self) -> "CatalogTransaction":
+        """Begin a multi-table ACID transaction (appends + equality deletes
+        across any tables of this catalog commit atomically — see
+        core/transaction.py for the intent/roll-forward protocol). Runs
+        crash recovery for earlier interrupted transactions first."""
+        from raylake.core.transaction import CatalogTransaction
+
+        CatalogTransaction.recover(self)
+        return CatalogTransaction(self)
+
+    def pinned_snapshots(self, identifiers) -> dict[str, int]:
+        """A cross-table-consistent snapshot set: {ident: snapshot seq} such
+        that no multi-table transaction is partially applied across the
+        captured seqs. Runs recovery, captures, and re-captures while any
+        intent manifest overlapping `identifiers` is live."""
+        import json
+
+        from raylake.core.transaction import CatalogTransaction
+
+        idents = [i if isinstance(i, str) else ".".join(i)
+                  for i in identifiers]
+        d = os.path.join(self.warehouse, "_txn")
+        for _ in range(64):
+            CatalogTransaction.recover(self)
+            seqs = {i: self.load_table(i).current_seq for i in idents}
+            overlapping = False
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    try:
+                        with open(os.path.join(d, name)) as f:
+                            intent = json.load(f)
+                    except (ValueError, OSError):
+                        continue  # torn/in-progress intent: next recover()
+                    if any(tp["ident"] in seqs for tp in intent["tables"]):
+                        overlapping = True
+                        break
+            if not overlapping:
+                return seqs
+        raise RuntimeError(
+            "could not capture a consistent snapshot set: transactions "
+            "kept landing across 64 attempts")
+
     # ------------------------------------------------------------- medallion
 
     @classmethod
