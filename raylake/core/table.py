@@ -36,6 +36,32 @@ from raylake.core.metadata import ManifestEntry, Snapshot
 from raylake.core.schema import schema_from_json, schema_to_json
 
 
+_TIME_US_PER = {"day": 86_400_000_000, "hour": 3_600_000_000}
+
+
+def time_partition_ids(values, transform: str) -> np.ndarray:
+    """Calendar-ordinal partition ids for a timestamp column: days/hours/
+    months since 1970-01-01 (Iceberg transform-result parity). Accepts a
+    pyarrow timestamp/int64 array or any int64-us sequence."""
+    if not isinstance(values, (pa.ChunkedArray, pa.Array)):
+        values = pa.array(values)  # datetimes → timestamp, ints → int64
+    if values.null_count:
+        raise ValueError("null values in the time partition column")
+    if pa.types.is_timestamp(values.type) and values.type.unit != "us":
+        values = pc.cast(values, pa.timestamp("us"))
+    us = pc.cast(values, pa.int64()).to_numpy(zero_copy_only=False)
+    us = us.astype(np.int64, copy=False)
+    if len(us) and us.min() < 0:
+        raise ValueError(
+            "pre-epoch timestamps unsupported by time partitioning")
+    if transform in _TIME_US_PER:
+        return np.floor_divide(us, _TIME_US_PER[transform])
+    if transform == "month":
+        return (us.astype("datetime64[us]").astype("datetime64[M]")
+                .astype(np.int64))
+    raise ValueError(f"unknown time transform: {transform!r}")
+
+
 class CommitConflictError(RuntimeError):
     """Two maintenance ops touched intersecting file sets; caller must retry."""
 
@@ -122,9 +148,32 @@ class Table:
         stats_columns: Sequence[str] | None = None,
         name: str | None = None,
         properties: dict | None = None,
+        partition_transform: str | None = None,
     ) -> "Table":
+        """`partition_transform`: None/"hash" → hash(column) % num_buckets
+        (the key-bucketed layout every MERGE/maintenance path assumes);
+        "day" | "hour" | "month" → TIME partitioning of a timestamp column
+        (Iceberg's day()/hour()/month() transforms; the reference's bronze
+        partitionBy(ingest_year, ingest_month) shape, ref
+        src/elt/bronze/_bronze_handler.py:50-56). Time-partitioned tables
+        are the append-only bronze layout: append/scan/compact/zorder/
+        expire/deletes all work per time partition and range scans prune
+        whole partitions by id; MERGE and repartition require a hash spec
+        (silver's layout) and refuse with a clear error."""
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        if partition_transform in (None, "hash"):
+            spec = {"kind": "hash", "column": partition_column,
+                    "num_buckets": int(num_buckets)}
+        elif partition_transform in ("day", "hour", "month"):
+            if partition_column is None:
+                raise ValueError("time partition_transform needs a column")
+            spec = {"kind": "time", "column": partition_column,
+                    "transform": partition_transform, "num_buckets": 0}
+        else:
+            raise ValueError(
+                f"unknown partition_transform: {partition_transform!r} "
+                f"(hash|day|hour|month)")
         if stats_columns is None:
             cols = list(sort_order)
             if partition_column and partition_column not in cols:
@@ -137,13 +186,9 @@ class Table:
             "uuid": uuid.uuid4().hex,
             "name": name or os.path.basename(root.rstrip("/")),
             "schema": schema_to_json(schema),
-            "partition_spec": {
-                "kind": "hash",
-                "column": partition_column,
-                "num_buckets": int(num_buckets),
-            },
+            "partition_spec": spec,
             "partition_spec_log": [
-                {"num_buckets": int(num_buckets), "since_seq": 0}
+                {"num_buckets": spec["num_buckets"], "since_seq": 0}
             ],
             "sort_order": list(sort_order),
             "stats_columns": list(stats_columns),
@@ -180,6 +225,26 @@ class Table:
     @property
     def num_buckets(self) -> int:
         return self.meta["partition_spec"]["num_buckets"]
+
+    @property
+    def partition_kind(self) -> str:
+        return self.meta["partition_spec"].get("kind", "hash")
+
+    @property
+    def partition_transform(self) -> str | None:
+        """"day"/"hour"/"month" for time specs, None for hash specs."""
+        return self.meta["partition_spec"].get("transform")
+
+    def partition_ids(self, values) -> "np.ndarray":
+        """Partition id per value of the partition column — THE routing
+        point every write path shares. Hash spec: stable_hash % buckets.
+        Time spec: calendar-unit ordinal of the timestamp (days/hours/
+        months since epoch), so ids are range-prunable."""
+        from raylake.core.hashing import partition_of
+
+        if self.partition_kind == "hash":
+            return partition_of(values, self.num_buckets)
+        return time_partition_ids(values, self.partition_transform)
 
     @property
     def partition_spec_log(self) -> list[dict]:
@@ -426,9 +491,25 @@ class Table:
         snapshot: int | None = None,
         **col_ranges: tuple[Any, Any],
     ) -> list[ManifestEntry]:
-        """Manifest min/max pruning: keep entries overlapping every (lo, hi)."""
+        """Manifest min/max pruning: keep entries overlapping every (lo, hi).
+        On time-partitioned tables a range on the partition column also
+        prunes by partition id (metadata-only, works even without stats)."""
         if entries is None:
             entries = self.live_entries(snapshot)
+        if (self.partition_kind == "time" and partitions is None
+                and self.partition_column in col_ranges):
+            lo, hi = col_ranges[self.partition_column]
+            tr = self.partition_transform
+            plo = (int(time_partition_ids([lo], tr)[0])
+                   if lo is not None else None)
+            phi = (int(time_partition_ids([hi], tr)[0])
+                   if hi is not None else None)
+            entries = [
+                e for e in entries
+                if e.partition == -1
+                or ((plo is None or e.partition >= plo)
+                    and (phi is None or e.partition <= phi))
+            ]
         out = []
         for e in entries:
             if partitions is not None and e.partition not in partitions:
@@ -451,10 +532,11 @@ class Table:
         if entries is None:
             entries = self.live_entries(snapshot)
         col = self.partition_column
-        if col is not None:
+        if col is not None and self.partition_kind == "hash":
             # bucket under the spec ACTIVE AT the scanned snapshot — after a
             # partition-spec evolution, time travel to older snapshots must
-            # hash with the old bucket count
+            # hash with the old bucket count. (Time-partitioned tables can't
+            # derive a partition from a key value — stats/bloom still prune.)
             p = int(partition_of([conv_value], self.num_buckets_at(snapshot))[0])
             entries = [e for e in entries if e.partition in (p, -1)]
         h32 = int(stable_hash64([conv_value])[0]) >> 32

@@ -88,7 +88,7 @@ class CatalogTransaction:
         if t.partition_column is None:
             plan["added"].append(t.write_file(data, -1))
         else:
-            parts = partition_of(data[t.partition_column], t.num_buckets)
+            parts = t.partition_ids(data[t.partition_column])
             for p in np.unique(parts):
                 plan["added"].append(
                     t.write_file(data.filter(pa.array(parts == p)), int(p)))

@@ -39,7 +39,7 @@ def append_batch(batch: pa.Table, table_root: str) -> pa.Table:
     if t.partition_column is None:
         entries.append(json.dumps(t.write_file(batch, -1).to_json()))
     else:
-        part = partition_of(batch[t.partition_column], t.num_buckets)
+        part = t.partition_ids(batch[t.partition_column])
         order = np.argsort(part, kind="stable")
         batch = batch.take(pa.array(order))
         part = part[order]

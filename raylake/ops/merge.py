@@ -631,6 +631,11 @@ def merge_into(
     `scd2_start_col` (the reference's updated_at-else-ingest_timestamp rule);
     `tracked_cols` defaults to all non-key, non-SCD2 columns."""
     assert mode in ("upsert", "delete", "scd2")
+    if table.partition_kind != "hash":
+        raise ValueError(
+            "MERGE requires a hash-bucketed partition spec (silver layout); "
+            "time-partitioned tables are append-only bronze — route upserts "
+            "through a hash-partitioned table or use delete_by_keys+append")
     scd2_start_us = None
     if mode == "scd2":
         missing = [c for c in SCD2_COLS if c not in table.schema.names]

@@ -105,6 +105,9 @@ def repartition_table(
     unchanged."""
     if table.partition_column is None:
         raise ValueError("cannot repartition an unpartitioned table")
+    if table.partition_kind != "hash":
+        raise ValueError("repartition_table re-buckets hash specs only; "
+                         "time partitions are fixed by the calendar")
     if num_buckets == table.num_buckets:
         return None
     from raylake.state.ledger import Ledger

@@ -2372,6 +2372,92 @@ FROM r WHERE role <> 'purchase'
 """
 
 
+US_DAY = 86_400_000_000
+
+
+def q_time_partition_scan(sf_dir: str):
+    """Day-transform partition spec (T3 time layout — Iceberg's day()
+    transform; the reference's bronze partitionBy(ingest_year, ingest_month),
+    ref src/elt/bronze/_bronze_handler.py:50-56): ingest events into a
+    ts/day-partitioned table, then range-scan the MIDDLE THIRD of days.
+    The scanned file list is pruned by partition id alone — a metadata-only
+    calendar prune that needs no column stats (Table.prune) — then the
+    pruned stream aggregates count + value cents per day with per-batch
+    partials before the tiny day-keyed groupby. At 100 TB this is the
+    bronze layout: time-range queries touch only their days' files."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "value", "ts"])
+    schema = pa.schema([("event_id", pa.int64()), ("value", pa.float64()),
+                        ("ts", pa.timestamp("us"))])
+    root = tempfile.mkdtemp(prefix="raylake_timepq_")
+    try:
+        tbl = Table.create(os.path.join(root, "t"), schema,
+                           partition_column="ts", partition_transform="day",
+                           sort_order=("event_id",))
+        append(tbl, ds)
+        tbl.refresh()
+        # day window from MANIFEST partition ids (metadata-only; identical
+        # to SQL min/max of the day ordinal since ids ARE day ordinals)
+        days = sorted({e.partition for e in tbl.live_entries()})
+        dmin, dmax = days[0], days[-1]
+        third = (dmax - dmin + 1) // 3
+        lo_d = dmin + third
+        hi_d = max(lo_d, dmin + 2 * third - 1)
+        pruned = tbl.prune(ts=(lo_d * US_DAY, (hi_d + 1) * US_DAY - 1))
+        assert {e.partition for e in pruned} <= set(range(lo_d, hi_d + 1))
+
+        def partial(t: pa.Table) -> pa.Table:
+            us = t["ts"].cast(pa.int64()).to_numpy()
+            day = us // US_DAY
+            cents = np.floor(
+                t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+            g = pa.table({
+                "day_id": pa.array(day),
+                "n": pa.array(np.ones(len(day), np.int64)),
+                "sum_cents": pa.array(cents),
+            }).group_by("day_id").aggregate([("n", "sum"),
+                                             ("sum_cents", "sum")])
+            return g.rename_columns(["day_id", "n", "sum_cents"])
+
+        out = (
+            tbl.scan(entries=pruned, columns=["value", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("day_id")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_cents", alias_name="sum_cents"))
+        )
+        # tiny result (one row per day) — safe to materialize before the
+        # tempdir the scan streams from is removed
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_TIME_PARTITION_SCAN = """
+WITH d AS (
+  SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day_id, value FROM events
+), b AS (
+  SELECT min(day_id) AS dmin, max(day_id) AS dmax FROM d
+)
+SELECT day_id, count(*) AS n,
+       sum(floor(value * 100 + 0.5))::BIGINT AS sum_cents
+FROM d, b
+WHERE day_id >= dmin + (dmax - dmin + 1) // 3
+  AND day_id <= greatest(dmin + (dmax - dmin + 1) // 3,
+                         dmin + 2 * ((dmax - dmin + 1) // 3) - 1)
+GROUP BY day_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sampling / sketches / sessionization (training-data additions, round 2)
 # ---------------------------------------------------------------------------
@@ -2639,6 +2725,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "stream_sessions": q_stream_sessions,
     "mor_delete_scan": q_mor_delete_scan,
+    "time_partition_scan": q_time_partition_scan,
     "contamination": q_contamination,
     "incremental_scan": q_incremental_scan,
     "time_travel": q_time_travel,
@@ -2694,6 +2781,7 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "mor_delete_scan": SQL_MOR_DELETE_SCAN,
+    "time_partition_scan": SQL_TIME_PARTITION_SCAN,
     "contamination": SQL_CONTAMINATION,
     "incremental_scan": SQL_INCREMENTAL_SCAN,
     "time_travel": SQL_TIME_TRAVEL,
