@@ -160,3 +160,109 @@ class IVFAssign:
         return batch.append_column(
             "ivf_bucket", pa.array(d.argmin(1).astype(np.int32))
         )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ) — the memory-scale ANN path. At 100 TB of
+# raw float32 embeddings the probed buckets themselves no longer fit a
+# worker; PQ stores m uint8 codes per vector (here 64 floats -> 8 bytes,
+# 32x) and scores candidates with an (m, k) lookup table built once per
+# query (asymmetric distance computation, Jegou et al. 2011). Codebooks are
+# trained on a driver-side SAMPLE and broadcast via ray.put; encoding and
+# ADC scoring are per-batch numpy over zero-copy Arrow buffers.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(mat: np.ndarray, m: int = 8, k: int = 16, iters: int = 8,
+             seed: int = 0) -> np.ndarray:
+    """Train per-subspace codebooks on a unit-normalized sample: split dim
+    into `m` contiguous subspaces, kmeans each. Returns (m, k, dim//m)."""
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if k > n:
+        raise ValueError(f"k={k} codes need >= k sample rows, got {n}")
+    dsub = dim // m
+    books = np.empty((m, k, dsub), np.float64)
+    for s in range(m):
+        sub = np.ascontiguousarray(mat[:, s * dsub:(s + 1) * dsub])
+        books[s] = kmeans_lite(sub, k, iters=iters, seed=seed + s)
+    return books
+
+
+def unit_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, m) uint8 codes: per subspace, argmin L2 to the
+    codebook. Vectorized: d = -2 x.cT + ||c||^2 (||x||^2 drops in argmin)."""
+    m, k, dsub = books.shape
+    codes = np.empty((len(mat), m), np.uint8)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        d = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(1)[None, :]
+        codes[:, s] = d.argmin(1)
+    return codes
+
+
+def pq_adc_lut(query: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(m, k) inner-product table between the query's subvectors and every
+    codebook entry — built ONCE per query, reused for every candidate."""
+    m, k, dsub = books.shape
+    return np.einsum("mkd,md->mk", books, query.reshape(m, dsub))
+
+
+def pq_adc_scores(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Approximate inner product per row: sum_m lut[m, codes[:, m]].
+    One fancy-indexed gather + row sum — no per-row Python."""
+    m = codes.shape[1]
+    return lut[np.arange(m)[None, :], codes].sum(1)
+
+
+def codes_to_binary(codes: np.ndarray) -> pa.Array:
+    """(n, m) uint8 -> fixed_size_binary(m) column (Acero-join-safe payload,
+    same binary-packing trick as the shingle sets in dedup)."""
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(codes.shape[1]), len(codes),
+        [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+
+
+def binary_to_codes(col: pa.ChunkedArray | pa.Array, m: int) -> np.ndarray:
+    """fixed_size_binary(m) column -> (n, m) uint8 view via the data buffer."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = arr.buffers()[1]
+    off = arr.offset * m
+    return np.frombuffer(buf, np.uint8, count=len(arr) * m,
+                         offset=off).reshape(len(arr), m)
+
+
+class IVFPQEncode:
+    """map_batches actor: unit-normalize, assign the IVF bucket, PQ-encode.
+    Centroids + codebooks fetched once per actor from ray.put refs. Emits the
+    COMPRESSED index rows (vec_id, ivf_bucket, pq_code) — the raw embedding
+    column is dropped, which is the point: the index that ships to the query
+    tier is m bytes/vector."""
+
+    def __init__(self, centroids_ref, books_ref, id_col: str = "vec_id",
+                 col: str = "embedding"):
+        import ray
+
+        def _get(r):
+            return r if isinstance(r, np.ndarray) else ray.get(r)
+
+        self.cent = _get(centroids_ref)
+        self.books = _get(books_ref)
+        self.id_col, self.col = id_col, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = unit_rows(embedding_matrix(batch, self.col))
+        d = ((mat[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
+        codes = pq_encode(mat, self.books)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "ivf_bucket": pa.array(d.argmin(1).astype(np.int32)),
+            "pq_code": codes_to_binary(codes),
+        })

@@ -1450,6 +1450,81 @@ def q_ann_ivf(sf_dir: str):
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def q_ann_ivf_pq(sf_dir: str):
+    """IVF-PQ top-10 for the vec_id=0 query — the MEMORY-scale ANN path
+    (Jegou et al. 2011 ADC). The index tier holds only (vec_id, bucket,
+    8-byte PQ code) — 32× smaller than the raw 64-float vectors, the
+    difference between an index that fits the cluster page cache at 100 TB
+    and one that doesn't. Stages: driver-side 2000-row sample trains the
+    coarse quantizer + per-subspace codebooks (broadcast via ray.put);
+    IVFPQEncode actor stage emits compressed index rows; the query probes
+    nprobe=4 buckets, ADC-scores them per batch against a (m, k) LUT built
+    once, keeps per-batch partial top-50; the ≤50 survivors are re-ranked
+    EXACTLY by a row-group-pruned point read of their raw embeddings.
+    Approximate by design → rows-only check (recall golden in pytest)."""
+    import ray
+
+    from raylake.functions.similarity import (
+        IVFPQEncode,
+        cosine_scores,
+        embedding_matrix,
+        kmeans_lite,
+        binary_to_codes,
+        pq_adc_lut,
+        pq_train,
+        unit_rows,
+    )
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    sample = unit_rows(embedding_matrix(
+        ds.limit(2000).take_batch(2000, batch_format="pyarrow")))
+    cents = kmeans_lite(sample, k=8, iters=5, seed=0)
+    books = pq_train(sample, m=8, k=16, iters=8, seed=1)
+    qtbl = pq.read_table(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "==", 0)])
+    qv = embedding_matrix(qtbl)[0]
+    qu = qv / np.linalg.norm(qv)
+    probe = np.argsort(((cents - qu) ** 2).sum(1))[:4]
+    lut = pq_adc_lut(qu, books)  # (m=8, k=16) — built once per query
+
+    index = ds.map_batches(
+        IVFPQEncode,
+        fn_constructor_kwargs={"centroids_ref": ray.put(cents),
+                               "books_ref": ray.put(books)},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    )
+    probe_set = pa.array(sorted(int(p) for p in probe), type=pa.int32())
+
+    def adc_partial_topk(t: pa.Table, k: int = 50) -> pa.Table:
+        t = t.filter(pc.is_in(t["ivf_bucket"], value_set=probe_set))
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        from raylake.functions.similarity import pq_adc_scores
+        scores = pq_adc_scores(binary_to_codes(t["pq_code"], 8), lut)
+        k = min(k, len(scores))
+        idx = np.argpartition(-scores, k - 1)[:k]
+        return pa.table({"vec_id": t["vec_id"].take(pa.array(idx)),
+                         "adc": pa.array(scores[idx])})
+
+    cand = (index.map_batches(adc_partial_topk, batch_format="pyarrow")
+            .to_pandas().sort_values(["adc", "vec_id"],
+                                     ascending=[False, True]).head(50))
+    # exact re-rank of the ≤50 ADC survivors via a pruned point read
+    rtbl = pq.read_table(
+        _pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(v) for v in cand["vec_id"]])])
+    cos = cosine_scores(embedding_matrix(rtbl), qv)
+    out = pa.table({"vec_id": rtbl["vec_id"],
+                    "cosine": pa.array(np.round(cos, 6))})
+    df = out.to_pandas().sort_values(["cosine", "vec_id"],
+                                     ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_transcript_maintenance(sf_dir: str):
     """The flagship lakehouse pipeline at query scale: build a transcript
     table (deterministic fixture), compact → zorder → merge late turns,
@@ -2736,6 +2811,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_pq": q_ann_ivf_pq,
     "transcript_maintenance": q_transcript_maintenance,
     "catalog_medallion": q_catalog_medallion,
     "pack_sequences": q_pack_sequences,

@@ -102,3 +102,49 @@ def test_simhash_neardup_golden_vs_bruteforce(ray_session):
     got_pairs = {(int(a), int(b)): int(h) for a, b, h in
                  zip(got["doc_a"], got["doc_b"], got["hamming"])}
     assert got_pairs == brute
+
+
+def test_pq_kernels_roundtrip_and_adc():
+    """Encode→binary→decode roundtrip is lossless on the CODES; ADC against
+    the reconstruction equals LUT-gathered scores; quantization error is
+    bounded (reconstruction cosine ≈ 1 on clustered data)."""
+    from raylake.functions.similarity import (
+        binary_to_codes, codes_to_binary, pq_adc_lut, pq_adc_scores,
+        pq_encode, pq_train, unit_rows)
+
+    rng = np.random.default_rng(7)
+    # clustered data so 16 codes/subspace can represent it well
+    centers = rng.normal(size=(4, 32))
+    mat = unit_rows(np.repeat(centers, 64, axis=0) +
+                    0.05 * rng.normal(size=(256, 32)))
+    books = pq_train(mat, m=4, k=16, iters=8, seed=1)
+    codes = pq_encode(mat, books)
+    assert codes.shape == (256, 4) and codes.dtype == np.uint8
+    # binary pack/unpack is exact
+    assert np.array_equal(binary_to_codes(codes_to_binary(codes), 4), codes)
+    # ADC score == dot(query, reconstruction)
+    q = unit_rows(rng.normal(size=(1, 32)))[0]
+    lut = pq_adc_lut(q, books)
+    adc = pq_adc_scores(codes, lut)
+    recon = np.concatenate(
+        [books[s][codes[:, s]] for s in range(4)], axis=1)
+    assert np.allclose(adc, recon @ q)
+    # reconstruction quality: unit rows ≈ their codewords
+    cos = (recon * mat).sum(1) / np.linalg.norm(recon, axis=1)
+    assert cos.min() > 0.98
+
+
+def test_ann_ivf_pq_recall_and_determinism(ray_session):
+    exact = q_ann_topk(SF_DIR).to_pandas()
+    from raylake.pipelines.queries import q_ann_ivf_pq
+
+    a = q_ann_ivf_pq(SF_DIR).to_pandas()
+    b = q_ann_ivf_pq(SF_DIR).to_pandas()
+    assert a.equals(b), "IVF-PQ query must be deterministic"
+    recall = len(set(exact["vec_id"]) & set(a["vec_id"])) / 10
+    assert recall >= 0.5, f"IVF-PQ recall@10 collapsed: {recall}"
+    # exact re-rank: every emitted cosine matches the brute-force value
+    want = dict(zip(exact["vec_id"], exact["cosine"]))
+    for v, c in zip(a["vec_id"], a["cosine"]):
+        if v in want:
+            assert abs(want[v] - c) < 1e-9
