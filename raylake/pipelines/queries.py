@@ -1204,6 +1204,86 @@ def q_minhash_neardup(sf_dir: str):
     })
 
 
+DUP_SPAN_L = 5  # words per span fingerprint
+
+
+def q_dup_spans(sf_dir: str):
+    """Duplicate-SPAN coverage per document — the substring-dedup core of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"), expressed shuffle-first instead of suffix-array: every
+    position's L-word gram (L=5) is fingerprinted (md5-prefix64, the
+    SQL-transcribable gram hash the minhash path already uses); a gram is a
+    duplicate span iff its fingerprint occurs ≥ 2 times corpus-wide
+    (within- OR cross-document, per the paper). Output per doc: total gram
+    positions and how many sit inside a duplicated span — the coverage
+    counts a training-data filter thresholds on (counts, not a ratio —
+    driver float-safety rule).
+
+    Scale shape: text never moves. map_batches emits pre-aggregated
+    (hv, doc_id, cnt) partials; ONE groupby(hv) both counts corpus
+    frequency and re-emits per-doc partials tagged dup/not; ONE
+    groupby(doc_id) sums. Two all-to-all stages, 8-byte keys, payload
+    bounded by distinct (hv, doc) — at 100 TB this is hash-partitioned
+    fingerprint counting, the standard alternative to a distributed suffix
+    array (ref semantics family: the reference's D1 dedup,
+    src/elt/silver/_silver_handler.py:124-143)."""
+    from ray.data.aggregate import Sum
+
+    from raylake.functions.dedup import _token_hashes
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids, hvs = [], []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hv = _token_hashes(s, DUP_SPAN_L)
+            hvs.append(hv)
+            ids.append(np.full(len(hv), d, np.int64))
+        flat = pa.table({
+            "hv": pa.array(np.concatenate(hvs).view(np.int64)),
+            "doc_id": pa.array(np.concatenate(ids)),
+        })
+        # batch-local combiner: (hv, doc_id) multiplicity before the shuffle
+        g = flat.group_by(["hv", "doc_id"]).aggregate([("doc_id", "count")])
+        return g.rename_columns(["hv", "doc_id", "cnt"])
+
+    def tag_dup(g: pd.DataFrame) -> pd.DataFrame:
+        total = int(g["cnt"].sum())  # corpus-wide occurrences of this gram
+        return pd.DataFrame({
+            "doc_id": g["doc_id"], "n": g["cnt"],
+            "n_dup": g["cnt"] if total >= 2 else np.zeros(len(g), np.int64),
+        })
+
+    out = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("hv").map_groups(tag_dup, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_grams"),
+                   Sum("n_dup", alias_name="n_dup_grams"))
+    )
+    return out
+
+
+SQL_DUP_SPANS = r"""
+WITH tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                       t -> t != '') AS toks FROM documents),
+g0 AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 5
+             THEN [array_to_string(toks[i+1:i+5], ' ')
+                   for i in range(len(toks)-4)]
+             ELSE [array_to_string(toks, ' ')] END AS grams
+       FROM tk),
+occ AS (SELECT doc_id, ('0x' || substr(md5(g),1,16))::UBIGINT AS hv
+        FROM (SELECT doc_id, unnest(grams) AS g FROM g0)),
+freq AS (SELECT hv, count(*) AS c FROM occ GROUP BY hv)
+SELECT o.doc_id, count(*) AS n_grams,
+       sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+FROM occ o JOIN freq f USING (hv)
+GROUP BY o.doc_id
+"""
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash per document (rows-only; determinism is the contract)."""
     from raylake.functions.dedup import SimHasher
@@ -2808,6 +2888,7 @@ QUERIES = {
     # non-SQL-expressible (rows-only driver check): minhash banding and IVF
     # probing aren't reproducible in SQL; both carry pytest golden checks.
     "minhash_neardup": q_minhash_neardup,
+    "dup_spans": q_dup_spans,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "ann_ivf": q_ann_ivf,
@@ -2863,6 +2944,7 @@ ORACLES = {
     "time_travel": SQL_TIME_TRAVEL,
     "wap_isolation": SQL_WAP_ISOLATION,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "dup_spans": SQL_DUP_SPANS,
     "simhash": SQL_SIMHASH,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "catalog_medallion": SQL_CATALOG_MEDALLION,
