@@ -2651,6 +2651,53 @@ WHERE (h >> 48) < {SAMPLE_RATE_NUM}
 """
 
 
+# Dataset-mixing rates: per-language keep probability as a 16-bit threshold
+# (numerator / 65536) — upsample rare domains, downsample the head, the
+# standard training-mixture reweighting move (e.g. the Pile / CCNet recipes).
+DOMAIN_MIX_RATES = {"en": 13107, "fr": 32768, "es": 39322,
+                    "de": 45875, "zh": 52429}
+DOMAIN_MIX_DEFAULT = 6554
+
+
+def q_domain_mix(sf_dir: str):
+    """Domain-weighted deterministic sampling (dataset mixing): each
+    document is kept iff mix64(doc_id) >> 48 < rate[lang] — a per-domain
+    Bernoulli with NO seed state, reproducible across engines and runs, so
+    a re-run of a failed shard selects the same rows (resumability at
+    100 TB). The rate table is a tiny driver-side dict applied via
+    dictionary-encode + take (vectorized; per-BATCH Python touches only the
+    handful of distinct langs, never rows). Embarrassingly parallel — no
+    shuffle at all."""
+    from raylake.core.hashing import mix64
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "source"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        h = mix64(b["doc_id"].combine_chunks()) >> np.uint64(48)
+        d = b["lang"].combine_chunks().dictionary_encode()
+        thr = np.array([DOMAIN_MIX_RATES.get(v.as_py(), DOMAIN_MIX_DEFAULT)
+                        for v in d.dictionary], np.uint64)
+        keep = h < thr[d.indices.to_numpy(zero_copy_only=False)]
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_MIX_CASE = ("CASE lang " +
+             " ".join(f"WHEN '{k}' THEN {v}"
+                      for k, v in DOMAIN_MIX_RATES.items()) +
+             f" ELSE {DOMAIN_MIX_DEFAULT} END")
+
+SQL_DOMAIN_MIX = f"""
+WITH {_sql_mix64_cte("SELECT doc_id, lang, source FROM documents",
+                     "doc_id", carry=("doc_id", "lang", "source"))}
+SELECT doc_id, lang, source FROM mx
+WHERE (h >> 48) < {_MIX_CASE}
+"""
+
+
 KMV_K = 64
 
 
@@ -2876,6 +2923,7 @@ QUERIES = {
     "ratio_chain11": q_ratio_chain11,
     "medallion_gold": q_medallion_gold,
     "sample_hash": q_sample_hash,
+    "domain_mix": q_domain_mix,
     "kmv_distinct": q_kmv_distinct,
     "sessionize": q_sessionize,
     "stream_sessions": q_stream_sessions,
@@ -2934,6 +2982,7 @@ ORACLES = {
     "ratio_chain11": SQL_RATIO_CHAIN11,
     "medallion_gold": SQL_MEDALLION_GOLD,
     "sample_hash": SQL_SAMPLE_HASH,
+    "domain_mix": SQL_DOMAIN_MIX,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "sessionize": SQL_SESSIONIZE,
     "stream_sessions": SQL_STREAM_SESSIONS,
