@@ -853,6 +853,90 @@ FROM documents GROUP BY lang
 """
 
 
+def q_vocab_df(sf_dir: str):
+    """Corpus vocabulary with term frequency + document frequency — the
+    tf/df index behind stopword mining, tokenizer training and idf-weighted
+    quality scores. Scale shape: the heavy flatten (every token) stays
+    inside map_batches and is pre-aggregated per batch via Acero hash-agg,
+    so only (token, tf, df) PARTIALS shuffle — O(vocab) per batch, not
+    O(tokens). df partials sum correctly because a document never spans
+    batches. Final groupby is over the (small) vocabulary."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ws = pc.split_pattern(b["text"].combine_chunks(), " ")
+        n = pc.list_value_length(ws).to_numpy(zero_copy_only=False)
+        pairs = pa.table({
+            "token": pc.list_flatten(ws),
+            "doc_id": pa.array(np.repeat(
+                b["doc_id"].to_numpy(zero_copy_only=False), n)),
+        })
+        per_doc = pairs.group_by(["token", "doc_id"]).aggregate(
+            [("doc_id", "count")])
+        out = per_doc.group_by("token").aggregate(
+            [("doc_id_count", "sum"), ("doc_id", "count")])
+        return pa.table({
+            "token": out["token"],
+            "tf": pc.cast(out["doc_id_count_sum"], pa.int64()),
+            "df": pc.cast(out["doc_id_count"], pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "token").aggregate(Sum("tf", alias_name="tf"),
+                           Sum("df", alias_name="df"))
+    return agg.sort("token")
+
+
+SQL_VOCAB_DF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+FROM tok GROUP BY token ORDER BY token
+"""
+
+
+# Blocklist scrubbing / PII-style redaction. In production the pattern is
+# emails/phones/SSNs; the fixture corpus has none, so the demo blocklist
+# masks terms that actually occur — the kernel (RE2 replace-all + match
+# count) is identical either way. RE2 on BOTH sides: pyarrow's re2 and
+# DuckDB's regexp_* agree on \b and alternation semantics.
+SCRUB_PATTERN = r"\b(spark|hash|stream)\b"
+SCRUB_TOKEN = "<MASK>"
+
+
+def q_regex_scrub(sf_dir: str):
+    """Regex redaction over the full corpus: one vectorized RE2 pass per
+    batch for the match count and one for the replacement — no per-row
+    Python, no shuffle, embarrassingly parallel at any scale."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        txt = b["text"].combine_chunks()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text_clean": pc.replace_substring_regex(
+                txt, SCRUB_PATTERN, SCRUB_TOKEN),
+            "n_hits": pc.cast(
+                pc.count_substring_regex(txt, SCRUB_PATTERN), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_REGEX_SCRUB = f"""
+SELECT doc_id,
+       regexp_replace(text, '{SCRUB_PATTERN}', '{SCRUB_TOKEN}', 'g')
+         AS text_clean,
+       len(regexp_extract_all(text, '{SCRUB_PATTERN}'))::BIGINT AS n_hits
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
@@ -2698,6 +2782,84 @@ WHERE (h >> 48) < {_MIX_CASE}
 """
 
 
+def q_kth_value(sf_dir: str):
+    """Exact k-th order statistic (upper median of events.value) WITHOUT a
+    global sort: histogram-refinement selection. Each round is one streaming
+    pass that bins in-range values (np.searchsorted against shared edges —
+    bin membership is DEFINED by the same comparisons used to filter, so no
+    float-edge drift between rounds) and ships only 4096 partial counts per
+    batch; the driver picks the bin containing the remaining rank and
+    recurses until the candidate bin holds <= 64k values, which are then
+    collected and sorted locally. At 100 TB this is 2-3 column scans vs an
+    all-to-all sort of the full dataset; ranks of ties are order-independent
+    so the answer is deterministic. Ref median-of-distribution need:
+    /root/reference/src/elt/gold/_gold_handler.py aggregate family."""
+    from ray.data.aggregate import Count, Max, Min
+
+    rd = _rd()
+    NB, CAP = 4096, 65536
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+    st = ds.aggregate(Count(), Min("value"), Max("value"))
+    n, k = st["count()"], st["count()"] // 2
+    lo, hi, r = float(st["min(value)"]), float(st["max(value)"]), k
+
+    while True:
+        if lo == hi:
+            vals = np.array([lo]); r = 0; break
+        edges = np.linspace(lo, hi, NB + 1); edges[-1] = hi
+
+        def hist_fn(b: pa.Table, lo=lo, hi=hi, edges=edges) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            v = v[(v >= lo) & (v <= hi)]
+            bins = np.clip(np.searchsorted(edges, v, side="right") - 1,
+                           0, NB - 1)
+            cnt = np.bincount(bins, minlength=NB)
+            nz = np.nonzero(cnt)[0]
+            return pa.table({"bin": pa.array(nz, pa.int32()),
+                             "cnt": pa.array(cnt[nz], pa.int64())})
+
+        from ray.data.aggregate import Sum
+        parts = ds.map_batches(hist_fn, batch_format="pyarrow").groupby(
+            "bin").aggregate(Sum("cnt", alias_name="cnt")).take_all()
+        hist = np.zeros(NB, np.int64)
+        for row in parts:
+            hist[row["bin"]] = row["cnt"]
+        cum = np.cumsum(hist)
+        b = int(np.searchsorted(cum, r + 1))
+        r -= int(cum[b - 1]) if b else 0
+        blo, bhi = float(edges[b]), float(edges[b + 1])
+        in_bin_hi_closed = (b == NB - 1) or blo == bhi
+
+        if hist[b] <= CAP or blo == bhi:
+            def collect_fn(t: pa.Table, blo=blo, bhi=bhi,
+                           cl=in_bin_hi_closed) -> pa.Table:
+                v = t["value"].to_numpy(zero_copy_only=False)
+                m = (v >= blo) & ((v <= bhi) if cl else (v < bhi))
+                return pa.table({"value": pa.array(v[m])})
+
+            vals = np.sort(np.concatenate(
+                [b2["value"] for b2 in ds.map_batches(
+                    collect_fn, batch_format="pyarrow").iter_batches(
+                        batch_format="numpy")] + [np.array([], np.float64)]))
+            break
+        lo, hi = blo, bhi
+        if not in_bin_hi_closed:
+            # reopen as closed range shrunk to the bin; the strict upper
+            # edge is re-excluded by the next round's binning
+            hi = np.nextafter(bhi, -np.inf)
+
+    return pa.table({"k": pa.array([k], pa.int64()),
+                     "value": pa.array([float(vals[r])], pa.float64())})
+
+
+SQL_KTH_VALUE = """
+WITH kk AS (SELECT count(*)//2 AS k FROM events),
+ranked AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn
+           FROM events)
+SELECT kk.k AS k, ranked.value AS value FROM ranked, kk WHERE ranked.rn = kk.k
+"""
+
+
 KMV_K = 64
 
 
@@ -2914,6 +3076,9 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_docs_exact": q_dedup_docs_exact,
     "lang_stats": q_lang_stats,
+    "vocab_df": q_vocab_df,
+    "regex_scrub": q_regex_scrub,
+    "kth_value": q_kth_value,
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
     "multimodal_features": q_multimodal_features,
@@ -2973,6 +3138,9 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_docs_exact": SQL_DEDUP_DOCS_EXACT,
     "lang_stats": SQL_LANG_STATS,
+    "vocab_df": SQL_VOCAB_DF,
+    "regex_scrub": SQL_REGEX_SCRUB,
+    "kth_value": SQL_KTH_VALUE,
     "ann_topk": SQL_ANN_TOPK,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "multimodal_features": SQL_MULTIMODAL,
