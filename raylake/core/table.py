@@ -475,6 +475,48 @@ class Table:
             ),
         })
 
+    def partitions_table(self, snapshot: int | None = None,
+                         stats_for: Sequence[str] = ()) -> pa.Table:
+        """Metadata table mirroring Iceberg's `tbl.partitions`: one row per
+        live partition with file/row/byte totals, plus min/max for each
+        requested stats column folded across the partition's files — all
+        O(metadata), no data read. Min/max are exact (every row of the
+        partition is covered by some file's stats) unless a file has no
+        recorded stat for the column, in which case that column's min/max
+        is null for the partition (an honest unknown, like Iceberg's
+        null `lower_bound`). Timestamps are epoch-microsecond int64 (the
+        manifest stat encoding). Ref inspection surface:
+        /root/reference/src/elt/silver/_silver_pipeline.py:84-87 count
+        probes; Iceberg `SELECT * FROM tbl.partitions`."""
+        agg: dict[int, list] = {}
+        for e in self.live_entries(snapshot):
+            row = agg.setdefault(e.partition, [0, 0, 0,
+                                               {c: [None, None, True]
+                                                for c in stats_for}])
+            row[0] += 1
+            row[1] += e.rows
+            row[2] += e.bytes
+            for c in stats_for:
+                s, cell = e.stats.get(c), row[3][c]
+                if s is None or s[0] is None:
+                    cell[2] = False  # a file with unknown stats → null
+                    continue
+                cell[0] = s[0] if cell[0] is None else min(cell[0], s[0])
+                cell[1] = s[1] if cell[1] is None else max(cell[1], s[1])
+        parts = sorted(agg)
+        cols = {
+            "partition": pa.array(parts, pa.int32()),
+            "n_files": pa.array([agg[p][0] for p in parts], pa.int64()),
+            "n_rows": pa.array([agg[p][1] for p in parts], pa.int64()),
+            "n_bytes": pa.array([agg[p][2] for p in parts], pa.int64()),
+        }
+        for c in stats_for:
+            cols[f"min_{c}"] = pa.array(
+                [agg[p][3][c][0] if agg[p][3][c][2] else None for p in parts])
+            cols[f"max_{c}"] = pa.array(
+                [agg[p][3][c][1] if agg[p][3][c][2] else None for p in parts])
+        return pa.table(cols)
+
     def row_count(self, snapshot: int | None = None) -> int:
         """O(metadata) count — no data scan (vs the reference's .count() probes
         that re-execute the whole Spark plan, ref: _silver_pipeline.py:84-87).

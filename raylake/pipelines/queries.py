@@ -2697,6 +2697,55 @@ GROUP BY day_id
 """
 
 
+def q_metadata_partitions(sf_dir: str):
+    """Iceberg `tbl.partitions` inspection parity: ingest events into a
+    day-partitioned table, then answer per-partition row counts and exact
+    ts min/max ENTIRELY from manifests — zero data files opened after the
+    ingest. This is the O(metadata) replacement for the reference's
+    re-execute-the-plan `.count()` probes
+    (/root/reference/src/elt/silver/_silver_pipeline.py:84-87). The oracle
+    recomputes the same numbers the hard way from the raw rows, proving the
+    folded manifest stats are exact, not approximate."""
+    import shutil
+    import tempfile
+
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "value", "ts"])
+    schema = pa.schema([("event_id", pa.int64()), ("value", pa.float64()),
+                        ("ts", pa.timestamp("us"))])
+    root = tempfile.mkdtemp(prefix="raylake_metapart_")
+    try:
+        tbl = Table.create(os.path.join(root, "t"), schema,
+                           partition_column="ts", partition_transform="day",
+                           sort_order=("event_id",))
+        append(tbl, ds)
+        tbl.refresh()
+        m = tbl.partitions_table(stats_for=["ts"])
+        # partition ids ARE day ordinals under the day transform; n_files/
+        # n_bytes depend on write layout so they stay out of the oracle row
+        return pa.table({
+            "day_id": pc.cast(m["partition"], pa.int64()),
+            "n_rows": m["n_rows"],
+            "min_ts_us": pc.cast(m["min_ts"], pa.int64()),
+            "max_ts_us": pc.cast(m["max_ts"], pa.int64()),
+        })
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_METADATA_PARTITIONS = """
+SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day_id,
+       count(*)::BIGINT AS n_rows,
+       min(epoch_us(ts))::BIGINT AS min_ts_us,
+       max(epoch_us(ts))::BIGINT AS max_ts_us
+FROM events GROUP BY day_id ORDER BY day_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sampling / sketches / sessionization (training-data additions, round 2)
 # ---------------------------------------------------------------------------
@@ -3094,6 +3143,7 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "mor_delete_scan": q_mor_delete_scan,
     "time_partition_scan": q_time_partition_scan,
+    "metadata_partitions": q_metadata_partitions,
     "contamination": q_contamination,
     "incremental_scan": q_incremental_scan,
     "time_travel": q_time_travel,
@@ -3156,6 +3206,7 @@ ORACLES = {
     "stream_sessions": SQL_STREAM_SESSIONS,
     "mor_delete_scan": SQL_MOR_DELETE_SCAN,
     "time_partition_scan": SQL_TIME_PARTITION_SCAN,
+    "metadata_partitions": SQL_METADATA_PARTITIONS,
     "contamination": SQL_CONTAMINATION,
     "incremental_scan": SQL_INCREMENTAL_SCAN,
     "time_travel": SQL_TIME_TRAVEL,

@@ -161,6 +161,31 @@ def test_metadata_tables(tmp_table_root):
     assert "conv_id" in stats and "turn_idx" in stats
 
 
+def test_partitions_table(tmp_table_root):
+    """tbl.partitions parity: per-partition totals + folded min/max are
+    exact vs a recompute from the data; a file lacking a stat nulls that
+    partition's bound instead of lying."""
+    t = write_transcript_table(tmp_table_root, 300, rows_per_file=64,
+                               num_buckets=2)
+    parts = t.partitions_table(stats_for=["turn_idx", "nope"])
+    assert parts["partition"].to_pylist() == sorted(
+        {e.partition for e in t.live_entries()})
+    assert sum(parts["n_rows"].to_pylist()) == t.row_count()
+    assert sum(parts["n_files"].to_pylist()) == len(t.live_entries())
+    assert sum(parts["n_bytes"].to_pylist()) == sum(
+        e.bytes for e in t.live_entries())
+    # folded bounds match a full recompute per partition
+    for i, p in enumerate(parts["partition"].to_pylist()):
+        ents = [e for e in t.live_entries() if e.partition == p]
+        want_min = min(e.stats["turn_idx"][0] for e in ents)
+        want_max = max(e.stats["turn_idx"][1] for e in ents)
+        assert parts["min_turn_idx"][i].as_py() == want_min
+        assert parts["max_turn_idx"][i].as_py() == want_max
+        # unknown column → honest null bounds
+        assert parts["min_nope"][i].as_py() is None
+        assert parts["max_nope"][i].as_py() is None
+
+
 def test_ray_scan_schema_clean(tmp_table_root, ray_session):
     """Regression: data/p=NNNNN/ layout must not hive-leak a 'p' column."""
     t = write_transcript_table(tmp_table_root, 200, rows_per_file=64, num_buckets=2)
