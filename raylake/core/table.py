@@ -62,6 +62,10 @@ def time_partition_ids(values, transform: str) -> np.ndarray:
     raise ValueError(f"unknown time transform: {transform!r}")
 
 
+class CheckConstraintError(ValueError):
+    """A data-file write contained rows violating a CHECK constraint."""
+
+
 class CommitConflictError(RuntimeError):
     """Two maintenance ops touched intersecting file sets; caller must retry."""
 
@@ -1067,6 +1071,10 @@ class Table:
                 new if c == old else c for c in self.meta["sort_order"]]
             self.meta["stats_columns"] = [
                 new if c == old else c for c in self.meta["stats_columns"]]
+            for c in self.meta.get("properties", {}).get(
+                    "constraints", {}).values():
+                if c["column"] == old:
+                    c["column"] = new
             md.atomic_write_json(
                 os.path.join(self.root, "metadata", "table.json"), self.meta
             )
@@ -1090,6 +1098,12 @@ class Table:
                     f"a retained snapshot keys on it ({dcols[name]}); purge "
                     f"with ops.deletes.apply_deletes and expire the old "
                     f"snapshots first")
+            holders = [n for n, c in self.meta.get("properties", {}).get(
+                "constraints", {}).items() if c["column"] == name]
+            if holders:
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by CHECK "
+                    f"constraint(s) {holders}; drop_check_constraint first")
             del self.meta["schema"][names.index(name)]
             self.meta["schema_last_updated_seq"] = self.current_seq
             self.meta["stats_columns"] = [
@@ -1288,8 +1302,88 @@ class Table:
 
     # ----------------------------------------------------------------- write
 
+    # ------------------------------------------------------ CHECK constraints
+
+    _CHECK_OPS = ("not_null", ">=", "<=", ">", "<", "in")
+
+    @property
+    def check_constraints(self) -> dict:
+        return self.meta.get("properties", {}).get("constraints", {})
+
+    def add_check_constraint(self, name: str, column: str, op: str,
+                             value=None, validate: bool = True) -> None:
+        """Delta-style CHECK constraint (`ALTER TABLE ADD CONSTRAINT`):
+        declarative row predicate enforced at EVERY data-file write —
+        append, compaction, merge, repartition all funnel through
+        write_file, so enforcement is distributed for free (each task
+        validates its own file; no central gate). SQL three-valued
+        semantics: only rows where the predicate is FALSE violate; nulls
+        pass comparison ops (use op="not_null" to forbid them).
+        `validate=True` scans existing live rows first, mirroring Delta's
+        add-constraint full-table validation (at cluster scale run the
+        equivalent as a distributed filter-count before adding)."""
+        with _CommitLock(self.root):
+            self.refresh()
+            names = [f[0] for f in self.meta["schema"]]
+            if column not in names:
+                raise ValueError(f"no such column: {column}")
+            if op not in self._CHECK_OPS:
+                raise ValueError(f"op must be one of {self._CHECK_OPS}")
+            cons = self.meta.setdefault("properties", {}).setdefault(
+                "constraints", {})
+            if name in cons:
+                raise ValueError(f"constraint exists: {name}")
+            probe = {"column": column, "op": op, "value": value}
+            if validate and self.live_entries():
+                data = self.scan_arrow(columns=[column])
+                bad = self._constraint_violations(data, {name: probe})
+                if bad:
+                    raise CheckConstraintError(
+                        f"existing rows violate {name}: {bad[0]}")
+            cons[name] = probe
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta
+            )
+
+    def drop_check_constraint(self, name: str) -> None:
+        with _CommitLock(self.root):
+            self.refresh()
+            cons = self.meta.get("properties", {}).get("constraints", {})
+            if name not in cons:
+                raise ValueError(f"no such constraint: {name}")
+            del cons[name]
+            md.atomic_write_json(
+                os.path.join(self.root, "metadata", "table.json"), self.meta
+            )
+
+    def _constraint_violations(self, table: pa.Table,
+                               constraints: dict | None = None) -> list[str]:
+        """Violation messages for rows of `table` (vectorized kernels)."""
+        msgs = []
+        for name, c in (constraints or self.check_constraints).items():
+            if c["column"] not in table.column_names:
+                continue  # projection without the column: nothing to check
+            col = table[c["column"]]
+            if c["op"] == "not_null":
+                n_bad = col.null_count
+            else:
+                kern = {">=": pc.greater_equal, "<=": pc.less_equal,
+                        ">": pc.greater, "<": pc.less}.get(c["op"])
+                ok = (kern(col, c["value"]) if kern
+                      else pc.is_in(col, value_set=pa.array(c["value"])))
+                # SQL semantics: null predicate result is not a violation
+                n_bad = pc.sum(
+                    pc.invert(pc.fill_null(ok, True))).as_py() or 0
+            if n_bad:
+                msgs.append(f"{name}: {n_bad} row(s) fail "
+                            f"{c['column']} {c['op']} {c['value']!r}")
+        return msgs
+
     def write_file(self, table: pa.Table, partition: int) -> ManifestEntry:
         """Write one immutable Parquet data file + stats → ManifestEntry."""
+        violations = self._constraint_violations(table)
+        if violations:
+            raise CheckConstraintError("; ".join(violations))
         rel = self.new_data_path(partition)
         abspath = os.path.join(self.root, rel)
         # Strip schema metadata (pandas round-trips attach a b'pandas' blob

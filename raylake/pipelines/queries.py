@@ -2784,6 +2784,71 @@ WHERE (h >> 48) < {SAMPLE_RATE_NUM}
 """
 
 
+def q_corpus_shuffle(sf_dir: str):
+    """Deterministic global corpus shuffle with EXACT materialized
+    positions — the 'shuffle the training corpus reproducibly' primitive.
+    Order is mix64(doc_id): seedless, engine-independent, re-runnable.
+    Positions are assigned distributed (a zipWithIndex): one streaming pass
+    bins the uniform hash space into 4096 buckets and ships only per-batch
+    bucket counts; the driver cumsums 4096 longs into global base offsets;
+    then a single hash-shuffle groupby(bucket) ranks each bucket locally
+    (lexsort) and adds its base. No stage holds more than one bucket
+    (~corpus/4096 rows); only (doc_id, h, bucket) ever moves — text never
+    shuffles. Ties on h break by doc_id, so collisions cannot produce
+    nondeterminism."""
+    from ray.data.aggregate import Sum
+
+    from raylake.core.hashing import mix64
+
+    NBK = 4096
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        h = mix64(b["doc_id"].combine_chunks())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "h": pa.array(h),
+            "bucket": pa.array((h >> np.uint64(52)).astype(np.int32)),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def bucket_cnt(b: pa.Table) -> pa.Table:
+        cnt = np.bincount(b["bucket"].to_numpy(zero_copy_only=False),
+                          minlength=NBK)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int32()),
+                         "cnt": pa.array(cnt[nz], pa.int64())})
+
+    parts = keyed_ds.map_batches(bucket_cnt, batch_format="pyarrow").groupby(
+        "bucket").aggregate(Sum("cnt", alias_name="cnt")).take_all()
+    counts = np.zeros(NBK, np.int64)
+    for row in parts:
+        counts[row["bucket"]] = row["cnt"]
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]])  # 32 KB broadcast
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, h))
+        pos = np.empty(len(h), np.int64)
+        pos[order] = base[int(g["bucket"][0].as_py())] + np.arange(len(h))
+        return pa.table({"doc_id": g["doc_id"], "pos": pa.array(pos)})
+
+    return keyed_ds.groupby("bucket").map_groups(
+        rank_group, batch_format="pyarrow")
+
+
+SQL_CORPUS_SHUFFLE = f"""
+WITH {_sql_mix64_cte("SELECT doc_id FROM documents", "doc_id",
+                     carry=("doc_id",), alias="sh")}
+SELECT doc_id,
+       (row_number() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS pos
+FROM sh
+"""
+
+
 # Dataset-mixing rates: per-language keep probability as a 16-bit threshold
 # (numerator / 65536) — upsample rare domains, downsample the head, the
 # standard training-mixture reweighting move (e.g. the Pile / CCNet recipes).
@@ -3137,6 +3202,7 @@ QUERIES = {
     "ratio_chain11": q_ratio_chain11,
     "medallion_gold": q_medallion_gold,
     "sample_hash": q_sample_hash,
+    "corpus_shuffle": q_corpus_shuffle,
     "domain_mix": q_domain_mix,
     "kmv_distinct": q_kmv_distinct,
     "sessionize": q_sessionize,
@@ -3200,6 +3266,7 @@ ORACLES = {
     "ratio_chain11": SQL_RATIO_CHAIN11,
     "medallion_gold": SQL_MEDALLION_GOLD,
     "sample_hash": SQL_SAMPLE_HASH,
+    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "domain_mix": SQL_DOMAIN_MIX,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "sessionize": SQL_SESSIONIZE,
