@@ -462,6 +462,19 @@ class Table:
             ),
         })
 
+    def refs_table(self) -> pa.Table:
+        """Metadata table mirroring Iceberg's `tbl.refs`: one row per named
+        branch/tag with its head snapshot (plus an implicit `main` row for
+        the current head, like Iceberg's main branch)."""
+        rows = [("main", "branch", self.current_seq)]
+        rows += [(n, r["type"], r["seq"])
+                 for n, r in sorted(self.meta.get("refs", {}).items())]
+        return pa.table({
+            "name": pa.array([r[0] for r in rows], pa.string()),
+            "type": pa.array([r[1] for r in rows], pa.string()),
+            "seq": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
     def files_table(self, snapshot: int | None = None) -> pa.Table:
         """Metadata table mirroring Iceberg's `tbl.files`: one row per live
         data file with size/rows/partition/stats."""

@@ -899,6 +899,75 @@ FROM tok GROUP BY token ORDER BY token
 """
 
 
+def q_rare_token(sf_dir: str):
+    """Per-document rarest token (min document frequency, ties by token
+    text) — the idf-style rarity feature, and the canonical 'join a global
+    aggregate back to the corpus' shape: the vocab stats are a SMALL
+    aggregation result, so they broadcast into every batch (one driver
+    collect of O(vocab), ray.put once) instead of shuffling the corpus
+    against them. Per batch everything is integer vectorized: tokens
+    dictionary-encode against the vocab, argmin is a single Acero group-min
+    over the packed (df << 32 | vocab_rank) key — exact, no floats, no
+    per-row Python."""
+    import ray
+
+    rd = _rd()
+    vocab = q_vocab_df(sf_dir).to_pandas()  # small: one row per token
+    vocab = vocab.sort_values("token").reset_index(drop=True)
+    df_by_rank = vocab["df"].to_numpy().astype(np.uint64)
+    tok_by_rank = vocab["token"].to_numpy()
+    rank_of = {t: i for i, t in enumerate(tok_by_rank)}
+    shared = ray.put((df_by_rank, tok_by_rank, rank_of))
+
+    ds = _rd().read_parquet(_pq(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        dfr, tbr, rof = ray.get(shared)
+        ws = pc.split_pattern(b["text"].combine_chunks(), " ")
+        n = pc.list_value_length(ws).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(ws).dictionary_encode()
+        # per-batch dictionary is tiny (distinct tokens in the batch)
+        ranks = np.array([rof[v.as_py()] for v in flat.dictionary],
+                         np.uint64)[flat.indices.to_numpy(
+                             zero_copy_only=False)]
+        key = (dfr[ranks] << np.uint64(32)) | ranks
+        g = pa.table({
+            "doc_id": pa.array(np.repeat(
+                b["doc_id"].to_numpy(zero_copy_only=False), n)),
+            "key": pa.array(key),
+        }).group_by("doc_id").aggregate([("key", "min")])
+        kmin = g["key_min"].to_numpy(zero_copy_only=False)
+        rmin = (kmin & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "rare_token": pa.array(tbr[rmin]),
+            "df": pa.array((kmin >> np.uint64(32)).astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_RARE_TOKEN = """
+WITH v AS (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY token
+), r AS (
+  SELECT token, df, row_number() OVER (ORDER BY token) - 1 AS rank FROM v
+), tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), keyed AS (
+  SELECT tok.doc_id, min(r.df * 4294967296 + r.rank) AS k
+  FROM tok JOIN r USING (token) GROUP BY tok.doc_id
+)
+SELECT keyed.doc_id, r.token AS rare_token, r.df
+FROM keyed JOIN r ON r.rank = keyed.k % 4294967296
+"""
+
+
 # Blocklist scrubbing / PII-style redaction. In production the pattern is
 # emails/phones/SSNs; the fixture corpus has none, so the demo blocklist
 # masks terms that actually occur — the kernel (RE2 replace-all + match
@@ -3191,6 +3260,7 @@ QUERIES = {
     "dedup_docs_exact": q_dedup_docs_exact,
     "lang_stats": q_lang_stats,
     "vocab_df": q_vocab_df,
+    "rare_token": q_rare_token,
     "regex_scrub": q_regex_scrub,
     "kth_value": q_kth_value,
     "ann_topk": q_ann_topk,
@@ -3255,6 +3325,7 @@ ORACLES = {
     "dedup_docs_exact": SQL_DEDUP_DOCS_EXACT,
     "lang_stats": SQL_LANG_STATS,
     "vocab_df": SQL_VOCAB_DF,
+    "rare_token": SQL_RARE_TOKEN,
     "regex_scrub": SQL_REGEX_SCRUB,
     "kth_value": SQL_KTH_VALUE,
     "ann_topk": SQL_ANN_TOPK,

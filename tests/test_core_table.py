@@ -161,6 +161,17 @@ def test_metadata_tables(tmp_table_root):
     assert "conv_id" in stats and "turn_idx" in stats
 
 
+def test_refs_table(tmp_table_root):
+    t = write_transcript_table(tmp_table_root, 100, rows_per_file=64,
+                               num_buckets=2)
+    t.create_branch("audit")
+    t.create_tag("v1")
+    refs = t.refs_table()
+    assert refs["name"].to_pylist() == ["main", "audit", "v1"]
+    assert refs["type"].to_pylist() == ["branch", "branch", "tag"]
+    assert refs["seq"].to_pylist() == [t.current_seq] * 3
+
+
 def test_partitions_table(tmp_table_root):
     """tbl.partitions parity: per-partition totals + folded min/max are
     exact vs a recompute from the data; a file lacking a stat nulls that
