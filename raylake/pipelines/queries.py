@@ -2680,6 +2680,55 @@ FROM r WHERE role <> 'purchase'
 """
 
 
+def q_delete_where_scan(sf_dir: str):
+    """`DELETE FROM t WHERE <predicate>` end-to-end (ops/delete_where):
+    ingest events, delete rows whose value-cents divide by 7 via a
+    DISTRIBUTED predicate scan over lineage (_file/_pos) columns — only the
+    matched positions reach the driver, committed as ONE merge-on-read
+    delete file, no data rewritten — then return the survivors through the
+    sequence-rule scan. Predicate is integer-exact (cents + abs before
+    modulo, so numpy and SQL agree on negatives)."""
+    import shutil
+    import tempfile
+
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+    from raylake.ops.delete_where import delete_where
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "value", "ts"])
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("value", pa.float64()), ("ts", pa.timestamp("us"))])
+    root = tempfile.mkdtemp(prefix="raylake_delwhere_")
+    try:
+        tbl = Table.create(os.path.join(root, "t"), schema,
+                           partition_column="user_id", num_buckets=4,
+                           sort_order=("event_id",))
+        append(tbl, ds, batch_size=4096)
+        tbl.refresh()
+
+        def pred(b: pa.Table):
+            cents = np.abs(np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64))
+            return pa.array(cents % 7 == 0)
+
+        delete_where(tbl, pred, columns=["value"])
+        tbl.refresh()
+        out = tbl.scan_arrow(sort=True)
+        return out.select(["event_id", "user_id", "value", "ts"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_DELETE_WHERE_SCAN = """
+SELECT event_id, user_id, value, ts FROM events
+WHERE abs(floor(value * 100 + 0.5)::BIGINT) % 7 <> 0
+ORDER BY event_id
+"""
+
+
 US_DAY = 86_400_000_000
 
 
@@ -3278,6 +3327,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "stream_sessions": q_stream_sessions,
     "mor_delete_scan": q_mor_delete_scan,
+    "delete_where_scan": q_delete_where_scan,
     "time_partition_scan": q_time_partition_scan,
     "metadata_partitions": q_metadata_partitions,
     "contamination": q_contamination,
@@ -3343,6 +3393,7 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "mor_delete_scan": SQL_MOR_DELETE_SCAN,
+    "delete_where_scan": SQL_DELETE_WHERE_SCAN,
     "time_partition_scan": SQL_TIME_PARTITION_SCAN,
     "metadata_partitions": SQL_METADATA_PARTITIONS,
     "contamination": SQL_CONTAMINATION,

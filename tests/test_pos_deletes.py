@@ -182,3 +182,72 @@ def test_pos_delete_commit_race_raises(tbl, ray_session):
                             "kind": "pos", "targets": [e0.path]}],
             expected_parent=planned_at,
         )
+
+
+# ---------------------------------------------------------------- delete_where
+
+def test_delete_where_predicate(tbl, ray_session):
+    """DELETE FROM t WHERE role='tool': distributed predicate scan → one
+    MOR position-delete commit; survivors match an arrow-side filter."""
+    import pyarrow.compute as pc
+
+    from raylake.ops.delete_where import delete_where
+
+    t = tbl
+    pre = t.scan_arrow(sort=True)
+    want = pre.filter(pc.not_equal(pre["role"], "tool"))
+    n_victims = len(pre) - len(want)
+    assert n_victims > 0
+
+    snap = delete_where(t, lambda b: pc.equal(b["role"], "tool"),
+                        columns=["role"])
+    t.refresh()
+    assert snap.operation == "delete-pos"
+    assert snap.summary["deleted_positions"] == n_victims
+    assert t.scan_arrow(sort=True).equals(want)
+    # distributed scan agrees
+    got = t.scan(columns=["role"]).take_all()
+    assert all(r["role"] != "tool" for r in got)
+
+
+def test_delete_where_no_match_is_noop(tbl, ray_session):
+    import pyarrow.compute as pc
+
+    from raylake.ops.delete_where import delete_where
+
+    t = tbl
+    seq = t.current_seq
+    assert delete_where(t, lambda b: pc.equal(b["role"], "nope"),
+                        columns=["role"]) is None
+    t.refresh()
+    assert t.current_seq == seq
+
+
+def test_lineage_scan_positions_are_file_ordinals(tbl, ray_session):
+    from raylake.ops.delete_where import scan_with_lineage
+
+    t = tbl
+    rows = scan_with_lineage(t, columns=["conv_id"]).take_all()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["_file"], []).append(r["_pos"])
+    live = {e.path: e.rows for e in t.live_entries()}
+    assert set(by_file) == set(live)
+    for path, poss in by_file.items():
+        assert sorted(poss) == list(range(live[path]))
+
+
+def test_delete_where_after_rename_sees_logical_names(tbl, ray_session):
+    import pyarrow.compute as pc
+
+    from raylake.ops.delete_where import delete_where
+
+    t = tbl
+    t.rename_column("role", "speaker")
+    pre = t.scan_arrow(sort=True)
+    want = pre.filter(pc.not_equal(pre["speaker"], "user"))
+    snap = delete_where(t, lambda b: pc.equal(b["speaker"], "user"),
+                        columns=["speaker"])
+    assert snap is not None
+    t.refresh()
+    assert t.scan_arrow(sort=True).equals(want)
