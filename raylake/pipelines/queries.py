@@ -2729,6 +2729,57 @@ ORDER BY event_id
 """
 
 
+def q_update_where_scan(sf_dir: str):
+    """`UPDATE t SET value = -value WHERE <predicate>` end-to-end
+    (ops/update.py): copy-on-write rewrite of ONLY the files containing
+    matches (zero-match files keep their identity via the skipped fast
+    path), assignments reading pre-update rows, merge-on-read rules and
+    CHECK gates riding the shared resumable rewrite machinery. Negation is
+    float-exact, so the scan hash-matches a SQL CASE expression."""
+    import shutil
+    import tempfile
+
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+    from raylake.ops.update import update_where
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "value", "ts"])
+    schema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                        ("value", pa.float64()), ("ts", pa.timestamp("us"))])
+    root = tempfile.mkdtemp(prefix="raylake_updwhere_")
+    try:
+        tbl = Table.create(os.path.join(root, "t"), schema,
+                           partition_column="user_id", num_buckets=4,
+                           sort_order=("event_id",))
+        append(tbl, ds, batch_size=4096)
+        tbl.refresh()
+
+        def pred(b: pa.Table):
+            cents = np.abs(np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64))
+            return pa.array(cents % 5 == 0)
+
+        update_where(tbl, pred,
+                     {"value": lambda b: pc.negate(b["value"])})
+        tbl.refresh()
+        out = tbl.scan_arrow(sort=True)
+        return out.select(["event_id", "user_id", "value", "ts"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_UPDATE_WHERE_SCAN = """
+SELECT event_id, user_id,
+       CASE WHEN abs(floor(value * 100 + 0.5)::BIGINT) % 5 = 0
+            THEN -value ELSE value END AS value,
+       ts
+FROM events ORDER BY event_id
+"""
+
+
 US_DAY = 86_400_000_000
 
 
@@ -3328,6 +3379,7 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "mor_delete_scan": q_mor_delete_scan,
     "delete_where_scan": q_delete_where_scan,
+    "update_where_scan": q_update_where_scan,
     "time_partition_scan": q_time_partition_scan,
     "metadata_partitions": q_metadata_partitions,
     "contamination": q_contamination,
@@ -3394,6 +3446,7 @@ ORACLES = {
     "stream_sessions": SQL_STREAM_SESSIONS,
     "mor_delete_scan": SQL_MOR_DELETE_SCAN,
     "delete_where_scan": SQL_DELETE_WHERE_SCAN,
+    "update_where_scan": SQL_UPDATE_WHERE_SCAN,
     "time_partition_scan": SQL_TIME_PARTITION_SCAN,
     "metadata_partitions": SQL_METADATA_PARTITIONS,
     "contamination": SQL_CONTAMINATION,
