@@ -899,6 +899,57 @@ FROM tok GROUP BY token ORDER BY token
 """
 
 
+def q_char_stats(sf_dir: str):
+    """Character-level repetitiveness features (the integer-exact proxy for
+    char-entropy quality filters): per doc the distinct-char count and the
+    top char's frequency. Vectorized without any per-row loop: the batch's
+    utf8 payload is ONE numpy byte view (zero-copy from the Arrow data
+    buffer), doc membership comes from repeat over the offsets, and a
+    single flat bincount over doc_idx*256+byte yields the whole
+    (docs x 256) histogram — max / count-nonzero along axis 1 finish it.
+    Embarrassingly parallel, no shuffle. ASCII corpus contract (the
+    fixture's): multi-byte code points would need a codepoint decode."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        txt = b["text"].combine_chunks()
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
+        # utf8 layout: buffers()[1] = int32 offsets, buffers()[2] = byte data;
+        # honor txt.offset (sliced arrays share parent buffers).
+        off = np.frombuffer(txt.buffers()[1], np.int32,
+                            count=len(txt) + 1,
+                            offset=txt.offset * 4).astype(np.int64)
+        data = np.frombuffer(txt.buffers()[2], np.uint8,
+                             count=int(off[-1]))[off[0]:]
+        off = off - off[0]
+        lens = np.diff(off)
+        doc_idx = np.repeat(np.arange(len(txt), dtype=np.int64), lens)
+        hist = np.bincount(doc_idx * 256 + data.astype(np.int64),
+                           minlength=len(txt) * 256).reshape(len(txt), 256)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_distinct_chars": pa.array(
+                np.count_nonzero(hist, axis=1).astype(np.int64)),
+            "top_char_count": pa.array(hist.max(axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CHAR_STATS = """
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents
+), cc AS (
+  SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+)
+SELECT doc_id, count(*)::BIGINT AS n_distinct_chars,
+       max(n)::BIGINT AS top_char_count
+FROM cc GROUP BY doc_id
+"""
+
+
 def q_rare_token(sf_dir: str):
     """Per-document rarest token (min document frequency, ties by token
     text) — the idf-style rarity feature, and the canonical 'join a global
@@ -3360,6 +3411,7 @@ QUERIES = {
     "dedup_docs_exact": q_dedup_docs_exact,
     "lang_stats": q_lang_stats,
     "vocab_df": q_vocab_df,
+    "char_stats": q_char_stats,
     "rare_token": q_rare_token,
     "regex_scrub": q_regex_scrub,
     "kth_value": q_kth_value,
@@ -3427,6 +3479,7 @@ ORACLES = {
     "dedup_docs_exact": SQL_DEDUP_DOCS_EXACT,
     "lang_stats": SQL_LANG_STATS,
     "vocab_df": SQL_VOCAB_DF,
+    "char_stats": SQL_CHAR_STATS,
     "rare_token": SQL_RARE_TOKEN,
     "regex_scrub": SQL_REGEX_SCRUB,
     "kth_value": SQL_KTH_VALUE,
