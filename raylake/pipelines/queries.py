@@ -1203,6 +1203,84 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
 """
 
 
+def q_neardup_components(sf_dir: str):
+    """Connected components over the embedding near-dup graph — the cluster
+    step that turns pairwise near-dup hits into dedup groups (keep one doc
+    per component). Distributed BSP min-label propagation: every node starts
+    at min(self, neighbors) and each superstep hash-joins labels to the edge
+    list, sends l along every edge, and takes the per-node min — a
+    shuffle-per-iteration pattern that converges in O(component diameter)
+    supersteps (near-dup clusters are shallow: dup families are cliques-ish,
+    so 2-4 supersteps in practice). Nothing lands on the driver except the
+    O(1) convergence checksum: labels only decrease, so the label SUM is a
+    strictly-decreasing monotone — equal sums two supersteps running means
+    fixpoint, no per-node diff join needed. At 100 TB the label table is
+    O(nodes in the dup graph) and stays sharded in the object store; edges
+    are materialized once so supersteps don't recompute the O(n^2) cosine
+    tiles upstream. Reference semantics: the dedup family of
+    /root/reference/src/elt/silver/_silver_handler.py:124-143 extended to
+    transitive groups."""
+    from ray.data.aggregate import Min
+
+    pairs = q_embed_neardup(sf_dir)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b["vec_id_a"].to_numpy(zero_copy_only=False)
+        c = b["vec_id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.concatenate([a, c]),
+                         "dst": np.concatenate([c, a])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    lab = edges.groupby("src").aggregate(Min("dst")).map_batches(
+        lambda b: pa.table({
+            "v": b["src"],
+            "l": pc.min_element_wise(b["src"], b["min(dst)"]),
+        }), batch_format="pyarrow").materialize()
+    prev = lab.sum("l")
+    if prev is None:  # empty graph: no near-dup pairs at this threshold
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    for _ in range(64):  # cap >> any real dup-cluster diameter
+        msgs = _hash_join(edges, lab, on=("src",), right_on=("v",))
+        msgs = msgs.map_batches(
+            lambda b: pa.table({"v": b["dst"], "l": b["l"]}),
+            batch_format="pyarrow")
+        lab = msgs.union(lab).groupby("v").aggregate(Min("l")).map_batches(
+            lambda b: pa.table({"v": b["v"], "l": b["min(l)"]}),
+            batch_format="pyarrow").materialize()
+        s = lab.sum("l")
+        if s == prev:
+            break
+        prev = s
+    return lab.map_batches(
+        lambda b: pa.table({"vec_id": b["v"], "component": b["l"]}),
+        batch_format="pyarrow")
+
+
+SQL_NEARDUP_COMPONENTS = """
+WITH RECURSIVE pr AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.3
+), edges AS (
+  SELECT va AS src, vb AS dst FROM pr UNION ALL SELECT vb AS src, va AS dst FROM pr
+), nodes AS (
+  SELECT DISTINCT src AS v FROM edges
+), walk(v, l) AS (
+  SELECT v, v AS l FROM nodes
+  UNION
+  SELECT e.dst AS v, w.l FROM walk w JOIN edges e ON e.src = w.v
+    WHERE w.l < e.dst
+)
+SELECT v::BIGINT AS vec_id, min(l)::BIGINT AS component
+FROM walk GROUP BY v ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (deterministic fake decode — SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -3417,6 +3495,7 @@ QUERIES = {
     "kth_value": q_kth_value,
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
+    "neardup_components": q_neardup_components,
     "multimodal_features": q_multimodal_features,
     "lang_id": q_lang_id,
     "scd2_dim": q_scd2_dim,
@@ -3485,6 +3564,7 @@ ORACLES = {
     "kth_value": SQL_KTH_VALUE,
     "ann_topk": SQL_ANN_TOPK,
     "embed_neardup": SQL_EMBED_NEARDUP,
+    "neardup_components": SQL_NEARDUP_COMPONENTS,
     "multimodal_features": SQL_MULTIMODAL,
     "lang_id": SQL_LANG_ID,
     "scd2_dim": SQL_SCD2_DIM,
