@@ -1101,6 +1101,72 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment (the E-step of k-means / topic bucketing
+    for corpus curation): K=8 centroids are the vec_id<8 embeddings (a
+    deterministic k-means++ stand-in), broadcast ONCE via ray.put as an
+    (8, dim) float64 matrix; every batch does one matmul against it and an
+    argmax — O(n·K·dim) flops, no shuffle, embarrassingly parallel (the
+    iterate-to-convergence M-step is a tiny groupby-mean over this output).
+    Tie policy pinned on both sides: cosine rounded to 6 dp, lowest
+    centroid id wins (np.argmax first-hit == SQL ORDER BY s DESC, cid
+    ASC). Broadcast-small-side pattern per ann_topk (VERDICT r01 fix)."""
+    import ray
+
+    from raylake.functions.similarity import embedding_matrix
+
+    rd = _rd()
+    cent_t = pq.read_table(_pq(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", 8)])
+    order = pc.sort_indices(cent_t["vec_id"])
+    cent = embedding_matrix(cent_t.take(order), "embedding")
+    # raw centroids + norms (divide AFTER the dot, mirroring the oracle's
+    # op order so round-6 parity can't be torpedoed by a normalize-first
+    # rounding difference)
+    ref = ray.put((cent, np.linalg.norm(cent, axis=1)))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        c, cn = ray.get(ref)  # plasma-local, zero-copy after first batch
+        mat = embedding_matrix(b, "embedding")
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = np.round((mat @ c.T) / (norms[:, None] * cn[None, :]), 6)
+        cid = np.argmax(cos, axis=1)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cluster_id": pa.array(cid.astype(np.int64)),
+            "best_cos": pa.array(cos[np.arange(len(cid)), cid]),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+
+SQL_KMEANS_ASSIGN = """
+WITH cent AS (
+  SELECT vec_id AS cid,
+         embedding::DOUBLE[] AS ce,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * c.cn),
+               6) AS s
+  FROM embeddings e CROSS JOIN cent c
+), r AS (
+  SELECT vec_id, cid, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+  FROM sc
+)
+SELECT vec_id, cid::BIGINT AS cluster_id, s AS best_cos
+FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 EMBED_BLOCK_ROWS = 1024  # hard per-block cap: a task touches ≤ 2 blocks
 
 
@@ -3494,6 +3560,7 @@ QUERIES = {
     "regex_scrub": q_regex_scrub,
     "kth_value": q_kth_value,
     "ann_topk": q_ann_topk,
+    "kmeans_assign": q_kmeans_assign,
     "embed_neardup": q_embed_neardup,
     "neardup_components": q_neardup_components,
     "multimodal_features": q_multimodal_features,
@@ -3563,6 +3630,7 @@ ORACLES = {
     "regex_scrub": SQL_REGEX_SCRUB,
     "kth_value": SQL_KTH_VALUE,
     "ann_topk": SQL_ANN_TOPK,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
     "multimodal_features": SQL_MULTIMODAL,
