@@ -3101,6 +3101,90 @@ def q_metadata_partitions(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_metadata_snapshots(sf_dir: str):
+    """Iceberg `tbl.snapshots`/`tbl.history` inspection parity (ref:
+    notebooks/iceberg_curd/create_iceberg_table_by_trino.sql:19-40): drive a
+    deterministic commit history — three appends (events sliced by
+    event_id % 3) then one merge-on-read equality delete (distinct
+    event_id % 100 == 7) — and answer the audit question ("what did each
+    commit do?") ENTIRELY from the snapshot log: operation, lineage
+    (parent), added_rows from the commit summary, deleted key count from
+    the delete manifest. Zero data files are re-opened; the oracle
+    recomputes the same numbers the hard way from the raw rows, proving
+    the log's folded counts are exact. This is the audit/M1 surface of the
+    reference (audit ts/commit metadata,
+    /root/reference/src/elt/bronze/_bronze_handler.py:50-56) as a first-
+    class metadata table."""
+    import json
+    import shutil
+    import tempfile
+
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+
+    rd = _rd()
+    schema = pa.schema([("event_id", pa.int64()), ("value", pa.float64())])
+    root = tempfile.mkdtemp(prefix="raylake_metasnap_")
+    try:
+        tbl = Table.create(os.path.join(root, "t"), schema,
+                           partition_column="event_id", num_buckets=4,
+                           sort_order=("event_id",))
+
+        def slicer(k):
+            def f(b: pa.Table) -> pa.Table:
+                m = b["event_id"].to_numpy(zero_copy_only=False) % 3 == k
+                return b.filter(pa.array(m))
+            return f
+
+        for k in range(3):
+            ds = rd.read_parquet(_pq(sf_dir, "events"),
+                                 columns=["event_id", "value"])
+            append(tbl, ds.map_batches(slicer(k), batch_format="pyarrow"))
+            tbl.refresh()
+
+        def pick_keys(b: pa.Table) -> pa.Table:
+            ids = b["event_id"].to_numpy(zero_copy_only=False)
+            return pa.table({"event_id": pa.array(
+                np.unique(ids[ids % 100 == 7]), pa.int64())})
+
+        # per-batch unique partials cross; final distinct is tiny (≤1% keys)
+        kd = (rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id"])
+              .map_batches(pick_keys, batch_format="pyarrow").to_pandas())
+        keys = np.unique(kd["event_id"].to_numpy())
+        tbl.delete_by_keys(pa.table({"event_id": pa.array(keys, pa.int64())}))
+        tbl.refresh()
+
+        st = tbl.snapshots_table()
+        deleted = [json.loads(s).get("deleted_keys", 0)
+                   for s in st["summary_json"].to_pylist()]
+        return pa.table({
+            "seq": st["seq"],
+            "parent": st["parent"],
+            "operation": st["operation"],
+            "added_rows": st["added_rows"],
+            "deleted_keys": pa.array([int(d) for d in deleted], pa.int64()),
+        })
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_METADATA_SNAPSHOTS = """
+WITH sl AS (
+  SELECT (event_id % 3)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM events GROUP BY s
+), del AS (
+  SELECT count(DISTINCT event_id)::BIGINT AS n FROM events
+  WHERE event_id % 100 = 7
+)
+SELECT s + 1 AS seq, s AS parent, 'append' AS operation,
+       n AS added_rows, 0::BIGINT AS deleted_keys
+FROM sl
+UNION ALL
+SELECT 4, 3, 'delete-mor', 0, n FROM del
+ORDER BY seq
+"""
+
+
 SQL_METADATA_PARTITIONS = """
 SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day_id,
        count(*)::BIGINT AS n_rows,
@@ -3580,6 +3664,7 @@ QUERIES = {
     "update_where_scan": q_update_where_scan,
     "time_partition_scan": q_time_partition_scan,
     "metadata_partitions": q_metadata_partitions,
+    "metadata_snapshots": q_metadata_snapshots,
     "contamination": q_contamination,
     "incremental_scan": q_incremental_scan,
     "time_travel": q_time_travel,
@@ -3650,6 +3735,7 @@ ORACLES = {
     "update_where_scan": SQL_UPDATE_WHERE_SCAN,
     "time_partition_scan": SQL_TIME_PARTITION_SCAN,
     "metadata_partitions": SQL_METADATA_PARTITIONS,
+    "metadata_snapshots": SQL_METADATA_SNAPSHOTS,
     "contamination": SQL_CONTAMINATION,
     "incremental_scan": SQL_INCREMENTAL_SCAN,
     "time_travel": SQL_TIME_TRAVEL,
