@@ -3607,6 +3607,97 @@ ORDER BY key, session_start_us
 """
 
 
+_SSJOIN_TOL_US = 21_600_000_000  # 6 h interval
+_SSJOIN_LATE_US = 3_600_000_000  # 1 h allowed lateness
+_SSJOIN_SHARDS = 4
+
+
+class _SSJoinShard:
+    """One key-shard of the streaming interval join: hosts a
+    StreamStreamJoiner over its own lakehouse table root."""
+
+    def __init__(self, root: str):
+        from raylake.sources.wstream import StreamStreamJoiner
+
+        self.j = StreamStreamJoiner(root, _SSJOIN_TOL_US, _SSJOIN_LATE_US)
+
+    def process_tick(self, offset: int, left: pa.Table,
+                     right: pa.Table) -> None:
+        self.j.process_tick(offset, left, right)
+
+    def finish(self) -> pa.Table:
+        return self.j.results()
+
+
+def q_stream_interval_join(sf_dir: str):
+    """STREAM-STREAM interval join (SURVEY §2.10 depth): the event log is
+    split into two live streams (even event_ids = L, odd = R) and replayed
+    in event-time order as micro-batch ticks; pairs with the same user and
+    |t_l - t_r| <= 6 h emit exactly once. Ticks are hash-routed by key to a
+    pool of StreamStreamJoiner ACTORS (Kafka-partition parity — pairs are
+    key-local, so shards are independent); each shard buffers both sides,
+    evicts at the joint watermark, and advances buffers + output + offset
+    atomically per tick commit. Because every pair eventually emits (the
+    ordered replay never strands a row behind the watermark), the streaming
+    result converges to EXACTLY the batch interval join, which is the SQL
+    oracle. Scale shape: per-shard state is bounded by
+    O(rate × (tolerance + lateness)); the driver only routes zero-copy
+    Arrow slices and never joins."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from raylake.core.hashing import partition_of
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t["event_id"],
+            "key": pc.cast(t["user_id"], pa.string()),
+            "t": pc.cast(t["ts"], pa.int64()),
+        })
+
+    ordered = ds.map_batches(project, batch_format="pyarrow").sort("t")
+    root = tempfile.mkdtemp(prefix="raylake_ssj_")
+    try:
+        shard_cls = ray.remote(_SSJoinShard)
+        shards = [shard_cls.options(num_cpus=0.25).remote(f"{root}/shard={i}")
+                  for i in range(_SSJOIN_SHARDS)]
+        pending = []
+        for off, batch in enumerate(
+                ordered.iter_batches(batch_size=2000,
+                                     batch_format="pyarrow")):
+            even = pc.equal(pc.bit_wise_and(batch["id"], 1), 0)
+            lt, rt = batch.filter(even), batch.filter(pc.invert(even))
+            pl = partition_of(lt["key"], _SSJOIN_SHARDS)
+            pr = partition_of(rt["key"], _SSJOIN_SHARDS)
+            for i in range(_SSJOIN_SHARDS):
+                pending.append(shards[i].process_tick.remote(
+                    off, lt.filter(pa.array(pl == i)),
+                    rt.filter(pa.array(pr == i))))
+        ray.get(pending)
+        out = pa.concat_tables(ray.get([s.finish.remote() for s in shards]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("id_l", "ascending"), ("id_r", "ascending")]))
+
+
+SQL_STREAM_INTERVAL_JOIN = f"""
+SELECT l.event_id AS id_l, r.event_id AS id_r, l.user_id::VARCHAR AS key,
+       epoch_us(l.ts)::BIGINT AS t_l_us, epoch_us(r.ts)::BIGINT AS t_r_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+ AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= {_SSJOIN_TOL_US}
+ORDER BY id_l, id_r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3659,6 +3750,7 @@ QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "sessionize": q_sessionize,
     "stream_sessions": q_stream_sessions,
+    "stream_interval_join": q_stream_interval_join,
     "mor_delete_scan": q_mor_delete_scan,
     "delete_where_scan": q_delete_where_scan,
     "update_where_scan": q_update_where_scan,
@@ -3730,6 +3822,7 @@ ORACLES = {
     "kmv_distinct": SQL_KMV_DISTINCT,
     "sessionize": SQL_SESSIONIZE,
     "stream_sessions": SQL_STREAM_SESSIONS,
+    "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
     "mor_delete_scan": SQL_MOR_DELETE_SCAN,
     "delete_where_scan": SQL_DELETE_WHERE_SCAN,
     "update_where_scan": SQL_UPDATE_WHERE_SCAN,

@@ -429,3 +429,161 @@ class SessionStreamAggregator:
                 parts.append(pa.ipc.open_stream(
                     base64.b64decode(b)).read_all())
         return pa.concat_tables(parts) if parts else None
+
+
+SSJOIN_SCHEMA = pa.schema([
+    ("id_l", pa.int64()),
+    ("id_r", pa.int64()),
+    ("key", pa.string()),
+    ("t_l_us", pa.int64()),
+    ("t_r_us", pa.int64()),
+])
+
+_SIDE_SCHEMA = pa.schema([
+    ("id", pa.int64()), ("key", pa.string()), ("t", pa.int64()),
+])
+
+
+class StreamStreamJoiner:
+    """Event-time stream-stream INTERVAL join with watermark state
+    eviction — the `l.withWatermark(..).join(r.withWatermark(..), key AND
+    |tL - tR| <= tol)` shape of the reference's dead Spark structured-
+    streaming path (ref: /root/reference/src/elt/silver/_silver_handler.py:
+    233-255), re-expressed on the lakehouse. A pair (l, r) emits exactly
+    once when keys match and |t_l - t_r| <= tolerance_us: per tick, new_L
+    joins (buffer_R ∪ new_R) and new_R joins buffer_L — cross-tick pairs
+    form exactly once because buffer×buffer was emitted by earlier ticks.
+    A buffered row is evicted once the JOINT watermark (min of both sides'
+    max event ts, minus allowed lateness) passes t + tolerance — no future
+    other-side row can match it, so state is bounded by
+    O(arrival_rate × (tolerance + lateness)), not the stream length.
+    State (both buffers + per-side max ts) + emitted pairs + the stream
+    offset advance in ONE snapshot commit: exactly-once on replay with no
+    side checkpoint store (state-in-snapshot, as WindowedStreamAggregator
+    above; Spark needs a checkpointLocation). Rows already behind the
+    eviction horizon on arrival may have lost matches, so they are
+    side-output to the tick commit's late-audit IPC, never silently
+    dropped."""
+
+    def __init__(self, root: str, tolerance_us: int,
+                 allowed_lateness_us: int):
+        self.tol = tolerance_us
+        self.lateness_us = allowed_lateness_us
+        try:
+            self.table = Table.load(root)
+        except FileNotFoundError:
+            self.table = Table.create(
+                root, SSJOIN_SCHEMA, partition_column="key", num_buckets=4,
+                sort_order=("key", "id_l", "id_r"),
+            )
+        self.buf = {"l": _SIDE_SCHEMA.empty_table(),
+                    "r": _SIDE_SCHEMA.empty_table()}
+        self.max_ts = {"l": -1, "r": -1}
+        self.last_offset = -1
+        for snap in self.table.snapshots():
+            st = snap.summary.get("ssjoin_state")
+            if st is not None:
+                self.buf = {
+                    s: pa.table({"id": pa.array(v[0], pa.int64()),
+                                 "key": pa.array(v[1], pa.string()),
+                                 "t": pa.array(v[2], pa.int64())})
+                    for s, v in st["buf"].items()
+                }
+                self.max_ts = {k: int(v) for k, v in st["max_ts"].items()}
+                self.last_offset = st["offset"]
+
+    def _pairs(self, l: pa.Table, r: pa.Table) -> pa.Table:
+        if len(l) == 0 or len(r) == 0:
+            return SSJOIN_SCHEMA.empty_table()
+        ldf = l.to_pandas().rename(columns={"id": "id_l", "t": "t_l_us"})
+        rdf = r.to_pandas().rename(columns={"id": "id_r", "t": "t_r_us"})
+        m = ldf.merge(rdf, on="key")
+        m = m[(m["t_l_us"] - m["t_r_us"]).abs() <= self.tol]
+        return pa.Table.from_pandas(
+            m[["id_l", "id_r", "key", "t_l_us", "t_r_us"]],
+            preserve_index=False).cast(SSJOIN_SCHEMA)
+
+    def process_tick(self, offset: int, left: pa.Table,
+                     right: pa.Table) -> bool:
+        """Returns False when the offset was already committed (replay)."""
+        if offset <= self.last_offset:
+            return False
+        horizon = (min(self.max_ts.values()) - self.lateness_us - self.tol)
+        live, late_parts = {}, []
+        left = left.select(["id", "key", "t"]).cast(_SIDE_SCHEMA)
+        right = right.select(["id", "key", "t"]).cast(_SIDE_SCHEMA)
+        for side, b in (("l", left), ("r", right)):
+            lm = pc.less(b["t"], horizon) if len(b) else None
+            if lm is not None and pc.any(lm).as_py():
+                late_parts.append(b.filter(lm).append_column(
+                    "side", pa.array([side] * pc.sum(lm).as_py())))
+                b = b.filter(pc.invert(lm))
+            live[side] = b
+        out = pa.concat_tables([
+            self._pairs(live["l"],
+                        pa.concat_tables([self.buf["r"], live["r"]])),
+            self._pairs(self.buf["l"], live["r"]),
+        ])
+        for side in ("l", "r"):
+            if len(live[side]):
+                self.max_ts[side] = max(
+                    self.max_ts[side], pc.max(live[side]["t"]).as_py())
+                self.buf[side] = pa.concat_tables(
+                    [self.buf[side], live[side]])
+        keep_from = min(self.max_ts.values()) - self.lateness_us - self.tol
+        for side in ("l", "r"):
+            self.buf[side] = self.buf[side].filter(
+                pc.greater_equal(self.buf[side]["t"], keep_from))
+
+        added: list[ManifestEntry] = []
+        if len(out):
+            import numpy as np
+
+            from raylake.core.hashing import partition_of
+
+            parts = partition_of(out["key"], self.table.num_buckets)
+            for p in np.unique(parts):
+                added.append(self.table.write_file(
+                    out.filter(pa.array(parts == p)), int(p)))
+        state = {
+            "offset": offset,
+            "max_ts": self.max_ts,
+            "buf": {s: [t["id"].to_pylist(), t["key"].to_pylist(),
+                        t["t"].to_pylist()]
+                    for s, t in self.buf.items()},
+        }
+        summary = {"stream_offset": offset, "ssjoin_state": state}
+        if late_parts:
+            import base64
+            import io
+
+            late = pa.concat_tables(late_parts)
+            buf = io.BytesIO()
+            with pa.ipc.new_stream(buf, late.schema) as w:
+                w.write_table(late)
+            summary["ssjoin_late_ipc"] = base64.b64encode(
+                buf.getvalue()).decode("ascii")
+        self.table.commit("stream-ssjoin", added, summary=summary)
+        self.last_offset = offset
+        return True
+
+    def run(self, ticks) -> int:
+        n = 0
+        for offset, left, right in ticks:
+            if self.process_tick(offset, left, right):
+                n += 1
+        return n
+
+    def results(self) -> pa.Table:
+        return self.table.refresh().scan_arrow(sort=True)
+
+    def late_table(self) -> pa.Table | None:
+        import base64
+
+        parts = []
+        for snap in self.table.refresh().snapshots():
+            b = snap.summary.get("ssjoin_late_ipc")
+            if b:
+                parts.append(pa.ipc.open_stream(
+                    base64.b64decode(b)).read_all())
+        return pa.concat_tables(parts) if parts else None

@@ -1,0 +1,113 @@
+"""Stream-stream interval join (sources/wstream.py StreamStreamJoiner):
+emitted pairs equal the batch interval join exactly once, state is bounded
+by watermark eviction, and a crash-rebuilt joiner resumes exactly-once from
+the snapshot log."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raylake.sources.wstream import StreamStreamJoiner
+
+TOL = 5_000_000  # 5 s
+LATE = 2_000_000  # 2 s lateness
+
+
+def _side(ids, keys, ts):
+    return pa.table({
+        "id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "key": pa.array([str(k) for k in keys], pa.string()),
+        "t": pa.array(np.asarray(ts, dtype=np.int64)),
+    })
+
+
+def _ticks(seed=7, n_ticks=6, rows=40):
+    """Two deterministic streams advancing together with jitter < LATE."""
+    rng = np.random.default_rng(seed)
+    out = []
+    base = 1_000_000_000_000
+    nxt = [0, 1]
+    for i in range(n_ticks):
+        sides = []
+        for s in range(2):
+            ts = base + i * 6_000_000 + rng.integers(0, 1_500_000, rows)
+            keys = rng.choice(["a", "b", "c", "d"], rows)
+            ids = np.arange(nxt[s], nxt[s] + 2 * rows, 2) + s
+            nxt[s] += 2 * rows
+            sides.append(_side(ids, keys, np.sort(ts)))
+        out.append((i, sides[0], sides[1]))
+    return out
+
+
+def _batch_pairs(ticks):
+    l = pa.concat_tables([t[1] for t in ticks]).to_pandas()
+    r = pa.concat_tables([t[2] for t in ticks]).to_pandas()
+    m = l.rename(columns={"id": "id_l", "t": "t_l_us"}).merge(
+        r.rename(columns={"id": "id_r", "t": "t_r_us"}), on="key")
+    m = m[(m["t_l_us"] - m["t_r_us"]).abs() <= TOL]
+    return (m[["id_l", "id_r", "key", "t_l_us", "t_r_us"]]
+            .sort_values(["id_l", "id_r"]).reset_index(drop=True))
+
+
+def _result_df(j):
+    out = j.results().to_pandas()
+    return (out[["id_l", "id_r", "key", "t_l_us", "t_r_us"]]
+            .sort_values(["id_l", "id_r"]).reset_index(drop=True))
+
+
+def test_ssjoin_matches_batch_interval_join(tmp_path, ray_session):
+    ticks = _ticks()
+    j = StreamStreamJoiner(str(tmp_path / "t"), TOL, LATE)
+    assert j.run(ticks) == len(ticks)
+    pd.testing.assert_frame_equal(_result_df(j), _batch_pairs(ticks))
+    assert j.late_table() is None
+
+
+def test_ssjoin_replay_is_exactly_once(tmp_path, ray_session):
+    ticks = _ticks()
+    j = StreamStreamJoiner(str(tmp_path / "t"), TOL, LATE)
+    j.run(ticks)
+    # replaying every tick changes nothing (offsets already committed)
+    assert j.run(ticks) == 0
+    pd.testing.assert_frame_equal(_result_df(j), _batch_pairs(ticks))
+
+
+def test_ssjoin_crash_resume(tmp_path, ray_session):
+    ticks = _ticks()
+    j1 = StreamStreamJoiner(str(tmp_path / "t"), TOL, LATE)
+    j1.run(ticks[:3])
+    # crash: rebuild from the snapshot log, replay overlapping ticks
+    j2 = StreamStreamJoiner(str(tmp_path / "t"), TOL, LATE)
+    assert j2.last_offset == 2
+    assert j2.run(ticks) == len(ticks) - 3
+    pd.testing.assert_frame_equal(_result_df(j2), _batch_pairs(ticks))
+
+
+def test_ssjoin_state_is_evicted(tmp_path, ray_session):
+    ticks = _ticks(n_ticks=10)
+    j = StreamStreamJoiner(str(tmp_path / "t"), TOL, LATE)
+    j.run(ticks)
+    # buffers hold only rows within tolerance+lateness of the watermark —
+    # not the whole stream
+    wm = min(j.max_ts.values()) - LATE
+    for side in ("l", "r"):
+        ts = j.buf[side]["t"].to_numpy(zero_copy_only=False)
+        assert len(ts) < sum(len(t[1]) for t in ticks)
+        assert (ts >= wm - TOL).all()
+
+
+def test_ssjoin_true_straggler_is_side_output(tmp_path, ray_session):
+    ticks = _ticks()
+    base = 1_000_000_000_000
+    # a row far behind the watermark after the stream has advanced
+    straggler = _side([999_999], ["a"], [base - 50_000_000])
+    ticks.append((len(ticks), straggler,
+                  _side([], [], [])))
+    j = StreamStreamJoiner(str(tmp_path / "t"), TOL, LATE)
+    j.run(ticks)
+    late = j.late_table()
+    assert late is not None and late.num_rows == 1
+    assert late["id"][0].as_py() == 999_999
+    # and it was NOT joined
+    assert 999_999 not in set(
+        j.results()["id_l"].to_pylist())
