@@ -2501,6 +2501,108 @@ FROM r, b WHERE epoch_us(ts) >= b.mid
 """
 
 
+def q_incremental_mv(sf_dir: str):
+    """Incremental MATERIALIZED-VIEW maintenance — the lakehouse
+    replacement for the reference's recompute-the-whole-gold-table jobs
+    (ref /root/reference/src/elt/gold/fact_daily_ohlcv.py,
+    _gold_handler.py): events arrive in three commits; after EACH commit
+    only the CDC increment (`added_entries` since the last processed
+    snapshot — T8) is aggregated and MERGEd into a per-user aggregate
+    table as new_total = old + delta. Work per refresh is
+    O(|delta| + |affected keys|): the increment is read as a Ray Dataset
+    with per-batch partial aggregation (combiner-before-shuffle), the
+    old totals are point-read ONLY for the affected keys, and the upsert
+    goes through the full distributed MERGE machinery. The oracle
+    recomputes the aggregate from ALL rows in one pass, proving the
+    fold-the-increments path converges to the batch answer exactly
+    (integer cents; no float-summation drift)."""
+    import shutil
+    import tempfile
+
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+    from raylake.ops.merge import merge_into
+
+    rd = _rd()
+    root = tempfile.mkdtemp(prefix="raylake_imv_")
+    try:
+        src_schema = pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("value", pa.float64()),
+        ])
+        src = Table.create(os.path.join(root, "src"), src_schema,
+                           partition_column="user_id", num_buckets=4,
+                           sort_order=("event_id", "user_id"))
+        mv_schema = pa.schema([
+            ("user_id", pa.int64()), ("n", pa.int64()),
+            ("cents", pa.int64()),
+        ])
+        mv = Table.create(os.path.join(root, "mv"), mv_schema,
+                          partition_column="user_id", num_buckets=4,
+                          sort_order=("user_id",))
+
+        def slicer(k):
+            def f(b: pa.Table) -> pa.Table:
+                m = b["event_id"].to_numpy(zero_copy_only=False) % 3 == k
+                return b.filter(pa.array(m))
+            return f
+
+        def partial_agg(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.floor(pc.add(
+                pc.multiply(b["value"], 100.0), 0.5)), pa.int64())
+            g = pa.TableGroupBy(
+                pa.table({"user_id": b["user_id"], "cents": cents}),
+                "user_id").aggregate([("cents", "count"), ("cents", "sum")])
+            return pa.table({"user_id": g["user_id"],
+                             "n": g["cents_count"],
+                             "cents": g["cents_sum"]})
+
+        last_seq = 0
+        for k in range(3):
+            ds = rd.read_parquet(_pq(sf_dir, "events"),
+                                 columns=["event_id", "user_id", "value"])
+            append(src, ds.map_batches(slicer(k), batch_format="pyarrow"))
+            src.refresh()
+            # --- one incremental refresh: CDC read -> fold -> MERGE ---
+            delta_entries = src.added_entries(after_seq=last_seq)
+            last_seq = src.current_seq
+            paths = [os.path.join(src.root, e.path) for e in delta_entries]
+            partials = pa.concat_tables(
+                pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+                else b
+                for b in rd.read_parquet(paths,
+                                         columns=["user_id", "value"])
+                .map_batches(partial_agg, batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow"))
+            delta = pa.TableGroupBy(partials, "user_id").aggregate(
+                [("n", "sum"), ("cents", "sum")]).rename_columns(
+                ["user_id", "n", "cents"])
+            # old totals for AFFECTED keys only (point read, O(delta keys))
+            mv.refresh()
+            old = mv.scan_arrow()
+            old = old.filter(pc.is_in(old["user_id"], delta["user_id"]))
+            if len(old):
+                merged = pa.TableGroupBy(
+                    pa.concat_tables([delta, old]), "user_id").aggregate(
+                    [("n", "sum"), ("cents", "sum")]).rename_columns(
+                    ["user_id", "n", "cents"])
+            else:
+                merged = delta
+            merge_into(mv, merged.cast(mv_schema), order_col=None)
+        mv.refresh()
+        out = mv.scan_arrow(sort=True)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_INCREMENTAL_MV = """
+SELECT user_id, count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS cents
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_time_travel(sf_dir: str):
     """Snapshot time travel (T2) oracle-checked: after the second delivery
     commits, a scan pinned to the FIRST snapshot must still return exactly
@@ -3759,6 +3861,7 @@ QUERIES = {
     "metadata_snapshots": q_metadata_snapshots,
     "contamination": q_contamination,
     "incremental_scan": q_incremental_scan,
+    "incremental_mv": q_incremental_mv,
     "time_travel": q_time_travel,
     "wap_isolation": q_wap_isolation,
     # non-SQL-expressible (rows-only driver check): minhash banding and IVF
@@ -3831,6 +3934,7 @@ ORACLES = {
     "metadata_snapshots": SQL_METADATA_SNAPSHOTS,
     "contamination": SQL_CONTAMINATION,
     "incremental_scan": SQL_INCREMENTAL_SCAN,
+    "incremental_mv": SQL_INCREMENTAL_MV,
     "time_travel": SQL_TIME_TRAVEL,
     "wap_isolation": SQL_WAP_ISOLATION,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
