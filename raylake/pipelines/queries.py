@@ -2501,6 +2501,71 @@ FROM r, b WHERE epoch_us(ts) >= b.mid
 """
 
 
+def q_schema_evolution_scan(sf_dir: str):
+    """Schema evolution end-to-end (Iceberg column-id mapping parity; ref
+    the reference's implicit mergeSchema appends,
+    /root/reference/src/elt/bronze/_bronze_handler.py:50-56): append half
+    the events, RENAME value→val (metadata-only, no rewrite), ADD an int
+    `cents` column, then append the other half already carrying cents. A
+    single scan then reads files written under BOTH schema versions: old
+    files resolve columns by field id (rename needs no rewrite) and
+    null-fill the added column. The oracle rebuilds the same union in SQL
+    — old rows with NULL cents, new rows with computed cents — proving
+    the evolved scan is exact, not best-effort."""
+    import shutil
+    import tempfile
+
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+
+    rd = _rd()
+    root = tempfile.mkdtemp(prefix="raylake_schevo_")
+    try:
+        schema = pa.schema([("event_id", pa.int64()),
+                            ("value", pa.float64())])
+        tbl = Table.create(os.path.join(root, "t"), schema,
+                           partition_column="event_id", num_buckets=4,
+                           sort_order=("event_id",))
+
+        def half(k, with_cents):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b["event_id"].to_numpy(zero_copy_only=False)
+                b = b.filter(pa.array(ids % 2 == k))
+                if not with_cents:
+                    return b
+                cents = pc.cast(pc.floor(pc.add(
+                    pc.multiply(b["value"], 100.0), 0.5)), pa.int64())
+                return pa.table({"event_id": b["event_id"],
+                                 "val": b["value"], "cents": cents})
+            return f
+
+        ds = rd.read_parquet(_pq(sf_dir, "events"),
+                             columns=["event_id", "value"])
+        append(tbl, ds.map_batches(half(0, False), batch_format="pyarrow"))
+        tbl.refresh()
+        tbl.rename_column("value", "val")
+        tbl.add_column("cents", pa.int64())
+        tbl.refresh()
+        ds = rd.read_parquet(_pq(sf_dir, "events"),
+                             columns=["event_id", "value"])
+        append(tbl, ds.map_batches(half(1, True), batch_format="pyarrow"))
+        tbl.refresh()
+        return tbl.scan_arrow(sort=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_SCHEMA_EVOLUTION_SCAN = """
+SELECT event_id, value AS val, NULL::BIGINT AS cents
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, value AS val,
+       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+FROM events WHERE event_id % 2 = 1
+ORDER BY event_id
+"""
+
+
 def q_incremental_mv(sf_dir: str):
     """Incremental MATERIALIZED-VIEW maintenance — the lakehouse
     replacement for the reference's recompute-the-whole-gold-table jobs
@@ -3862,6 +3927,7 @@ QUERIES = {
     "contamination": q_contamination,
     "incremental_scan": q_incremental_scan,
     "incremental_mv": q_incremental_mv,
+    "schema_evolution_scan": q_schema_evolution_scan,
     "time_travel": q_time_travel,
     "wap_isolation": q_wap_isolation,
     # non-SQL-expressible (rows-only driver check): minhash banding and IVF
@@ -3935,6 +4001,7 @@ ORACLES = {
     "contamination": SQL_CONTAMINATION,
     "incremental_scan": SQL_INCREMENTAL_SCAN,
     "incremental_mv": SQL_INCREMENTAL_MV,
+    "schema_evolution_scan": SQL_SCHEMA_EVOLUTION_SCAN,
     "time_travel": SQL_TIME_TRAVEL,
     "wap_isolation": SQL_WAP_ISOLATION,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
