@@ -10,12 +10,14 @@ here (or in raylake) calls ``ray.init()`` / ``ray.shutdown()``.
                       (SURVEY.md §2 + training-data additions), each taking
                       ``sf_dir``.
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (46 of 48 as of round 3 — including the maintenance
+                      (66 of 69 as of round 3 — including the maintenance
                       pipeline itself via ``maintained_scan``/
-                      ``mor_delete_scan`` and the full-LSH transcriptions of
-                      minhash/simhash near-dup); rows-only: IVF ANN probing
-                      and the fixture-input transcript_maintenance — each
-                      carries a pytest golden check instead.
+                      ``mor_delete_scan``, the full-LSH transcriptions of
+                      minhash/simhash near-dup, and a recursive-CTE oracle
+                      for near-dup connected components); rows-only:
+                      ``ann_ivf``/``ann_ivf_pq`` (probabilistic probing)
+                      and the fixture-input ``transcript_maintenance`` —
+                      each carries a pytest golden check instead.
 """
 
 from __future__ import annotations
