@@ -3866,6 +3866,390 @@ ORDER BY id_l, id_r
 
 
 # ---------------------------------------------------------------------------
+# Quality filtering (Gopher/MassiveText-style heuristics, Rae et al. 2021)
+# over `documents` — integer-only signals so the keep flag is oracle-exact
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it",
+                     "that", "for"]
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style document quality filter (ref semantics: the reference's
+    silver-layer row filters, /root/reference/src/elt/_silver_handler.py —
+    generalized to the published MassiveText heuristics): word-count bounds,
+    mean word length 3..10, >=2 stopwords, distinct-word ratio >= 0.2. All
+    signals are integers and the ratio rules are cross-multiplied, so `keep`
+    is bit-exact against SQL. Fully vectorized: token stats come from Arrow
+    list offsets + np.bincount over flattened tokens — no per-row Python."""
+    from raylake.core.hashing import stable_hash64
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    stop = pa.array(_GOPHER_STOPWORDS)
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        n_spaces = pc.cast(pc.count_substring(text, " "), pa.int64()).to_numpy()
+        n_words = n_spaces + 1  # == len(string_split(text, ' '))
+        sum_word_len = n_chars - n_spaces
+        toks = pc.split_pattern(text, " ")
+        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        row = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        # distinct tokens per row == unique (row, token-hash) pairs; 64-bit
+        # SipHash collisions are |tokens|^2 / 2^64 — negligible
+        th = stable_hash64(flat)
+        pairs = np.unique(np.stack([row.astype(np.uint64), th], axis=1), axis=0)
+        n_unique = np.bincount(pairs[:, 0].astype(np.int64),
+                               minlength=len(t)).astype(np.int64)
+        in_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(row, weights=in_stop.astype(np.float64),
+                             minlength=len(t)).astype(np.int64)
+        keep = ((n_words >= 50) & (n_words <= 100000)
+                & (sum_word_len >= 3 * n_words)
+                & (sum_word_len <= 10 * n_words)
+                & (n_stop >= 2) & (5 * n_unique >= n_words))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words),
+            "sum_word_len": pa.array(sum_word_len),
+            "n_unique_words": pa.array(n_unique),
+            "n_stopwords": pa.array(n_stop),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_GOPHER_RULES = f"""
+WITH s AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_unique_words,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains({_GOPHER_STOPWORDS!r}, x))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_words,
+       n_chars - (n_words - 1) AS sum_word_len,
+       n_unique_words, n_stopwords,
+       (n_words BETWEEN 50 AND 100000
+        AND n_chars - (n_words - 1) BETWEEN 3 * n_words AND 10 * n_words
+        AND n_stopwords >= 2
+        AND 5 * n_unique_words >= n_words) AS keep
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (embedding/RAG prep): overlapping fixed-width windows
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN, _CHUNK_STRIDE = 200, 160  # 40-char overlap
+
+
+def q_chunk_docs(sf_dir: str):
+    """Overlapping character chunking — the flat_map that feeds embedding
+    models: each doc yields ceil(n_chars/160) chunks of up to 200 chars. The
+    kernel loops over chunk INDICES (bounded by the longest doc in the
+    batch), each iteration one vectorized Arrow slice+filter over the whole
+    column — never a per-row loop. Chunk text is emitted content-addressed
+    (md5, one digest per chunk — same budget class as doc_fingerprint) so
+    the oracle value-checks bytes without doubling text in the result."""
+    import hashlib
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    empty = pa.schema([("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+                       ("chunk_start", pa.int64()), ("chunk_len", pa.int64()),
+                       ("chunk_md5", pa.string())])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        ids = t["doc_id"].combine_chunks()
+        n = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        outs, k = [], 0
+        while True:
+            start = k * _CHUNK_STRIDE
+            mask = n > start
+            if not mask.any():
+                break
+            sel = pa.array(mask)
+            sub = pc.filter(
+                pc.utf8_slice_codeunits(text, start, start + _CHUNK_LEN), sel)
+            md5s = [hashlib.md5(s.encode()).hexdigest()
+                    for s in sub.to_pylist()]
+            outs.append(pa.table({
+                "doc_id": pc.filter(ids, sel),
+                "chunk_idx": pa.array(np.full(len(md5s), k, np.int64)),
+                "chunk_start": pa.array(np.full(len(md5s), start, np.int64)),
+                "chunk_len": pc.cast(pc.utf8_length(sub), pa.int64()),
+                "chunk_md5": pa.array(md5s, pa.string()),
+            }))
+            k += 1
+        if not outs:
+            return empty.empty_table()
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CHUNK_DOCS = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text) - 1) // {_CHUNK_STRIDE} + 1))
+           AS chunk_idx
+  FROM documents)
+SELECT doc_id, chunk_idx, chunk_idx * {_CHUNK_STRIDE} AS chunk_start,
+       length(substr(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_LEN}))
+         AS chunk_len,
+       md5(substr(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_LEN}))
+         AS chunk_md5
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation) and ROLLUP grouping sets over events
+# ---------------------------------------------------------------------------
+
+def q_pivot_events(sf_dir: str):
+    """PIVOT event_type x week-of-month into wide columns: per-batch partial
+    aggregation (Arrow group-by inside map_batches) means the shuffle moves
+    <= |types|x5 rows per block; the final <=25-row pivot is driver-side.
+    Cents are integer (floor(v*100+0.5)) per the repo float-safety rule."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.day(t["ts"]), pa.int64())
+        week = pc.add(pc.divide(pc.subtract(day, 1), 7), 1)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                        pa.int64())
+        tt = pa.table({"event_type": t["event_type"], "week": week,
+                       "cents": cents,
+                       "one": pa.array(np.ones(len(t), np.int64))})
+        return pa.TableGroupBy(tt, ["event_type", "week"]).aggregate(
+            [("cents", "sum"), ("one", "sum")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "week"])
+           .aggregate(Sum("cents_sum", alias_name="cents"),
+                      Sum("one_sum", alias_name="cnt"))
+           .to_pandas())
+    cells = {(r["event_type"], int(r["week"])): (int(r["cnt"]), int(r["cents"]))
+             for _, r in agg.iterrows()}
+    types = sorted({k[0] for k in cells})
+    data = {"event_type": types}
+    for w in range(1, 6):
+        data[f"w{w}_cnt"] = [cells.get((e, w), (0, 0))[0] for e in types]
+        data[f"w{w}_cents"] = [cells.get((e, w), (0, 0))[1] for e in types]
+    return pd.DataFrame(data)
+
+
+SQL_PIVOT_EVENTS = "SELECT event_type, " + ", ".join(
+    f"count(*) FILTER (WHERE (day(ts) - 1) // 7 + 1 = {w}) AS w{w}_cnt, "
+    f"coalesce(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) "
+    f"FILTER (WHERE (day(ts) - 1) // 7 + 1 = {w}), 0)::BIGINT AS w{w}_cents"
+    for w in range(1, 6)) + " FROM events GROUP BY event_type"
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUPING SETS / ROLLUP(source, lang) over documents: one partial-agg
+    pass computes the finest (source, lang) cells; the two coarser levels
+    fold from those <=|source|x|lang| rows on the driver — the input is
+    scanned ONCE, exactly how a warehouse plans ROLLUP. grouping_id follows
+    the SQL GROUPING() bit convention (0 = both, 1 = lang rolled up,
+    3 = grand total)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"source": t["source"], "lang": t["lang"],
+                       "n_chars": t["n_chars"],
+                       "one": pa.array(np.ones(len(t), np.int64))})
+        return pa.TableGroupBy(tt, ["source", "lang"]).aggregate(
+            [("n_chars", "sum"), ("one", "sum")])
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "lang"])
+            .aggregate(Sum("n_chars_sum", alias_name="sum_chars"),
+                       Sum("one_sum", alias_name="n_docs"))
+            .to_pandas())
+    lvl0 = fine.assign(grouping_id=0)
+    by_src = (fine.groupby("source", as_index=False)[["sum_chars", "n_docs"]]
+              .sum().assign(lang=None, grouping_id=1))
+    total = pd.DataFrame({"source": [None], "lang": [None],
+                          "sum_chars": [fine["sum_chars"].sum()],
+                          "n_docs": [fine["n_docs"].sum()],
+                          "grouping_id": [3]})
+    out = pd.concat([lvl0, by_src, total], ignore_index=True)
+    out["grouping_id"] = out["grouping_id"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["source", "lang", "sum_chars", "n_docs", "grouping_id"]]
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT source, lang, sum(n_chars)::BIGINT AS sum_chars,
+       count(*)::BIGINT AS n_docs,
+       grouping(source, lang)::BIGINT AS grouping_id
+FROM documents GROUP BY ROLLUP (source, lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions over events: rolling frame + rank family
+# ---------------------------------------------------------------------------
+
+def q_rolling_window(sf_dir: str):
+    """Per-user rolling 7-row frame (ROWS BETWEEN 6 PRECEDING AND CURRENT):
+    groupby(user) shuffles only the key; inside each group a sorted
+    vectorized cumsum difference computes the frame sum — O(n) per group,
+    no per-row Python. Sums are integer cents (float-safety rule)."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        cs = np.cumsum(cents)
+        lag = np.concatenate([np.zeros(min(7, len(cs)), np.int64), cs[:-7]])
+        idx = np.arange(len(cs), dtype=np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "cents7": cs - lag,
+            "cnt7": np.minimum(idx + 1, 7),
+        })
+
+    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+SQL_ROLLING_WINDOW = """
+SELECT event_id, user_id,
+       (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w)::BIGINT
+         AS cents7,
+       count(*) OVER w AS cnt7
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ranked_events(sf_dir: str):
+    """row_number / rank / dense_rank per event_type ordered by value DESC
+    (event_id tie-break for row_number): groupby(event_type) + vectorized
+    run-length ranking inside each group via np.lexsort — the classic
+    window-rank family without a global sort."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, -v))
+        vs = v[order]
+        n = len(vs)
+        new = np.concatenate([[True], vs[1:] != vs[:-1]])
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new, idx, 0))
+        return pd.DataFrame({
+            "event_id": eid[order],
+            "event_type": g["event_type"].to_numpy()[order],
+            "rn": idx + 1,
+            "rnk": run_start + 1,
+            "drnk": np.cumsum(new).astype(np.int64),
+        })
+
+    return ds.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+SQL_RANKED_EVENTS = """
+SELECT event_id, event_type,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id) AS rn,
+       rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS drnk
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group KMV sketches: approximate distinct users per event_type
+# ---------------------------------------------------------------------------
+
+def q_kmv_by_group(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type via per-group mergeable KMV
+    sketches: each batch emits <= k 60-bit hashes PER GROUP (vectorized
+    lexsort + run-position trick — no per-row Python, no Python dict), the
+    groupby merges sketches, and the estimate is recomputed exactly in SQL
+    because the hash is splitmix64 (core/hashing.py). At 10^12 rows the
+    shuffle moves k uint64s per (batch, group), never the raw values."""
+    from raylake.core.hashing import mix64
+    from raylake.functions.sketch import KMV_NORM, kmv_merge
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        codes_arr = pc.dictionary_encode(et)
+        codes = codes_arr.indices.to_numpy().astype(np.int64)
+        labels = codes_arr.dictionary.to_pylist()
+        h = mix64(t["user_id"].combine_chunks()) >> np.uint64(4)
+        pairs = np.unique(np.stack([codes.astype(np.uint64), h], axis=1),
+                          axis=0)  # sorted by (code, hash), deduped
+        g = pairs[:, 0].astype(np.int64)
+        # keep the first k rows of each code run (k smallest hashes)
+        starts = np.concatenate([[0], np.cumsum(np.bincount(g))])[g]
+        pos = np.arange(len(g), dtype=np.int64) - starts
+        keep = pos < KMV_K
+        return pa.table({
+            "event_type": pa.array([labels[c] for c in g[keep]], pa.string()),
+            "h": pa.array(pairs[keep, 1].astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sk = kmv_merge([g["h"].to_numpy().astype(np.uint64)], KMV_K)
+        if len(sk) < KMV_K:
+            est = float(len(sk))
+        else:
+            est = (KMV_K - 1) / (float(sk[KMV_K - 1]) / KMV_NORM)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "est_distinct_users": [est]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(merge, batch_format="pandas"))
+
+
+SQL_KMV_BY_GROUP = f"""
+WITH {_sql_mix64_cte("SELECT DISTINCT event_type, user_id FROM events",
+                     "user_id", carry=("event_type",))},
+d AS (SELECT DISTINCT event_type, (h >> 4) AS hv FROM mx),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM d)
+SELECT event_type,
+       CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE
+            ELSE {KMV_K - 1} / (max(hv)::DOUBLE / 1152921504606846976.0)
+       END AS est_distinct_users
+FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -3941,6 +4325,13 @@ QUERIES = {
     "transcript_maintenance": q_transcript_maintenance,
     "catalog_medallion": q_catalog_medallion,
     "pack_sequences": q_pack_sequences,
+    "gopher_rules": q_gopher_rules,
+    "chunk_docs": q_chunk_docs,
+    "pivot_events": q_pivot_events,
+    "rollup_counts": q_rollup_counts,
+    "rolling_window": q_rolling_window,
+    "ranked_events": q_ranked_events,
+    "kmv_by_group": q_kmv_by_group,
 }
 
 ORACLES = {
@@ -4010,4 +4401,11 @@ ORACLES = {
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "catalog_medallion": SQL_CATALOG_MEDALLION,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "gopher_rules": SQL_GOPHER_RULES,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "pivot_events": SQL_PIVOT_EVENTS,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "rolling_window": SQL_ROLLING_WINDOW,
+    "ranked_events": SQL_RANKED_EVENTS,
+    "kmv_by_group": SQL_KMV_BY_GROUP,
 }
