@@ -2718,6 +2718,57 @@ def q_wap_isolation(sf_dir: str):
 SQL_WAP_ISOLATION = SQL_TIME_TRAVEL  # main == first delivery, verbatim
 
 
+def q_table_clone(sf_dir: str):
+    """Shallow (zero-copy) clone, oracle-checked: clone the two-commit
+    transcript table (ops/clone.py — metadata copy + hard-linked data
+    files), append a divergent 'rerun' delivery to the CLONE only, and scan
+    the clone. The oracle is the full table UNION the rerun delta; source
+    isolation (the source scan is untouched by the clone's append) is
+    asserted inline and inode sharing is covered in tests/test_clone.py."""
+    import shutil
+
+    from raylake.ops.append import append
+    from raylake.ops.clone import clone_table
+
+    rd = _rd()
+    tbl, _seq, root = _two_commit_table(sf_dir)
+    try:
+        n_src = tbl.scan_arrow(sort=True).num_rows
+        cl = clone_table(tbl.root, os.path.join(root, "t_clone"))
+        base = cl.scan_arrow(sort=True)
+        extra = base.filter(pc.ends_with(base["conv_id"], "7"))
+        extra = extra.set_column(
+            extra.schema.get_field_index("turn_idx"), "turn_idx",
+            pc.cast(pc.add(extra["turn_idx"], 100000), pa.int32()))
+        extra = extra.set_column(
+            extra.schema.get_field_index("role"), "role",
+            pa.array(["rerun"] * extra.num_rows, pa.string()))
+        append(cl, rd.from_arrow(extra), batch_size=2048)
+        cl.refresh()
+        out = cl.scan_arrow(sort=True)
+        assert tbl.refresh().scan_arrow(sort=True).num_rows == n_src
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_TABLE_CLONE = """
+WITH r AS (
+  SELECT 'c' || user_id::VARCHAR AS conv_id,
+         (row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         event_type AS role,
+         md5(event_id::VARCHAR) AS text,
+         '' AS tool, ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM r
+UNION ALL
+SELECT conv_id, (turn_idx + 100000)::INT, 'rerun', text, tool, ts
+FROM r WHERE conv_id LIKE '%7'
+"""
+
+
 def _two_commit_table(sf_dir: str, second_on_branch: bool = False):
     """Shared fixture for incremental/time-travel/WAP oracles: the
     events-derived transcript table loaded as two commits split at the
@@ -4332,6 +4383,7 @@ QUERIES = {
     "rolling_window": q_rolling_window,
     "ranked_events": q_ranked_events,
     "kmv_by_group": q_kmv_by_group,
+    "table_clone": q_table_clone,
 }
 
 ORACLES = {
@@ -4408,4 +4460,5 @@ ORACLES = {
     "rolling_window": SQL_ROLLING_WINDOW,
     "ranked_events": SQL_RANKED_EVENTS,
     "kmv_by_group": SQL_KMV_BY_GROUP,
+    "table_clone": SQL_TABLE_CLONE,
 }
