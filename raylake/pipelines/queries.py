@@ -4301,6 +4301,205 @@ FROM r WHERE rn <= {KMV_K} GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Range (non-equi interval) join: broadcast windows + vectorized candidates
+# ---------------------------------------------------------------------------
+
+_RJ_WIDTH_US = 7_200_000_000  # 2 h windows
+
+
+def q_range_join(sf_dir: str):
+    """Static range join (e.t BETWEEN w.lo AND w.lo + 2h): the window side
+    (~2% of events) is collected once, sorted by lo, and broadcast via
+    ray.put; each batch finds every event's overlapping windows with TWO
+    np.searchsorted calls (valid because width is constant, so candidates
+    are a contiguous run of sorted starts) and expands (event, window) pairs
+    with the repeat/offset trick — no per-row loop, no all-pairs blow-up.
+    Per-batch bincount partials mean the shuffle moves <=|windows| rows per
+    block. At 100 TB the broadcast-side bound is |windows|; a large window
+    side would instead bucket both sides by floor(t/width) and join within
+    adjacent buckets."""
+    import ray
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def anchors(t: pa.Table) -> pa.Table:
+        m = t["user_id"].to_numpy(zero_copy_only=False) % 50 == 0
+        w = t.filter(pa.array(m))
+        return pa.table({"window_id": w["event_id"],
+                         "lo": pc.cast(w["ts"], pa.int64())})
+
+    win = ds.map_batches(anchors, batch_format="pyarrow").to_pandas()
+    order = np.argsort(win["lo"].to_numpy(), kind="stable")
+    los = win["lo"].to_numpy()[order]
+    wids = win["window_id"].to_numpy()[order]
+    ref = ray.put((los, wids))
+    nwin = len(los)
+
+    def fn(t: pa.Table) -> pa.Table:
+        los, wids = ray.get(ref)  # zero-copy numpy views from object store
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()
+        cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        i1 = np.searchsorted(los, ts, side="right")           # lo <= t
+        i0 = np.searchsorted(los, ts - _RJ_WIDTH_US, side="left")  # lo >= t-W
+        lens = i1 - i0
+        tot = int(lens.sum())
+        if tot == 0:
+            return pa.table({"window_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        widx = (np.repeat(i0, lens)
+                + np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens))
+        eidx = np.repeat(np.arange(len(ts)), lens)
+        n_per = np.bincount(widx, minlength=nwin)
+        c_per = np.bincount(widx, weights=cents[eidx].astype(np.float64),
+                            minlength=nwin).astype(np.int64)
+        nz = np.nonzero(n_per)[0]
+        return pa.table({"window_id": pa.array(wids[nz]),
+                         "n": pa.array(n_per[nz]),
+                         "cents": pa.array(c_per[nz])})
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(fn, batch_format="pyarrow")
+            .groupby("window_id")
+            .aggregate(Sum("n", alias_name="n_events"),
+                       Sum("cents", alias_name="sum_cents")))
+
+
+SQL_RANGE_JOIN = f"""
+WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS lo
+           FROM events WHERE user_id % 50 = 0),
+e AS (SELECT epoch_us(ts) AS t,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events)
+SELECT w.window_id, count(*) AS n_events, sum(e.cents)::BIGINT AS sum_cents
+FROM w JOIN e ON e.t >= w.lo AND e.t <= w.lo + {_RJ_WIDTH_US}
+GROUP BY w.window_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram quantiles (bounded-state percentile sketch)
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 1000  # value domain [0, 500) at 0.5 granularity
+
+
+def q_hist_quantiles(sf_dir: str):
+    """p50/p90/p99 of `value` via a mergeable fixed-bin histogram: each
+    batch contributes <=1000 (bin, count) rows (np.bincount — O(batch)),
+    partials merge by addition, and the quantile is the first bin whose
+    cumulative count reaches ceil(q*n). Deterministic by construction, so
+    the SQL oracle reproduces bins AND estimates exactly. The 100 TB
+    property: state is O(bins) regardless of row count — the same shape as
+    t-digest/KLL but exactly transcribable."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.minimum(np.floor(t["value"].to_numpy() * 2.0).astype(np.int64),
+                       _HQ_BINS - 1)
+        cnt = np.bincount(b, minlength=_HQ_BINS)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bin": pa.array(nz), "cnt": pa.array(cnt[nz])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cnt = np.zeros(_HQ_BINS, np.int64)
+    np.add.at(cnt, parts["bin"].to_numpy(), parts["cnt"].to_numpy())
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    bins = {p: int(np.searchsorted(cum, (n * p + 99) // 100, side="left"))
+            for p in (50, 90, 99)}
+    return pd.DataFrame({
+        "n": [n],
+        "p50_bin": [bins[50]], "p90_bin": [bins[90]], "p99_bin": [bins[99]],
+        "p50_lo": [bins[50] / 2.0], "p90_lo": [bins[90] / 2.0],
+        "p99_lo": [bins[99] / 2.0],
+    })
+
+
+SQL_HIST_QUANTILES = f"""
+WITH b AS (SELECT least(CAST(floor(value * 2.0) AS BIGINT), {_HQ_BINS - 1})
+             AS bin FROM events),
+c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+s AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM c),
+t AS (SELECT count(*) AS n FROM b)
+SELECT t.n AS n,
+  min(CASE WHEN s.cum >= (t.n * 50 + 99) // 100 THEN s.bin END)::BIGINT
+    AS p50_bin,
+  min(CASE WHEN s.cum >= (t.n * 90 + 99) // 100 THEN s.bin END)::BIGINT
+    AS p90_bin,
+  min(CASE WHEN s.cum >= (t.n * 99 + 99) // 100 THEN s.bin END)::BIGINT
+    AS p99_bin,
+  min(CASE WHEN s.cum >= (t.n * 50 + 99) // 100 THEN s.bin END) / 2.0
+    AS p50_lo,
+  min(CASE WHEN s.cum >= (t.n * 90 + 99) // 100 THEN s.bin END) / 2.0
+    AS p90_lo,
+  min(CASE WHEN s.cum >= (t.n * 99 + 99) // 100 THEN s.bin END) / 2.0
+    AS p99_lo
+FROM s CROSS JOIN t GROUP BY t.n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group sampling (reservoir-by-hash, curation workhorse)
+# ---------------------------------------------------------------------------
+
+_GS_K = 10
+
+
+def q_group_sample(sf_dir: str):
+    """k-per-group deterministic sample: keep the k events with the
+    smallest splitmix64(event_id) per event_type — a seedless reservoir
+    whose result is independent of arrival order and partitioning (the
+    property that makes distributed sampling reproducible). Per-batch
+    partial top-k per group (lexsort + run-position trick, no per-row
+    Python) means the shuffle moves <= k rows per (batch, group)."""
+    from raylake.core.hashing import mix64
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        codes_arr = pc.dictionary_encode(et)
+        codes = codes_arr.indices.to_numpy().astype(np.int64)
+        h = (mix64(t["event_id"].combine_chunks()) >> np.uint64(4)).astype(
+            np.int64)
+        order = np.lexsort((h, codes))
+        gc = codes[order]
+        starts = np.concatenate([[0], np.cumsum(np.bincount(gc))])[gc]
+        pos = np.arange(len(gc), dtype=np.int64) - starts
+        keep = order[pos < _GS_K]
+        return pa.table({
+            "event_id": pc.take(t["event_id"], pa.array(keep)),
+            "event_type": pc.take(et, pa.array(keep)),
+            "h": pa.array(h[keep]),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "event_id"], kind="mergesort").head(_GS_K)
+        return g[["event_id", "event_type"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(merge, batch_format="pandas"))
+
+
+SQL_GROUP_SAMPLE = f"""
+WITH {_sql_mix64_cte("SELECT event_id, event_type FROM events", "event_id",
+                     carry=("event_id", "event_type"))},
+r AS (SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY (h >> 4), event_id) AS rn
+      FROM mx)
+SELECT event_id, event_type FROM r WHERE rn <= {_GS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -4384,6 +4583,9 @@ QUERIES = {
     "ranked_events": q_ranked_events,
     "kmv_by_group": q_kmv_by_group,
     "table_clone": q_table_clone,
+    "range_join": q_range_join,
+    "hist_quantiles": q_hist_quantiles,
+    "group_sample": q_group_sample,
 }
 
 ORACLES = {
@@ -4461,4 +4663,7 @@ ORACLES = {
     "ranked_events": SQL_RANKED_EVENTS,
     "kmv_by_group": SQL_KMV_BY_GROUP,
     "table_clone": SQL_TABLE_CLONE,
+    "range_join": SQL_RANGE_JOIN,
+    "hist_quantiles": SQL_HIST_QUANTILES,
+    "group_sample": SQL_GROUP_SAMPLE,
 }
