@@ -39,6 +39,27 @@ def filter_deleted(batch: pa.Table, deletes,
     return out.select(project) if project is not None else out
 
 
+def take_positions_preimage(table, snapshot: int, pos: pa.Table) -> pa.Table:
+    """Read back the rows a position-delete killed (the delete preimages
+    for `Table.changes`): group (file_path, pos) by file and take those
+    ordinals from each target file as it existed at `snapshot` — targets
+    stay reachable through that snapshot's manifests until expiry."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from raylake.functions.cleaning import apply_renames, normalize_schema
+
+    renames = table.meta.get("column_renames") or {}
+    parts = []
+    pdf = pos.to_pandas()
+    for path, g in pdf.groupby("file_path", sort=True):
+        t = pq.read_table(os.path.join(table.root, path))
+        t = normalize_schema(apply_renames(t, renames), table.schema)
+        parts.append(t.take(pa.array(np.sort(g["pos"].to_numpy()))))
+    return pa.concat_tables(parts) if parts else table.schema.empty_table()
+
+
 def apply_positions(t: pa.Table, pos) -> pa.Table:
     """Drop the rows at ordinals `pos` (sorted int64 array) from a FULL
     file table. Positions index the file's own row order, so this must run

@@ -436,6 +436,99 @@ class Table:
             and (until_seq is None or e.seq_added <= until_seq)
         ]
 
+    def changes(self, after_seq: int, until_seq: int | None = None) -> pa.Table:
+        """Delta-CDF-style change feed over main history: one row per
+        logical row change in (after_seq, until_seq], stamped with
+        `_change_type` (insert | update_preimage | update_postimage |
+        delete) and `_commit_seq`.
+
+        Reconstructable commits:
+        - append → inserts (the commit's added files read as-committed; no
+          later merge-on-read deletes applied — they have their own seq);
+        - merge run with `merge_into(..., cdc=True)` → its recorded change
+          parquets (summary `cdc_files`);
+        - delete-mor → delete rows carrying the delete KEY columns, other
+          columns null (the equality delete never read the rows it killed);
+        - delete-pos → full delete preimages, read back by position from
+          the snapshot's still-reachable target files;
+        - compact / zorder / repartition → physical only, skipped.
+        Any other commit (overwrite, update, merge without cdc=True) raises
+        ValueError — a silent gap would make the feed lie.
+
+        Replaces the reference's high-watermark incremental reads
+        (ref /root/reference/src/elt/silver/_silver_handler.py:31-41) with
+        the update/delete visibility a watermark column cannot express;
+        public semantics: Delta Lake Change Data Feed / Iceberg
+        create_changelog_view."""
+        import numpy as np
+
+        until = self.current_seq if until_seq is None else until_seq
+        base = self.schema
+        names = base.names
+        parts: list[pa.Table] = []
+
+        def stamp(t: pa.Table, seq: int, ctype: str | None = None) -> pa.Table:
+            if ctype is not None:
+                t = t.append_column(
+                    "_change_type", pa.array([ctype] * len(t), pa.string()))
+            return t.append_column(
+                "_commit_seq", pa.array(np.full(len(t), seq, np.int64)))
+
+        for e in self.meta["snapshot_log"]:
+            seq = e["seq"]
+            if seq <= after_seq or seq > until or "branch" in e:
+                continue
+            snap = self.snapshot(seq)
+            if snap is None:
+                raise ValueError(
+                    f"changes({after_seq}, {until}): snapshot {seq} expired")
+            cdc = snap.summary.get("cdc_files")
+            if cdc:
+                t = pa.concat_tables([
+                    pq.read_table(os.path.join(self.root, f["path"]))
+                    for f in cdc])
+                parts.append(stamp(t.select(names + ["_change_type"]), seq))
+            elif snap.operation == "append":
+                ents = [fe for m in snap.manifests
+                        for fe in md.read_manifest(self.root, m)
+                        if fe.seq_added == seq]
+                if ents:
+                    t = self.scan_arrow(snapshot=seq, entries=ents,
+                                        apply_deletes=False)
+                    parts.append(stamp(t.select(names), seq, "insert"))
+            elif snap.operation == "delete-mor":
+                for d in snap.delete_files:
+                    if d.get("seq") != seq or d.get("kind") == "pos":
+                        continue
+                    kt = pq.read_table(os.path.join(self.root, d["path"]))
+                    cols = {}
+                    for f in base:
+                        cols[f.name] = (kt[f.name].cast(f.type)
+                                        if f.name in kt.column_names
+                                        else pa.nulls(len(kt), f.type))
+                    parts.append(stamp(pa.table(cols), seq, "delete"))
+            elif snap.operation == "delete-pos":
+                from raylake.core.deletes import take_positions_preimage
+
+                for d in snap.delete_files:
+                    if d.get("seq") != seq or d.get("kind") != "pos":
+                        continue
+                    pos = pq.read_table(os.path.join(self.root, d["path"]))
+                    t = take_positions_preimage(self, snap.seq, pos)
+                    parts.append(stamp(t.select(names), seq, "delete"))
+            elif snap.operation in ("compact", "zorder", "repartition"):
+                continue
+            else:
+                raise ValueError(
+                    f"changes({after_seq}, {until}): commit {seq} is "
+                    f"{snap.operation!r}, which records no change log — "
+                    f"run merges with cdc=True or exclude this range")
+        if not parts:
+            ext = base.append(pa.field("_change_type", pa.string()))
+            ext = ext.append(pa.field("_commit_seq", pa.int64()))
+            return ext.empty_table()
+        return pa.concat_tables(parts)
+
     def snapshots_table(self) -> pa.Table:
         """Metadata table mirroring Iceberg's `SELECT * FROM tbl.snapshots`
         (ref: notebooks/iceberg_curd/create_iceberg_table_by_trino.sql:19-40)."""

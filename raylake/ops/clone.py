@@ -56,6 +56,8 @@ def clone_table(src_root: str, dst_root: str,
                     data_files.add(fe.path)
             for d in snap.delete_files:
                 data_files.add(d["path"])
+            for f in snap.summary.get("cdc_files", []):
+                data_files.add(f["path"])
 
         os.makedirs(os.path.join(dst_root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(dst_root, "data"), exist_ok=True)

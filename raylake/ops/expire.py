@@ -104,6 +104,8 @@ def expire_snapshots(
                     reachable_data.add(fe.path)
             for d in snap.delete_files:  # merge-on-read delete parquets
                 reachable_data.add(d["path"])
+            for f in snap.summary.get("cdc_files", []):  # change-feed files
+                reachable_data.add(f["path"])
 
         # protect the lineage of IN-FLIGHT jobs: files ledgered by a rewrite
         # task that has not committed yet are on disk but unreachable —
@@ -117,6 +119,8 @@ def expire_snapshots(
                 for rec in Ledger(table.root, job_id).completed().values():
                     for fe in rec.get("entries", []):
                         reachable_data.add(fe["path"])
+                    for f in rec.get("cdc_files", []):
+                        reachable_data.add(f["path"])
 
         # enumerate sweep candidates UNDER the lock (the decision point)
         on_disk_data = []

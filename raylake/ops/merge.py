@@ -424,6 +424,9 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
             return {"skipped": True, "entries": [], "replaced": [], "rows": 0,
                     **counters}
         result = tgt.filter(pa.array(~matched))
+        if params.get("cdc"):
+            counters["cdc_files"] = _write_cdc_file(
+                table, [(tgt.filter(pa.array(matched)), "delete")])
     else:
         # MG4 null-safe no-op detection: if every source row is bit-identical
         # to its matched target row and there are no inserts, skip entirely.
@@ -437,6 +440,27 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
                         **counters}
         keep = tgt.filter(pa.array(~matched)) if matched.any() else tgt
         result = pa.concat_tables([keep, src])
+        if params.get("cdc"):
+            # change-data-feed capture (Delta CDF shape): the task knows
+            # exactly which target rows it replaces and which source rows
+            # are fresh — record them as update pre/post images + inserts.
+            # Exact-key membership (not hashes): mirrors the collision
+            # guard above.
+            pre = tgt.filter(pa.array(matched)) if matched.any() \
+                else tgt.schema.empty_table()
+            if len(pre):
+                tkeys = pd.MultiIndex.from_arrays(
+                    [pre[k].to_pandas() for k in keys])
+                skeys = pd.MultiIndex.from_arrays(
+                    [src[k].to_pandas() for k in keys])
+                upd = np.asarray(skeys.isin(tkeys))
+            else:
+                upd = np.zeros(len(src), bool)
+            counters["cdc_files"] = _write_cdc_file(table, [
+                (pre, "update_preimage"),
+                (src.filter(pa.array(upd)), "update_postimage"),
+                (src.filter(pa.array(~upd)), "insert"),
+            ])
 
     bpr = (
         task["input_bytes"] / max(1, task["input_rows"])
@@ -448,6 +472,29 @@ def _merge_task(table: Table, task: dict, params: dict) -> dict:
     )
     return {"entries": entries, "replaced": task["input_paths"], "rows": len(result),
             **counters}
+
+
+def _write_cdc_file(table: Table, parts: list) -> list:
+    """Write one change-data parquet for a merge task: the table columns
+    plus `_change_type` (insert | update_preimage | update_postimage |
+    delete). Files live under data/cdc/ — reachable through the commit
+    summary (`cdc_files`), protected by expire's reachability walk and
+    carried by shallow clones; read back by `Table.changes`."""
+    names = table.schema.names
+    tabs = []
+    for t, ctype in parts:
+        if len(t) == 0:
+            continue
+        t = t.select(names)
+        tabs.append(t.append_column(
+            "_change_type", pa.array([ctype] * len(t), pa.string())))
+    if not tabs:
+        return []
+    out = pa.concat_tables(tabs)
+    rel = f"data/cdc/{uuid.uuid4().hex}.parquet"
+    os.makedirs(os.path.join(table.root, "data", "cdc"), exist_ok=True)
+    pq.write_table(out, os.path.join(table.root, rel), compression="zstd")
+    return [{"path": rel, "rows": len(out)}]
 
 
 SCD2_COLS = ("start_timestamp", "end_timestamp", "is_current")
@@ -619,6 +666,7 @@ def merge_into(
     scd2_start_ts=None,
     scd2_start_col: str | list[str] | None = None,
     tracked_cols: list[str] | None = None,
+    cdc: bool = False,
 ):
     """MERGE source (ray Dataset | pa.Table) into table. Returns the committed
     Snapshot, or None (no-op / incomplete — resume by re-calling with the
@@ -629,7 +677,14 @@ def merge_into(
     is a plain batch; the delivery stamp is either the batch constant
     `scd2_start_ts` (datetime | pd.Timestamp | epoch-us int) or per-row from
     `scd2_start_col` (the reference's updated_at-else-ingest_timestamp rule);
-    `tracked_cols` defaults to all non-key, non-SCD2 columns."""
+    `tracked_cols` defaults to all non-key, non-SCD2 columns.
+
+    `cdc=True` (upsert/delete modes): each task also writes a change-data
+    parquet (insert / update_preimage / update_postimage / delete rows) and
+    the commit summary records them — `Table.changes` reads the feed back
+    (Delta Change Data Feed parity). Tasks skipped by null-safe no-op
+    detection contribute no change rows (nothing changed). scd2 mode keeps
+    its own full history in-table and does not need a feed."""
     assert mode in ("upsert", "delete", "scd2")
     if table.partition_kind != "hash":
         raise ValueError(
@@ -698,6 +753,7 @@ def merge_into(
             "scd2_start_us": scd2_start_us,
             "scd2_start_col": scd2_start_col,
             "tracked_cols": tracked_cols,
+            "cdc": cdc,
         },
         concurrency=concurrency,
         max_tasks=max_tasks,

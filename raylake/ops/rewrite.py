@@ -195,7 +195,7 @@ def _rewrite_batch_inner(batch, table_root, job_id, task_fn, params):
             "skipped": res.get("skipped", False),
             "wall_s": wall,
         }
-        for k in ("staged_rows_read", "staged_rows_used"):
+        for k in ("staged_rows_read", "staged_rows_used", "cdc_files"):
             if k in res:
                 rec[k] = res[k]
         ledger.record(task["task_id"], rec)
@@ -324,6 +324,12 @@ def commit_from_ledger(table: Table, operation: str, meta: dict,
             r.get("staged_rows_read", 0) for r in done.values())
         summary["staged_rows_used"] = sum(
             r.get("staged_rows_used", 0) for r in done.values())
+    cdc_files = [f for r in done.values() for f in r.get("cdc_files", [])]
+    if cdc_files:
+        # change-data-feed parquets written by merge tasks: recorded in the
+        # summary so Table.changes can read them and expire/clone keep them
+        # reachable
+        summary["cdc_files"] = cdc_files
     snap = table.commit(
         operation,
         added,

@@ -2718,6 +2718,63 @@ def q_wap_isolation(sf_dir: str):
 SQL_WAP_ISOLATION = SQL_TIME_TRAVEL  # main == first delivery, verbatim
 
 
+def q_cdc_feed(sf_dir: str):
+    """Change-data-feed (Delta CDF parity), oracle-checked end-to-end: two
+    append commits (seq 1/2), then a MERGE with cdc=True that rewrites the
+    text of every conv_id ending in '3' (seq 3). `Table.changes(after=0)`
+    must reconstruct inserts for both deliveries plus exact update pre/post
+    images for the merge — the oracle recomputes all four row groups in
+    SQL. Update capture happens inside the distributed merge tasks (each
+    task knows exactly which target rows it replaces), not by diffing
+    snapshots."""
+    import shutil
+
+    from raylake.ops.merge import merge_into
+
+    tbl, _seq, root = _two_commit_table(sf_dir)
+    try:
+        cur = tbl.scan_arrow(sort=True)
+        m = pc.ends_with(cur["conv_id"], "3")
+        src = cur.filter(m)
+        src = src.set_column(
+            src.schema.get_field_index("text"), "text",
+            pa.array(["upd-" + s for s in src["text"].to_pylist()],
+                     pa.string()))
+        snap = merge_into(tbl, src, cdc=True)
+        assert snap is not None and snap.seq == 3
+        return tbl.refresh().changes(after_seq=0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_CDC_FEED = """
+WITH b AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events
+), r AS (
+  SELECT 'c' || user_id::VARCHAR AS conv_id,
+         (row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         event_type AS role,
+         md5(event_id::VARCHAR) AS text,
+         '' AS tool, ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       'insert' AS _change_type,
+       (CASE WHEN epoch_us(ts) < b.mid THEN 1 ELSE 2 END)::BIGINT
+         AS _commit_seq
+FROM r, b
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       'update_preimage', 3::BIGINT
+FROM r WHERE conv_id LIKE '%3'
+UNION ALL
+SELECT conv_id, turn_idx, role, 'upd-' || text, tool, ts,
+       'update_postimage', 3::BIGINT
+FROM r WHERE conv_id LIKE '%3'
+"""
+
+
 def q_table_clone(sf_dir: str):
     """Shallow (zero-copy) clone, oracle-checked: clone the two-commit
     transcript table (ops/clone.py — metadata copy + hard-linked data
@@ -4586,6 +4643,7 @@ QUERIES = {
     "range_join": q_range_join,
     "hist_quantiles": q_hist_quantiles,
     "group_sample": q_group_sample,
+    "cdc_feed": q_cdc_feed,
 }
 
 ORACLES = {
@@ -4666,4 +4724,5 @@ ORACLES = {
     "range_join": SQL_RANGE_JOIN,
     "hist_quantiles": SQL_HIST_QUANTILES,
     "group_sample": SQL_GROUP_SAMPLE,
+    "cdc_feed": SQL_CDC_FEED,
 }
