@@ -113,6 +113,23 @@ class Catalog:
         return Table.create(self.table_path(identifier), schema,
                             name=f"{ns}.{name}", **table_kwargs)
 
+    def clone_table(self, src: str | tuple, dst: str | tuple) -> Table:
+        """CREATE TABLE <dst> SHALLOW CLONE <src> within the warehouse:
+        zero-copy metadata clone + hard-linked data files (ops/clone.py);
+        the clone is a first-class catalog table with the source's full
+        history."""
+        from raylake.ops.clone import clone_table as _clone
+
+        if not self.table_exists(src):
+            ns, name = _split(src)
+            raise NoSuchTableError(f"{ns}.{name}")
+        dns, dname = _split(dst)
+        self._ns_dir(dns)
+        if self.table_exists(dst):
+            raise FileExistsError(f"table exists: {dns}.{dname}")
+        return _clone(self.table_path(src), self.table_path(dst),
+                      name=f"{dns}.{dname}")
+
     def load_table(self, identifier: str | tuple) -> Table:
         if not self.table_exists(identifier):
             ns, name = _split(identifier)

@@ -4557,6 +4557,89 @@ SELECT event_id, event_type FROM r WHERE rn <= {_GS_K}
 
 
 # ---------------------------------------------------------------------------
+# Large-large shuffle hash join (Dataset.join) + UNPIVOT (wide → long melt)
+# ---------------------------------------------------------------------------
+
+def q_adjacent_pairs(sf_dir: str):
+    """Large-large equi-join where NEITHER side fits a broadcast: events
+    self-joined on consecutive event_id via Ray's hash-shuffle Dataset.join
+    (`_hash_join` sizes partitions/aggregators to the session), then
+    per-batch partial aggregation of (type, next_type) transition counts
+    and gap sums — the Markov-transition matrix of the event stream. This
+    is the deliberate contrast to the repo's broadcast joins: both sides
+    shuffle, and only (key, type, ts) columns move."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    base = rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["event_id", "event_type", "ts"])
+
+    def left(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["event_id"], "t1": t["event_type"],
+                         "us1": pc.cast(t["ts"], pa.int64())})
+
+    def right(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.subtract(t["event_id"], 1),
+                         "t2": t["event_type"],
+                         "us2": pc.cast(t["ts"], pa.int64())})
+
+    j = _hash_join(base.map_batches(left, batch_format="pyarrow"),
+                   base.map_batches(right, batch_format="pyarrow"),
+                   on=("k",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        gap = pc.abs(pc.subtract(t["us1"], t["us2"]))
+        tt = pa.table({"t1": t["t1"], "t2": t["t2"], "gap": gap,
+                       "one": pa.array(np.ones(len(t), np.int64))})
+        return pa.TableGroupBy(tt, ["t1", "t2"]).aggregate(
+            [("gap", "sum"), ("one", "sum")])
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["t1", "t2"])
+            .aggregate(Sum("one_sum", alias_name="n"),
+                       Sum("gap_sum", alias_name="sum_gap_us")))
+
+
+SQL_ADJACENT_PAIRS = """
+SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n,
+       sum(abs(epoch_us(a.ts) - epoch_us(b.ts)))::BIGINT AS sum_gap_us
+FROM events a JOIN events b ON b.event_id = a.event_id + 1
+GROUP BY t1, t2
+"""
+
+
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_unpivot_measures(sf_dir: str):
+    """UNPIVOT / melt: lineitem's four numeric measures become long rows
+    (key, measure, value) — the wide→long transform feeding per-metric
+    pipelines. One vectorized pass: the kernel emits one table slice per
+    measure column (4 column-copies, no row loop), a pure flat_map."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", *_UNPIVOT_MEASURES])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.concat_tables([
+            pa.table({"l_orderkey": t["l_orderkey"],
+                      "l_linenumber": t["l_linenumber"],
+                      "measure": pa.array([m] * n, pa.string()),
+                      "value": pc.cast(t[m], pa.float64())})
+            for m in _UNPIVOT_MEASURES])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_UNPIVOT_MEASURES = " UNION ALL ".join(
+    f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, "
+    f"{m}::DOUBLE AS value FROM lineitem"
+    for m in _UNPIVOT_MEASURES)
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -4644,6 +4727,8 @@ QUERIES = {
     "hist_quantiles": q_hist_quantiles,
     "group_sample": q_group_sample,
     "cdc_feed": q_cdc_feed,
+    "adjacent_pairs": q_adjacent_pairs,
+    "unpivot_measures": q_unpivot_measures,
 }
 
 ORACLES = {
@@ -4725,4 +4810,6 @@ ORACLES = {
     "hist_quantiles": SQL_HIST_QUANTILES,
     "group_sample": SQL_GROUP_SAMPLE,
     "cdc_feed": SQL_CDC_FEED,
+    "adjacent_pairs": SQL_ADJACENT_PAIRS,
+    "unpivot_measures": SQL_UNPIVOT_MEASURES,
 }

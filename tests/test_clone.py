@@ -114,6 +114,35 @@ def test_clone_refuses_existing_destination(src_table, tmp_path):
     shutil.rmtree(dst)
 
 
+def test_catalog_clone(tmp_path, ray_session):
+    """Catalog.clone_table: SHALLOW CLONE across namespaces, registered as
+    a first-class table, refusing to overwrite."""
+    import ray.data as rd
+
+    from raylake.core.catalog import Catalog
+    from raylake.ops.append import append
+
+    c = Catalog.init_medallion(str(tmp_path / "wh"))
+    t = c.create_table(
+        "bronze.ev",
+        pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                   ("ts", pa.timestamp("us"))]),
+        num_buckets=2)
+    import pandas as pd
+
+    append(t, rd.from_pandas(pd.DataFrame({
+        "conv_id": ["a", "b"] * 50,
+        "turn_idx": pd.array(range(100), dtype="int32"),
+        "ts": pd.Timestamp("2024-01-01")})), batch_size=64)
+    t.refresh()
+    cl = c.clone_table("bronze.ev", "silver.ev_clone")
+    assert cl.scan_arrow(sort=True).equals(t.scan_arrow(sort=True))
+    assert "ev_clone" in c.list_tables("silver")
+    assert cl.meta["name"] == "silver.ev_clone"
+    with pytest.raises(FileExistsError):
+        c.clone_table("bronze.ev", "silver.ev_clone")
+
+
 def test_clone_preserves_mor_deletes(src_table, tmp_path, ray_session):
     """Equality deletes committed before the clone must apply in the clone
     (delete parquets are reachable files and get linked too)."""
