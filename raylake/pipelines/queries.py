@@ -3882,6 +3882,92 @@ ORDER BY key, session_start_us
 """
 
 
+_SDEDUP_LATE_US = 40 * 86_400_000_000  # > stream span: nothing evicts/lates
+
+
+def q_stream_dedup(sf_dir: str):
+    """STREAMING dropDuplicates (SURVEY §2.10 depth): the event log is
+    replayed with every event_id%7 row RE-DELIVERED 30 min later and every
+    %13 row 3 h later (at-least-once delivery), hash-sharded to
+    StreamDeduplicator actors (seen-state + offset in each tick's snapshot
+    commit — exactly-once). The deduped output must equal the original
+    stream EXACTLY, which the oracle checks as a plain scan. Allowed
+    lateness here exceeds the replay span so the oracle stays closed-form;
+    watermark eviction + late-audit semantics are covered with explicit
+    ticks in tests/test_dstream.py."""
+    import tempfile
+
+    import ray
+
+    from raylake.core.hashing import partition_of
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "ts", "value"])
+
+    def replay(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        base = pa.table({"key": pc.cast(t["event_id"], pa.string()),
+                         "t": us, "cents": cents, "arr": us})
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        parts = [base]
+        for mod, delay in ((7, 1_800_000_000), (13, 10_800_000_000)):
+            m = pa.array(eid % mod == 0)
+            d = base.filter(m)
+            parts.append(d.set_column(
+                d.schema.get_field_index("arr"), "arr",
+                pc.add(d["arr"], delay)))
+        return pa.concat_tables(parts)
+
+    ordered = ds.map_batches(replay, batch_format="pyarrow").sort(["arr", "key"])
+    root = tempfile.mkdtemp(prefix="raylake_sdq_")
+    try:
+        shard_cls = ray.remote(_DedupShard)
+        shards = [shard_cls.options(num_cpus=0.25).remote(
+            f"{root}/shard={i}", _SDEDUP_LATE_US) for i in range(4)]
+        pending = []
+        for off, batch in enumerate(
+                ordered.iter_batches(batch_size=2000,
+                                     batch_format="pyarrow")):
+            parts = partition_of(batch["key"], 4)
+            for i in np.unique(parts):
+                pending.append(shards[int(i)].process_tick.remote(
+                    off, batch.filter(pa.array(parts == i))))
+        ray.get(pending)
+        out = pa.concat_tables(ray.get([s.finish.remote() for s in shards]))
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("key", "ascending"), ("t", "ascending")]))
+
+
+class _DedupShard:
+    """One key-shard of streaming dedup: hosts a StreamDeduplicator over
+    its own lakehouse table root."""
+
+    def __init__(self, root: str, late_us: int):
+        from raylake.sources.wstream import StreamDeduplicator
+
+        self.d = StreamDeduplicator(root, late_us)
+
+    def process_tick(self, offset: int, t: pa.Table) -> None:
+        self.d.process_tick(offset, t.select(["key", "t", "cents"]))
+
+    def finish(self) -> pa.Table:
+        return self.d.results()
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id::VARCHAR AS key, epoch_us(ts)::BIGINT AS t,
+       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+FROM events ORDER BY key, t
+"""
+
+
 _SSJOIN_TOL_US = 21_600_000_000  # 6 h interval
 _SSJOIN_LATE_US = 3_600_000_000  # 1 h allowed lateness
 _SSJOIN_SHARDS = 4
@@ -4729,6 +4815,7 @@ QUERIES = {
     "cdc_feed": q_cdc_feed,
     "adjacent_pairs": q_adjacent_pairs,
     "unpivot_measures": q_unpivot_measures,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLES = {
@@ -4812,4 +4899,5 @@ ORACLES = {
     "cdc_feed": SQL_CDC_FEED,
     "adjacent_pairs": SQL_ADJACENT_PAIRS,
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
+    "stream_dedup": SQL_STREAM_DEDUP,
 }

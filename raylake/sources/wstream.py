@@ -587,3 +587,150 @@ class StreamStreamJoiner:
                 parts.append(pa.ipc.open_stream(
                     base64.b64decode(b)).read_all())
         return pa.concat_tables(parts) if parts else None
+
+
+DEDUP_SCHEMA = pa.schema([
+    ("key", pa.string()),
+    ("t", pa.int64()),
+    ("cents", pa.int64()),
+])
+
+
+class StreamDeduplicator:
+    """Streaming DEDUPLICATION with watermark state eviction — the
+    `.withWatermark(...).dropDuplicates([id])` shape of Spark structured
+    streaming (the reference's dead streaming path delegates dedup to its
+    batch silver MERGE, ref /root/reference/src/elt/silver/
+    _silver_handler.py:124-143), re-expressed on the lakehouse.
+
+    Semantics per tick (arrival-ordered micro-batches):
+    - the watermark advances from the event-time column of ALL incoming
+      rows (pre-dedup, as Spark does): wm = max ts seen − allowed lateness;
+    - a row with ts < wm is TOO LATE: its key may already be evicted, so
+      admitting it could double-emit — it side-outputs to the tick commit's
+      late-audit IPC (never silent loss, never emitted);
+    - of the remaining rows, the first occurrence of each key (in-tick,
+      then against the seen-state) is EMITTED (appended to the result
+      table); later occurrences drop silently — that is dedup working;
+    - seen-state evicts keys whose ts < wm: a duplicate can only arrive
+      within the lateness bound of its original, so the evicted key can
+      never be legitimately re-admitted. State is bounded by
+      O(arrival_rate × lateness), not the stream length.
+
+    Exactly-once: seen-state + max_ts + offset ride in each tick's snapshot
+    summary, atomic with the emitted rows — a crash-rebuilt instance
+    resumes from the log and re-delivered ticks no-op on the offset check
+    (state-in-snapshot, as the aggregators above)."""
+
+    def __init__(self, root: str, allowed_lateness_us: int):
+        self.lateness_us = allowed_lateness_us
+        try:
+            self.table = Table.load(root)
+        except FileNotFoundError:
+            self.table = Table.create(
+                root, DEDUP_SCHEMA, partition_column="key", num_buckets=4,
+                sort_order=("key", "t"),
+            )
+        self.seen: dict = {}  # key -> event ts (for eviction)
+        self.max_ts = -1
+        self.last_offset = -1
+        for snap in self.table.snapshots():
+            st = snap.summary.get("dstream_state")
+            if st is not None:
+                self.seen = dict(st["seen"])
+                self.max_ts = st["max_ts"]
+                self.last_offset = st["offset"]
+
+    def process_tick(self, offset: int, batch: pa.Table) -> bool:
+        """`batch` columns: key (string), t (int64 event-time us), cents."""
+        if offset <= self.last_offset:
+            return False
+        import numpy as np
+        import pandas as pd
+
+        late = None
+        emitted = None
+        if len(batch):
+            df = pd.DataFrame({
+                "key": batch["key"].to_pandas(),
+                "t": batch["t"].to_pandas(),
+                "cents": batch["cents"].to_pandas(),
+            })
+            self.max_ts = max(self.max_ts, int(df["t"].max()))
+            wm = self.max_ts - self.lateness_us
+            is_late = df["t"].lt(wm).to_numpy()
+            late = df[is_late]
+            ok = df[~is_late]
+            # in-tick first occurrence (stable: arrival order within tick)
+            ok = ok[~ok["key"].duplicated(keep="first")]
+            # cross-tick: drop keys already seen
+            fresh = ok[~ok["key"].isin(self.seen.keys())]
+            for k, t in zip(fresh["key"], fresh["t"]):
+                self.seen[k] = int(t)
+            emitted = fresh
+            # evict state behind the watermark
+            if self.seen:
+                self.seen = {k: t for k, t in self.seen.items() if t >= wm}
+
+        added = []
+        if emitted is not None and len(emitted):
+            import numpy as np
+
+            from raylake.core.hashing import partition_of
+
+            out = pa.table({
+                "key": pa.array(emitted["key"], pa.string()),
+                "t": pa.array(emitted["t"].astype("int64")),
+                "cents": pa.array(emitted["cents"].astype("int64")),
+            })
+            parts = partition_of(out["key"], self.table.num_buckets)
+            for p in np.unique(parts):
+                added.append(self.table.write_file(
+                    out.filter(pa.array(parts == p)), int(p)))
+
+        summary = {
+            "stream_offset": offset,
+            "dstream_state": {
+                "offset": offset,
+                "max_ts": self.max_ts,
+                "seen": sorted(self.seen.items()),
+            },
+        }
+        if late is not None and len(late):
+            import base64
+            import io
+
+            lt = pa.table({
+                "key": pa.array(late["key"], pa.string()),
+                "t": pa.array(late["t"].astype("int64")),
+                "cents": pa.array(late["cents"].astype("int64")),
+            })
+            buf = io.BytesIO()
+            with pa.ipc.new_stream(buf, lt.schema) as w:
+                w.write_table(lt)
+            summary["dstream_late_ipc"] = base64.b64encode(
+                buf.getvalue()).decode("ascii")
+        self.table.commit("stream-dedup", added, summary=summary)
+        self.last_offset = offset
+        return True
+
+    def run(self, ticks) -> int:
+        n = 0
+        for offset, batch in ticks:
+            if self.process_tick(offset, batch):
+                n += 1
+        return n
+
+    def results(self) -> pa.Table:
+        return self.table.refresh().scan_arrow(sort=True)
+
+    def late_table(self) -> pa.Table | None:
+        import base64
+
+        parts = []
+        for snap in self.table.refresh().snapshots():
+            b = snap.summary.get("dstream_late_ipc")
+            if b:
+                parts.append(pa.ipc.open_stream(
+                    base64.b64decode(b)).read_all())
+        return pa.concat_tables(parts) if parts else None
