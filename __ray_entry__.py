@@ -10,11 +10,14 @@ here (or in raylake) calls ``ray.init()`` / ``ray.shutdown()``.
                       (SURVEY.md §2 + training-data additions), each taking
                       ``sf_dir``.
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (66 of 69 as of round 3 — including the maintenance
+                      (82 of 85 as of round 3 — including the maintenance
                       pipeline itself via ``maintained_scan``/
                       ``mor_delete_scan``, the full-LSH transcriptions of
-                      minhash/simhash near-dup, and a recursive-CTE oracle
-                      for near-dup connected components); rows-only:
+                      minhash/simhash near-dup, a recursive-CTE oracle for
+                      near-dup connected components, the shallow-clone
+                      divergence scan ``table_clone``, the change-data-feed
+                      reconstruction ``cdc_feed``, and the streaming-dedup
+                      replay ``stream_dedup``); rows-only:
                       ``ann_ivf``/``ann_ivf_pq`` (probabilistic probing)
                       and the fixture-input ``transcript_maintenance`` —
                       each carries a pytest golden check instead.
