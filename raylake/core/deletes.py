@@ -39,11 +39,13 @@ def filter_deleted(batch: pa.Table, deletes,
     return out.select(project) if project is not None else out
 
 
-def take_positions_preimage(table, snapshot: int, pos: pa.Table) -> pa.Table:
+def take_positions_preimage(table, pos: pa.Table) -> pa.Table:
     """Read back the rows a position-delete killed (the delete preimages
     for `Table.changes`): group (file_path, pos) by file and take those
-    ordinals from each target file as it existed at `snapshot` — targets
-    stay reachable through that snapshot's manifests until expiry."""
+    ordinals from each target file. Data files are immutable, so reading by
+    path IS the versioned read; the files stay reachable through their
+    snapshot's manifests until expiry (which the caller's gap guard
+    detects)."""
     import os
 
     import pyarrow.parquet as pq

@@ -451,9 +451,11 @@ class Table:
           columns null (the equality delete never read the rows it killed);
         - delete-pos → full delete preimages, read back by position from
           the snapshot's still-reachable target files;
-        - compact / zorder / repartition → physical only, skipped.
+        - compact / zorder / repartition / apply-deletes → physical only,
+          skipped (delete purges materialize events already emitted).
         Any other commit (overwrite, update, merge without cdc=True) raises
-        ValueError — a silent gap would make the feed lie.
+        ValueError, and so does a range containing EXPIRED snapshots — a
+        silent gap would make the feed lie.
 
         Replaces the reference's high-watermark incremental reads
         (ref /root/reference/src/elt/silver/_silver_handler.py:31-41) with
@@ -462,9 +464,23 @@ class Table:
         create_changelog_view."""
         import numpy as np
 
+        from raylake.functions.cleaning import apply_renames, normalize_schema
+
         until = self.current_seq if until_seq is None else until_seq
         base = self.schema
         names = base.names
+        renames = self.meta.get("column_renames") or {}
+        # GAP GUARD: seqs are allocated per commit, and every commit stays in
+        # the snapshot log until expiry — a seq in range that is absent from
+        # the log was expired, and silently skipping it would make the feed
+        # lie (the failure mode the docstring forbids).
+        logged = {e["seq"] for e in self.meta["snapshot_log"]}
+        missing = sorted(set(range(after_seq + 1, until + 1)) - logged)
+        if missing:
+            raise ValueError(
+                f"changes({after_seq}, {until}): snapshots {missing} were "
+                f"expired from the log; the feed over this range is gone — "
+                f"narrow the range or retain more history")
         parts: list[pa.Table] = []
 
         def stamp(t: pa.Table, seq: int, ctype: str | None = None) -> pa.Table:
@@ -484,10 +500,20 @@ class Table:
                     f"changes({after_seq}, {until}): snapshot {seq} expired")
             cdc = snap.summary.get("cdc_files")
             if cdc:
-                t = pa.concat_tables([
-                    pq.read_table(os.path.join(self.root, f["path"]))
-                    for f in cdc])
-                parts.append(stamp(t.select(names + ["_change_type"]), seq))
+                tabs = []
+                for f in cdc:
+                    raw = apply_renames(
+                        pq.read_table(os.path.join(self.root, f["path"])),
+                        renames)
+                    # normalize the data columns to the CURRENT schema
+                    # (change files carry their write-time schema), keep
+                    # the change-type marker
+                    data = normalize_schema(raw.drop(["_change_type"]), base)
+                    tabs.append(data.append_column(
+                        "_change_type", raw["_change_type"]))
+                parts.append(stamp(
+                    pa.concat_tables(tabs).select(
+                        names + ["_change_type"]), seq))
             elif snap.operation == "append":
                 ents = [fe for m in snap.manifests
                         for fe in md.read_manifest(self.root, m)
@@ -500,7 +526,9 @@ class Table:
                 for d in snap.delete_files:
                     if d.get("seq") != seq or d.get("kind") == "pos":
                         continue
-                    kt = pq.read_table(os.path.join(self.root, d["path"]))
+                    kt = apply_renames(
+                        pq.read_table(os.path.join(self.root, d["path"])),
+                        renames)
                     cols = {}
                     for f in base:
                         cols[f.name] = (kt[f.name].cast(f.type)
@@ -514,9 +542,12 @@ class Table:
                     if d.get("seq") != seq or d.get("kind") != "pos":
                         continue
                     pos = pq.read_table(os.path.join(self.root, d["path"]))
-                    t = take_positions_preimage(self, snap.seq, pos)
+                    t = take_positions_preimage(self, pos)
                     parts.append(stamp(t.select(names), seq, "delete"))
-            elif snap.operation in ("compact", "zorder", "repartition"):
+            elif snap.operation in ("compact", "zorder", "repartition",
+                                    "apply-deletes"):
+                # physical-only rewrites: no logical row change (the delete
+                # EVENTS were already emitted by their own commits)
                 continue
             else:
                 raise ValueError(

@@ -4195,7 +4195,7 @@ WITH c AS (
   SELECT doc_id, text,
          unnest(range(0, (length(text) - 1) // {_CHUNK_STRIDE} + 1))
            AS chunk_idx
-  FROM documents)
+  FROM documents WHERE length(text) > 0)
 SELECT doc_id, chunk_idx, chunk_idx * {_CHUNK_STRIDE} AS chunk_start,
        length(substr(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_LEN}))
          AS chunk_len,
@@ -4391,7 +4391,7 @@ def q_kmv_by_group(sf_dir: str):
     because the hash is splitmix64 (core/hashing.py). At 10^12 rows the
     shuffle moves k uint64s per (batch, group), never the raw values."""
     from raylake.core.hashing import mix64
-    from raylake.functions.sketch import KMV_NORM, kmv_merge
+    from raylake.functions.sketch import kmv_estimate, kmv_merge
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "events"),
@@ -4417,12 +4417,8 @@ def q_kmv_by_group(sf_dir: str):
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         sk = kmv_merge([g["h"].to_numpy().astype(np.uint64)], KMV_K)
-        if len(sk) < KMV_K:
-            est = float(len(sk))
-        else:
-            est = (KMV_K - 1) / (float(sk[KMV_K - 1]) / KMV_NORM)
         return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "est_distinct_users": [est]})
+                             "est_distinct_users": [kmv_estimate(sk, KMV_K)]})
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type").map_groups(merge, batch_format="pandas"))

@@ -604,8 +604,11 @@ class StreamDeduplicator:
     _silver_handler.py:124-143), re-expressed on the lakehouse.
 
     Semantics per tick (arrival-ordered micro-batches):
-    - the watermark advances from the event-time column of ALL incoming
-      rows (pre-dedup, as Spark does): wm = max ts seen − allowed lateness;
+    - the watermark advances from the event-time column of ALL rows
+      (pre-dedup); the LATE check for tick N uses the watermark computed
+      through tick N-1 (Spark's batch-boundary watermark — rows in the
+      same micro-batch as a large event-time jump are not retroactively
+      late), while state EVICTION uses the post-tick watermark;
     - a row with ts < wm is TOO LATE: its key may already be evicted, so
       admitting it could double-emit — it side-outputs to the tick commit's
       late-audit IPC (never silent loss, never emitted);
@@ -617,10 +620,13 @@ class StreamDeduplicator:
       never be legitimately re-admitted. State is bounded by
       O(arrival_rate × lateness), not the stream length.
 
-    Exactly-once: seen-state + max_ts + offset ride in each tick's snapshot
-    summary, atomic with the emitted rows — a crash-rebuilt instance
-    resumes from the log and re-delivered ticks no-op on the offset check
-    (state-in-snapshot, as the aggregators above)."""
+    Exactly-once: the per-tick STATE DELTA (added keys, evicted keys,
+    max_ts, offset) rides in each tick's snapshot summary, atomic with the
+    emitted rows — a crash-rebuilt instance replays the deltas from the log
+    (O(total adds+evicts), never O(ticks x state) — a full-state-per-tick
+    checkpoint would be quadratic when lateness disables eviction) and
+    re-delivered ticks no-op on the offset check (state-in-snapshot, as the
+    aggregators above)."""
 
     def __init__(self, root: str, allowed_lateness_us: int):
         self.lateness_us = allowed_lateness_us
@@ -635,9 +641,12 @@ class StreamDeduplicator:
         self.max_ts = -1
         self.last_offset = -1
         for snap in self.table.snapshots():
-            st = snap.summary.get("dstream_state")
+            st = snap.summary.get("dstream_delta")
             if st is not None:
-                self.seen = dict(st["seen"])
+                for k, t in st["added"]:
+                    self.seen[k] = t
+                for k in st["evicted"]:
+                    self.seen.pop(k, None)
                 self.max_ts = st["max_ts"]
                 self.last_offset = st["offset"]
 
@@ -650,15 +659,18 @@ class StreamDeduplicator:
 
         late = None
         emitted = None
+        added_pairs: list = []
+        evicted_keys: list = []
         if len(batch):
             df = pd.DataFrame({
                 "key": batch["key"].to_pandas(),
                 "t": batch["t"].to_pandas(),
                 "cents": batch["cents"].to_pandas(),
             })
-            self.max_ts = max(self.max_ts, int(df["t"].max()))
-            wm = self.max_ts - self.lateness_us
-            is_late = df["t"].lt(wm).to_numpy()
+            # late check against the watermark through the PREVIOUS tick
+            # (Spark's batch-boundary watermark)
+            wm_late = self.max_ts - self.lateness_us
+            is_late = df["t"].lt(wm_late).to_numpy()
             late = df[is_late]
             ok = df[~is_late]
             # in-tick first occurrence (stable: arrival order within tick)
@@ -667,10 +679,15 @@ class StreamDeduplicator:
             fresh = ok[~ok["key"].isin(self.seen.keys())]
             for k, t in zip(fresh["key"], fresh["t"]):
                 self.seen[k] = int(t)
+                added_pairs.append((k, int(t)))
             emitted = fresh
-            # evict state behind the watermark
-            if self.seen:
-                self.seen = {k: t for k, t in self.seen.items() if t >= wm}
+            # advance the watermark, then evict state behind it
+            self.max_ts = max(self.max_ts, int(df["t"].max()))
+            wm_evict = self.max_ts - self.lateness_us
+            evicted_keys = sorted(
+                k for k, t in self.seen.items() if t < wm_evict)
+            for k in evicted_keys:
+                del self.seen[k]
 
         added = []
         if emitted is not None and len(emitted):
@@ -690,10 +707,11 @@ class StreamDeduplicator:
 
         summary = {
             "stream_offset": offset,
-            "dstream_state": {
+            "dstream_delta": {
                 "offset": offset,
                 "max_ts": self.max_ts,
-                "seen": sorted(self.seen.items()),
+                "added": sorted(added_pairs),
+                "evicted": evicted_keys,
             },
         }
         if late is not None and len(late):

@@ -132,6 +132,25 @@ def test_compact_is_silent_and_gc_keeps_cdc_files(tbl):
         after.sort_values(key, kind="mergesort").reset_index(drop=True))
 
 
+def test_expired_range_raises_not_silent_gap(tbl):
+    """Commits expired out of the snapshot log must make changes() over a
+    range containing them RAISE — a silently truncated feed would let a
+    replay consumer reconstruct the wrong table."""
+    from raylake.ops.compact import compact
+
+    upd, ins, _ = _merge_source(tbl)
+    merge_into(tbl, pa.concat_tables([upd, ins]), cdc=True)
+    tbl.refresh()
+    compact(tbl, target_file_bytes=64 << 20)
+    tbl.refresh()
+    expire_snapshots(tbl, keep_last=1, grace_period_s=0.0)
+    tbl.refresh()
+    with pytest.raises(ValueError, match="expired"):
+        tbl.changes(after_seq=0)
+    # a range entirely inside retained history still works
+    assert tbl.changes(after_seq=tbl.current_seq).num_rows == 0
+
+
 def test_delete_mode_merge_cdc(tbl):
     cur = tbl.scan_arrow(sort=True)
     victims = cur.slice(0, 25)
