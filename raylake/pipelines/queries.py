@@ -1167,6 +1167,92 @@ FROM r WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def q_kmeans_step(sf_dir: str):
+    """A full Lloyd ITERATION: the E-step assigns every vector to its
+    nearest centroid exactly as `kmeans_assign` (same broadcast matrix,
+    same round-6 + lowest-id tie policy), and the M-step reduces per-
+    cluster component sums — each batch contributes one <= K x D partial
+    via np.add.at (no shuffle of vectors, only (cluster, dim, sums) rows),
+    and a tiny groupby finishes. Sums are integer milli-units
+    (floor(x*1000+0.5)) with counts alongside, so the new centroids
+    (sum/n, divided by the consumer) are oracle-checkable bit-for-bit —
+    the iterative-algorithm pattern (assign → reduce → re-broadcast) that
+    corpus clustering runs to convergence."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from raylake.functions.similarity import embedding_matrix
+
+    rd = _rd()
+    K = 8
+    cent_t = pq.read_table(_pq(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", K)])
+    order = pc.sort_indices(cent_t["vec_id"])
+    cent = embedding_matrix(cent_t.take(order), "embedding")
+    ref = ray.put((cent, np.linalg.norm(cent, axis=1)))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        c, cn = ray.get(ref)
+        mat = embedding_matrix(b, "embedding")
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = np.round((mat @ c.T) / (norms[:, None] * cn[None, :]), 6)
+        cid = np.argmax(cos, axis=1)
+        mm = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        d = mm.shape[1]
+        sums = np.zeros((K, d), np.int64)
+        np.add.at(sums, cid, mm)
+        cnt = np.bincount(cid, minlength=K).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "cluster_id": pa.array(np.repeat(nz, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(nz))),
+            "n_part": pa.array(np.repeat(cnt[nz], d)),
+            "milli_part": pa.array(sums[nz].reshape(-1)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+            .groupby(["cluster_id", "dim"])
+            .aggregate(Sum("n_part", alias_name="n"),
+                       Sum("milli_part", alias_name="sum_milli")))
+
+
+SQL_KMEANS_STEP = """
+WITH cent AS (
+  SELECT vec_id AS cid,
+         embedding::DOUBLE[] AS ce,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+  FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * c.cn),
+               6) AS s
+  FROM embeddings e CROSS JOIN cent c
+), r AS (
+  SELECT vec_id, cid, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+  FROM sc
+), a AS (
+  SELECT r.cid,
+         list_transform(e.embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS me
+  FROM embeddings e JOIN r ON r.vec_id = e.vec_id AND r.rn = 1
+), u AS (
+  SELECT cid, unnest(me) AS m, generate_subscripts(me, 1) AS dim FROM a
+)
+SELECT cid::BIGINT AS cluster_id, dim::BIGINT AS dim,
+       count(*) AS n, sum(m)::BIGINT AS sum_milli
+FROM u GROUP BY cid, dim
+"""
+
+
 EMBED_BLOCK_ROWS = 1024  # hard per-block cap: a task touches ≤ 2 blocks
 
 
@@ -4722,6 +4808,71 @@ SQL_UNPIVOT_MEASURES = " UNION ALL ".join(
 
 
 # ---------------------------------------------------------------------------
+# Sequential-pattern (funnel) analytics over per-user event streams
+# ---------------------------------------------------------------------------
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered funnel view → click → purchase with a 24 h conversion
+    window per stage: per user, the first view, then the first click
+    strictly after it (within 24 h), then the first purchase strictly
+    after that click (within 24 h) — the order-sensitive sequence match a
+    plain groupby cannot express. groupby(user) shuffles only the key;
+    each group's stage times fall out of vectorized min-over-mask steps.
+    Output is one row of stage counts (ints — float-safety rule)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        out = [0, 0, 0]
+        day = 86_400_000_000
+        views = t[et == "view"]
+        if len(views):
+            out[0] = 1
+            tv = views.min()
+            clicks = t[(et == "click") & (t > tv) & (t <= tv + day)]
+            if len(clicks):
+                out[1] = 1
+                tc = clicks.min()
+                if ((et == "purchase") & (t > tc) & (t <= tc + day)).any():
+                    out[2] = 1
+        return pd.DataFrame({"v": [out[0]], "vc": [out[1]], "vcp": [out[2]]})
+
+    flags = ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+    agg = flags.aggregate(Sum("v", alias_name="n_view"),
+                          Sum("vc", alias_name="n_view_click"),
+                          Sum("vcp", alias_name="n_full_funnel"))
+    return pd.DataFrame({
+        "n_view": [int(agg["n_view"])],
+        "n_view_click": [int(agg["n_view_click"])],
+        "n_full_funnel": [int(agg["n_full_funnel"])],
+    })
+
+
+SQL_FUNNEL_COUNTS = """
+WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+        AND epoch_us(e.ts) <= epoch_us(v.tv) + 86400000000
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        AND epoch_us(e.ts) <= epoch_us(c.tc) + 86400000000
+      GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_full_funnel
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -4759,6 +4910,7 @@ QUERIES = {
     "kth_value": q_kth_value,
     "ann_topk": q_ann_topk,
     "kmeans_assign": q_kmeans_assign,
+    "kmeans_step": q_kmeans_step,
     "embed_neardup": q_embed_neardup,
     "neardup_components": q_neardup_components,
     "multimodal_features": q_multimodal_features,
@@ -4812,6 +4964,7 @@ QUERIES = {
     "adjacent_pairs": q_adjacent_pairs,
     "unpivot_measures": q_unpivot_measures,
     "stream_dedup": q_stream_dedup,
+    "funnel_counts": q_funnel_counts,
 }
 
 ORACLES = {
@@ -4848,6 +5001,7 @@ ORACLES = {
     "kth_value": SQL_KTH_VALUE,
     "ann_topk": SQL_ANN_TOPK,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "kmeans_step": SQL_KMEANS_STEP,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
     "multimodal_features": SQL_MULTIMODAL,
@@ -4896,4 +5050,5 @@ ORACLES = {
     "adjacent_pairs": SQL_ADJACENT_PAIRS,
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
     "stream_dedup": SQL_STREAM_DEDUP,
+    "funnel_counts": SQL_FUNNEL_COUNTS,
 }
