@@ -93,8 +93,18 @@ def _update_task(table: Table, task: dict, params: dict) -> dict:
     bpr = task["input_bytes"] / max(1, task["input_rows"])
     entries = cut_and_write(table, updated, task["partition"],
                             params["target_file_bytes"], bpr)
-    return {"entries": entries, "replaced": task["input_paths"],
-            "rows": len(updated)}
+    out = {"entries": entries, "replaced": task["input_paths"],
+           "rows": len(updated)}
+    if params.get("cdc") and n_hits:
+        # change-data-feed capture: the task holds both row versions —
+        # record them so Table.changes can reconstruct this commit
+        from raylake.ops.merge import _write_cdc_file
+
+        out["cdc_files"] = _write_cdc_file(table, [
+            (data.filter(mask), "update_preimage"),
+            (updated.filter(mask), "update_postimage"),
+        ])
+    return out
 
 
 def update_where(
@@ -107,6 +117,7 @@ def update_where(
     concurrency: int | None = None,
     max_tasks: int | None = None,
     branch: str | None = None,
+    cdc: bool = False,
 ):
     """UPDATE table SET {col: expr} WHERE predicate(batch).
 
@@ -115,7 +126,11 @@ def update_where(
     against the PRE-update row values (standard SQL UPDATE semantics —
     all assignments see the old row). Returns the committed Snapshot, or
     None when every task skipped (nothing matched) or the job is
-    incomplete (resume with the same job_id)."""
+    incomplete (resume with the same job_id).
+
+    `cdc=True`: tasks record update pre/post images as change parquets in
+    the commit summary, making the commit reconstructable by
+    `Table.changes` (same contract as merge_into(cdc=True))."""
     protected = {table.partition_column, *table.sort_order,
                  *table.identifier_fields}
     bad = sorted(set(set_exprs) & protected - {None})
@@ -145,6 +160,7 @@ def update_where(
             "set_exprs": dict(set_exprs),
             "target_file_bytes": target_file_bytes,
             "branch": branch,
+            "cdc": cdc,
         },
         concurrency=concurrency,
         max_tasks=max_tasks,

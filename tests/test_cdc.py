@@ -151,6 +151,36 @@ def test_expired_range_raises_not_silent_gap(tbl):
     assert tbl.changes(after_seq=tbl.current_seq).num_rows == 0
 
 
+def test_update_where_cdc(tbl):
+    """update_where(cdc=True) commits become feed-reconstructable with
+    exact pre/post images; without cdc they still raise."""
+    from raylake.ops.update import update_where
+
+    base_seq = tbl.current_seq
+    snap = update_where(
+        tbl,
+        predicate=lambda b: pc.equal(b["role"], "user"),
+        set_exprs={"text": lambda b: pc.binary_join_element_wise(
+            pa.array(["upd"] * len(b)), b["text"], "-")},
+        cdc=True)
+    assert snap is not None
+    tbl.refresh()
+    feed = tbl.changes(after_seq=base_seq).to_pandas()
+    pre = feed[feed["_change_type"] == "update_preimage"]
+    post = feed[feed["_change_type"] == "update_postimage"]
+    assert len(pre) == len(post) > 0
+    assert set(feed["_change_type"]) == {"update_preimage",
+                                         "update_postimage"}
+    assert post["text"].str.startswith("upd-").all()
+    assert not pre["text"].str.startswith("upd-").any()
+    # and the no-cdc variant still refuses to lie
+    update_where(tbl, predicate=lambda b: pc.equal(b["role"], "user"),
+                 set_exprs={"text": "x"})
+    tbl.refresh()
+    with pytest.raises(ValueError, match="no change log"):
+        tbl.changes(after_seq=base_seq)
+
+
 def test_delete_mode_merge_cdc(tbl):
     cur = tbl.scan_arrow(sort=True)
     victims = cur.slice(0, 25)
