@@ -143,6 +143,39 @@ def test_catalog_clone(tmp_path, ray_session):
         c.clone_table("bronze.ev", "silver.ev_clone")
 
 
+def test_clone_carries_change_feed(src_table, tmp_path, ray_session):
+    """cdc change parquets are reachable files: a clone taken after a cdc
+    merge must serve the identical Table.changes feed, even after the
+    SOURCE expires that history."""
+    import pandas as pd
+
+    from raylake.ops.merge import merge_into
+
+    pre = src_table.scan_arrow(sort=True)
+    upd = pre.slice(0, 30)
+    upd = upd.set_column(
+        upd.schema.get_field_index("text"), "text",
+        pa.array(["upd-" + s for s in upd["text"].to_pylist()], pa.string()))
+    base_seq = src_table.current_seq
+    merge_into(src_table, upd, cdc=True)
+    src_table.refresh()
+    want = src_table.changes(after_seq=base_seq).to_pandas()
+
+    cl = clone_table(src_table.root, str(tmp_path / "cl"))
+    got = cl.changes(after_seq=base_seq).to_pandas()
+    key = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, kind="mergesort").reset_index(drop=True),
+        want.sort_values(key, kind="mergesort").reset_index(drop=True))
+
+    # source expires its history; the clone's linked feed is unaffected
+    expire_snapshots(src_table, keep_last=1, grace_period_s=0.0)
+    got2 = cl.refresh().changes(after_seq=base_seq).to_pandas()
+    pd.testing.assert_frame_equal(
+        got2.sort_values(key, kind="mergesort").reset_index(drop=True),
+        want.sort_values(key, kind="mergesort").reset_index(drop=True))
+
+
 def test_clone_preserves_mor_deletes(src_table, tmp_path, ray_session):
     """Equality deletes committed before the clone must apply in the clone
     (delete parquets are reachable files and get linked too)."""
