@@ -622,11 +622,11 @@ class StreamDeduplicator:
 
     Exactly-once: the per-tick STATE DELTA (added keys, evicted keys,
     max_ts, offset) rides in each tick's snapshot summary, atomic with the
-    emitted rows — a crash-rebuilt instance replays the deltas from the log
-    (O(total adds+evicts), never O(ticks x state) — a full-state-per-tick
-    checkpoint would be quadratic when lateness disables eviction) and
-    re-delivered ticks no-op on the offset check (state-in-snapshot, as the
-    aggregators above)."""
+    emitted rows (a full-state-per-tick checkpoint would be quadratic when
+    lateness disables eviction); every CHECKPOINT_EVERY ticks a full-state
+    checkpoint is embedded, so a crash-rebuilt instance replays only the
+    last checkpoint + its trailing deltas, and re-delivered ticks no-op on
+    the offset check (state-in-snapshot, as the aggregators above)."""
 
     def __init__(self, root: str, allowed_lateness_us: int):
         self.lateness_us = allowed_lateness_us
@@ -640,15 +640,32 @@ class StreamDeduplicator:
         self.seen: dict = {}  # key -> event ts (for eviction)
         self.max_ts = -1
         self.last_offset = -1
-        for snap in self.table.snapshots():
-            st = snap.summary.get("dstream_delta")
-            if st is not None:
+        self.ticks = 0
+        # resume: start from the LAST full-state checkpoint (written every
+        # CHECKPOINT_EVERY ticks), then apply only the deltas after it —
+        # bounds replay to O(checkpoint + window of deltas) instead of the
+        # whole stream history
+        snaps = [s for s in self.table.snapshots()
+                 if s.summary.get("dstream_delta") is not None]
+        start = 0
+        for i in range(len(snaps) - 1, -1, -1):
+            if snaps[i].summary["dstream_delta"].get("full") is not None:
+                start = i
+                break
+        for snap in snaps[start:]:
+            st = snap.summary["dstream_delta"]
+            if st.get("full") is not None:
+                self.seen = dict(st["full"])
+            else:
                 for k, t in st["added"]:
                     self.seen[k] = t
                 for k in st["evicted"]:
                     self.seen.pop(k, None)
-                self.max_ts = st["max_ts"]
-                self.last_offset = st["offset"]
+            self.max_ts = st["max_ts"]
+            self.last_offset = st["offset"]
+            self.ticks = st.get("tick_no", self.ticks + 1)
+
+    CHECKPOINT_EVERY = 32
 
     def process_tick(self, offset: int, batch: pa.Table) -> bool:
         """`batch` columns: key (string), t (int64 event-time us), cents."""
@@ -705,15 +722,19 @@ class StreamDeduplicator:
                 added.append(self.table.write_file(
                     out.filter(pa.array(parts == p)), int(p)))
 
-        summary = {
-            "stream_offset": offset,
-            "dstream_delta": {
-                "offset": offset,
-                "max_ts": self.max_ts,
-                "added": sorted(added_pairs),
-                "evicted": evicted_keys,
-            },
+        self.ticks += 1
+        delta = {
+            "offset": offset,
+            "max_ts": self.max_ts,
+            "added": sorted(added_pairs),
+            "evicted": evicted_keys,
+            "tick_no": self.ticks,
         }
+        if self.ticks % self.CHECKPOINT_EVERY == 0:
+            # periodic full-state checkpoint (post-tick state): replaces
+            # delta replay from stream start on resume
+            delta["full"] = sorted(self.seen.items())
+        summary = {"stream_offset": offset, "dstream_delta": delta}
         if late is not None and len(late):
             import base64
             import io

@@ -66,6 +66,27 @@ def test_exactly_once_replay_and_resume(tmp_path):
     assert sorted(out["key"].to_pylist()) == ["a", "b", "c", "d"]
 
 
+def test_checkpoint_bounds_resume_replay(tmp_path):
+    """After CHECKPOINT_EVERY ticks a full-state checkpoint is embedded;
+    a rebuilt instance resumes from it (not from stream start) with
+    identical state."""
+    root = str(tmp_path / "t")
+    d = StreamDeduplicator(root, allowed_lateness_us=10**15)
+    n = StreamDeduplicator.CHECKPOINT_EVERY + 5
+    for i in range(n):
+        d.process_tick(i, tick([f"k{i}", f"k{i - 1}"], [i * 10, i * 10]))
+    snaps = [s.summary["dstream_delta"] for s in d.table.refresh().snapshots()
+             if "dstream_delta" in s.summary]
+    assert any(st.get("full") is not None for st in snaps)
+    d2 = StreamDeduplicator(root, allowed_lateness_us=10**15)
+    assert d2.seen == d.seen
+    assert d2.last_offset == d.last_offset and d2.ticks == d.ticks
+    assert d2.results().equals(d.results())
+    # the stream continues cleanly past the checkpoint
+    d2.process_tick(n, tick(["zz"], [n * 10]))
+    assert "zz" in d2.seen
+
+
 def test_wm_from_all_rows_including_duplicates(tmp_path):
     """The watermark advances from the event-time of ALL rows (pre-dedup),
     so even a tick of pure duplicates moves it (Spark semantics)."""
