@@ -4808,6 +4808,78 @@ SQL_UNPIVOT_MEASURES = " UNION ALL ".join(
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured extraction (JSON props) and NTILE bucketing
+# ---------------------------------------------------------------------------
+
+def q_json_extract(sf_dir: str):
+    """Semi-structured column extraction: pull the integer field `k` out of
+    the JSON `props` string with ONE vectorized RE2 pass
+    (pc.extract_regex — no per-row json.loads), then aggregate per
+    event_type. The oracle uses DuckDB's real JSON path extraction, so the
+    regex fast path is checked against full JSON semantics."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        tt = pa.table({"event_type": t["event_type"], "k": k,
+                       "one": pa.array(np.ones(len(t), np.int64))})
+        return pa.TableGroupBy(tt, ["event_type"]).aggregate(
+            [("k", "sum"), ("one", "sum")])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("k_sum", alias_name="sum_k"),
+                       Sum("one_sum", alias_name="n")))
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_ntile_events(sf_dir: str):
+    """NTILE(4) quartile assignment per event_type (ORDER BY value DESC,
+    event_id — a pinned total order, since ntile splits by row position):
+    the first n%4 buckets take ceil(n/4) rows, the rest floor(n/4) —
+    reproduced with pure integer arithmetic inside each group."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, -v))
+        n = len(order)
+        q, r = divmod(n, 4)
+        sizes = np.array([q + 1 if i < r else q for i in range(4)])
+        tile = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+        return pd.DataFrame({
+            "event_id": eid[order],
+            "event_type": g["event_type"].to_numpy()[order],
+            "tile": tile,
+        })
+
+    return ds.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+SQL_NTILE_EVENTS = """
+SELECT event_id, event_type,
+       ntile(4) OVER (PARTITION BY event_type
+                      ORDER BY value DESC, event_id) AS tile
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequential-pattern (funnel) analytics over per-user event streams
 # ---------------------------------------------------------------------------
 
@@ -4965,6 +5037,8 @@ QUERIES = {
     "unpivot_measures": q_unpivot_measures,
     "stream_dedup": q_stream_dedup,
     "funnel_counts": q_funnel_counts,
+    "json_extract": q_json_extract,
+    "ntile_events": q_ntile_events,
 }
 
 ORACLES = {
@@ -5051,4 +5125,6 @@ ORACLES = {
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
     "stream_dedup": SQL_STREAM_DEDUP,
     "funnel_counts": SQL_FUNNEL_COUNTS,
+    "json_extract": SQL_JSON_EXTRACT,
+    "ntile_events": SQL_NTILE_EVENTS,
 }
