@@ -4879,6 +4879,57 @@ FROM events
 """
 
 
+def q_collect_paths(sf_dir: str):
+    """collect_list / string_agg family: each user's time-ordered event-type
+    journey as one '>'-joined string — the sequence-mining input format.
+    groupby(user) shuffles only the key; the join is one vectorized
+    str.join per group."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "path": [">".join(g["event_type"])],
+                             "n_steps": [len(g)]})
+
+    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+SQL_COLLECT_PATHS = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       count(*) AS n_steps
+FROM events GROUP BY user_id
+"""
+
+
+def q_group_median(sf_dir: str):
+    """Exact per-group discrete median (quantile_disc 0.5: the element at
+    sorted index floor((n-1)/2) — a VALUE from the set, so doubles compare
+    exactly with no interpolation ties): per-group np.partition selection,
+    O(n) per group, keys-only shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        k = (len(v) - 1) // 2
+        med = np.partition(v, k)[k]
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "p50": [med], "n": [len(v)]})
+
+    return ds.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+SQL_GROUP_MEDIAN = """
+SELECT event_type, quantile_disc(value, 0.5) AS p50, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sequential-pattern (funnel) analytics over per-user event streams
 # ---------------------------------------------------------------------------
@@ -5039,6 +5090,8 @@ QUERIES = {
     "funnel_counts": q_funnel_counts,
     "json_extract": q_json_extract,
     "ntile_events": q_ntile_events,
+    "collect_paths": q_collect_paths,
+    "group_median": q_group_median,
 }
 
 ORACLES = {
@@ -5127,4 +5180,6 @@ ORACLES = {
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "json_extract": SQL_JSON_EXTRACT,
     "ntile_events": SQL_NTILE_EVENTS,
+    "collect_paths": SQL_COLLECT_PATHS,
+    "group_median": SQL_GROUP_MEDIAN,
 }
