@@ -4776,6 +4776,113 @@ GROUP BY t1, t2
 """
 
 
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local-supplier revenue) — the canonical 6-table join,
+    planned the way a 100 TB cluster would: region→nation (driver, tiny),
+    customer→nation and supplier→nation as sorted-array BROADCASTS
+    (bounded by |customers in region|; searchsorted lookups, no shuffle),
+    ONE large-large hash-shuffle Dataset.join between date-filtered orders
+    and lineitem on orderkey, then per-batch partial aggregation of
+    integer revenue cents per nation. Only (orderkey, natkey) and
+    (orderkey, suppkey, cents) columns ever shuffle — never a wide row."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    nat = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(_pq(sf_dir, "region")).to_pandas()
+    asia = reg[reg["r_name"] == "ASIA"]["r_regionkey"].iloc[0]
+    nat = nat[nat["n_regionkey"] == asia]
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nat_keys = set(nat["n_nationkey"])
+
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_keys)].sort_values("c_custkey")
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_keys)].sort_values("s_suppkey")
+    ref = ray.put((cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy(),
+                   supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy()))
+
+    def lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+        if len(keys) == 0:
+            return np.zeros(len(probe), bool), np.zeros(len(probe), np.int64)
+        idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+        return keys[idx] == probe, vals[idx]
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate")
+                >= pa.scalar(pd.Timestamp("1996-01-01")))
+        & (pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1997-01-01"))))
+
+    def o_side(t: pa.Table) -> pa.Table:
+        ck, cn, _, _ = ray.get(ref)
+        ok, natk = lookup(ck, cn, t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"k": t["o_orderkey"], "cnat": pa.array(natk)}).filter(
+            pa.array(ok))
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def l_side(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)),
+                        pa.int64())
+        return pa.table({"k": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+                         "cents": cents})
+
+    j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
+                   orders.map_batches(o_side, batch_format="pyarrow"),
+                   on=("k",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, sk, sn = ray.get(ref)
+        ok, snat = lookup(sk, sn, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        cnat = t["cnat"].to_numpy(zero_copy_only=False)
+        keep = ok & (snat == cnat)
+        natk = cnat[keep]
+        cents = t["cents"].to_numpy(zero_copy_only=False)[keep]
+        sums = {}
+        for nk in np.unique(natk):
+            m = natk == nk
+            sums[int(nk)] = (int(cents[m].sum()), int(m.sum()))
+        return pa.table({
+            "natkey": pa.array(list(sums), pa.int64()),
+            "cents": pa.array([v[0] for v in sums.values()], pa.int64()),
+            "n": pa.array([v[1] for v in sums.values()], pa.int64()),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("natkey")
+           .aggregate(Sum("cents", alias_name="revenue_cents"),
+                      Sum("n", alias_name="n_items"))
+           .to_pandas())
+    agg["n_name"] = agg["natkey"].map(nat_name)
+    return agg[["n_name", "revenue_cents", "n_items"]]
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_cents,
+       count(*) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 _UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -5092,6 +5199,7 @@ QUERIES = {
     "ntile_events": q_ntile_events,
     "collect_paths": q_collect_paths,
     "group_median": q_group_median,
+    "tpch_q5": q_tpch_q5,
 }
 
 ORACLES = {
@@ -5182,4 +5290,5 @@ ORACLES = {
     "ntile_events": SQL_NTILE_EVENTS,
     "collect_paths": SQL_COLLECT_PATHS,
     "group_median": SQL_GROUP_MEDIAN,
+    "tpch_q5": SQL_TPCH_Q5,
 }
