@@ -499,6 +499,8 @@ class Table:
                 raise ValueError(
                     f"changes({after_seq}, {until}): snapshot {seq} expired")
             cdc = snap.summary.get("cdc_files")
+            if cdc is not None and not cdc:
+                continue  # cdc-enabled commit with zero logical changes
             if cdc:
                 tabs = []
                 for f in cdc:

@@ -324,12 +324,14 @@ def commit_from_ledger(table: Table, operation: str, meta: dict,
             r.get("staged_rows_read", 0) for r in done.values())
         summary["staged_rows_used"] = sum(
             r.get("staged_rows_used", 0) for r in done.values())
-    cdc_files = [f for r in done.values() for f in r.get("cdc_files", [])]
-    if cdc_files:
-        # change-data-feed parquets written by merge tasks: recorded in the
-        # summary so Table.changes can read them and expire/clone keep them
-        # reachable
-        summary["cdc_files"] = cdc_files
+    if any("cdc_files" in r for r in done.values()):
+        # change-data-feed parquets written by cdc-enabled tasks: recorded
+        # in the summary so Table.changes can read them and expire/clone
+        # keep them reachable. PRESENCE of the key (even with an empty
+        # list) marks the commit cdc-complete — a cdc run whose tasks all
+        # had zero logical changes must not read as feed-breaking.
+        summary["cdc_files"] = [
+            f for r in done.values() for f in r.get("cdc_files", [])]
     snap = table.commit(
         operation,
         added,

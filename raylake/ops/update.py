@@ -95,15 +95,19 @@ def _update_task(table: Table, task: dict, params: dict) -> dict:
                             params["target_file_bytes"], bpr)
     out = {"entries": entries, "replaced": task["input_paths"],
            "rows": len(updated)}
-    if params.get("cdc") and n_hits:
+    if params.get("cdc"):
         # change-data-feed capture: the task holds both row versions —
-        # record them so Table.changes can reconstruct this commit
+        # record them so Table.changes can reconstruct this commit. A task
+        # that rewrote files with ZERO predicate hits (possible when MOR
+        # deletes forced the rewrite) still reports the key with an empty
+        # list, so the commit is marked cdc-complete rather than feed-
+        # breaking.
         from raylake.ops.merge import _write_cdc_file
 
         out["cdc_files"] = _write_cdc_file(table, [
             (data.filter(mask), "update_preimage"),
             (updated.filter(mask), "update_postimage"),
-        ])
+        ]) if n_hits else []
     return out
 
 

@@ -1101,56 +1101,45 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
-def q_kmeans_assign(sf_dir: str):
-    """Nearest-centroid assignment (the E-step of k-means / topic bucketing
-    for corpus curation): K=8 centroids are the vec_id<8 embeddings (a
-    deterministic k-means++ stand-in), broadcast ONCE via ray.put as an
-    (8, dim) float64 matrix; every batch does one matmul against it and an
-    argmax — O(n·K·dim) flops, no shuffle, embarrassingly parallel (the
-    iterate-to-convergence M-step is a tiny groupby-mean over this output).
-    Tie policy pinned on both sides: cosine rounded to 6 dp, lowest
-    centroid id wins (np.argmax first-hit == SQL ORDER BY s DESC, cid
-    ASC). Broadcast-small-side pattern per ann_topk (VERDICT r01 fix)."""
+_KMEANS_K = 8
+
+
+def _kmeans_broadcast(sf_dir: str):
+    """Shared E-step setup: the K=8 vec_id<8 centroids (a deterministic
+    k-means++ stand-in), broadcast ONCE via ray.put as raw (K, dim) float64
+    + norms (divide AFTER the dot, mirroring the oracle's op order so
+    round-6 parity can't be torpedoed by a normalize-first rounding
+    difference)."""
     import ray
 
     from raylake.functions.similarity import embedding_matrix
 
-    rd = _rd()
     cent_t = pq.read_table(_pq(sf_dir, "embeddings"),
                            columns=["vec_id", "embedding"],
-                           filters=[("vec_id", "<", 8)])
+                           filters=[("vec_id", "<", _KMEANS_K)])
     order = pc.sort_indices(cent_t["vec_id"])
     cent = embedding_matrix(cent_t.take(order), "embedding")
-    # raw centroids + norms (divide AFTER the dot, mirroring the oracle's
-    # op order so round-6 parity can't be torpedoed by a normalize-first
-    # rounding difference)
-    ref = ray.put((cent, np.linalg.norm(cent, axis=1)))
-
-    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
-                         columns=["vec_id", "embedding"])
-
-    def assign(b: pa.Table) -> pa.Table:
-        c, cn = ray.get(ref)  # plasma-local, zero-copy after first batch
-        mat = embedding_matrix(b, "embedding")
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        cos = np.round((mat @ c.T) / (norms[:, None] * cn[None, :]), 6)
-        cid = np.argmax(cos, axis=1)
-        return pa.table({
-            "vec_id": b["vec_id"],
-            "cluster_id": pa.array(cid.astype(np.int64)),
-            "best_cos": pa.array(cos[np.arange(len(cid)), cid]),
-        })
-
-    return ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+    return ray.put((cent, np.linalg.norm(cent, axis=1)))
 
 
-SQL_KMEANS_ASSIGN = """
-WITH cent AS (
+def _kmeans_assign_np(mat: np.ndarray, c: np.ndarray, cn: np.ndarray):
+    """Shared E-step kernel. Tie policy pinned on both sides: cosine
+    rounded to 6 dp, lowest centroid id wins (np.argmax first-hit == SQL
+    ORDER BY s DESC, cid ASC). Any change here MUST be mirrored in
+    _SQL_KMEANS_CTES — both queries' oracles transcribe this kernel."""
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    cos = np.round((mat @ c.T) / (norms[:, None] * cn[None, :]), 6)
+    return np.argmax(cos, axis=1), cos
+
+
+# the SQL transcription of _kmeans_broadcast + _kmeans_assign_np, shared by
+# SQL_KMEANS_ASSIGN and SQL_KMEANS_STEP (single source of the tie policy)
+_SQL_KMEANS_CTES = f"""cent AS (
   SELECT vec_id AS cid,
          embedding::DOUBLE[] AS ce,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
-  FROM embeddings WHERE vec_id < 8
+  FROM embeddings WHERE vec_id < {_KMEANS_K}
 ), sc AS (
   SELECT e.vec_id, c.cid,
          round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
@@ -1161,7 +1150,39 @@ WITH cent AS (
   SELECT vec_id, cid, s,
          row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
   FROM sc
-)
+)"""
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment (the E-step of k-means / topic bucketing
+    for corpus curation): every batch does one matmul against the broadcast
+    centroid matrix and an argmax — O(n·K·dim) flops, no shuffle,
+    embarrassingly parallel. Broadcast-small-side pattern per ann_topk
+    (VERDICT r01 fix); kernel + tie policy shared with kmeans_step via
+    _kmeans_assign_np."""
+    import ray
+
+    from raylake.functions.similarity import embedding_matrix
+
+    rd = _rd()
+    ref = _kmeans_broadcast(sf_dir)
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        c, cn = ray.get(ref)  # plasma-local, zero-copy after first batch
+        cid, cos = _kmeans_assign_np(embedding_matrix(b, "embedding"), c, cn)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cluster_id": pa.array(cid.astype(np.int64)),
+            "best_cos": pa.array(cos[np.arange(len(cid)), cid]),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+
+SQL_KMEANS_ASSIGN = f"""
+WITH {_SQL_KMEANS_CTES}
 SELECT vec_id, cid::BIGINT AS cluster_id, s AS best_cos
 FROM r WHERE rn = 1 ORDER BY vec_id
 """
@@ -1185,24 +1206,15 @@ def q_kmeans_step(sf_dir: str):
     from raylake.functions.similarity import embedding_matrix
 
     rd = _rd()
-    K = 8
-    cent_t = pq.read_table(_pq(sf_dir, "embeddings"),
-                           columns=["vec_id", "embedding"],
-                           filters=[("vec_id", "<", K)])
-    order = pc.sort_indices(cent_t["vec_id"])
-    cent = embedding_matrix(cent_t.take(order), "embedding")
-    ref = ray.put((cent, np.linalg.norm(cent, axis=1)))
-
+    K = _KMEANS_K
+    ref = _kmeans_broadcast(sf_dir)
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
         c, cn = ray.get(ref)
         mat = embedding_matrix(b, "embedding")
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        cos = np.round((mat @ c.T) / (norms[:, None] * cn[None, :]), 6)
-        cid = np.argmax(cos, axis=1)
+        cid, _ = _kmeans_assign_np(mat, c, cn)
         mm = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
         d = mm.shape[1]
         sums = np.zeros((K, d), np.int64)
@@ -1223,23 +1235,8 @@ def q_kmeans_step(sf_dir: str):
                        Sum("milli_part", alias_name="sum_milli")))
 
 
-SQL_KMEANS_STEP = """
-WITH cent AS (
-  SELECT vec_id AS cid,
-         embedding::DOUBLE[] AS ce,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
-  FROM embeddings WHERE vec_id < 8
-), sc AS (
-  SELECT e.vec_id, c.cid,
-         round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
-               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * c.cn),
-               6) AS s
-  FROM embeddings e CROSS JOIN cent c
-), r AS (
-  SELECT vec_id, cid, s,
-         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-  FROM sc
-), a AS (
+SQL_KMEANS_STEP = f"""
+WITH {_SQL_KMEANS_CTES}, a AS (
   SELECT r.cid,
          list_transform(e.embedding::DOUBLE[],
                         x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS me
@@ -4846,16 +4843,17 @@ def q_tpch_q5(sf_dir: str):
         ok, snat = lookup(sk, sn, t["l_suppkey"].to_numpy(zero_copy_only=False))
         cnat = t["cnat"].to_numpy(zero_copy_only=False)
         keep = ok & (snat == cnat)
-        natk = cnat[keep]
+        natk = cnat[keep].astype(np.int64)
         cents = t["cents"].to_numpy(zero_copy_only=False)[keep]
-        sums = {}
-        for nk in np.unique(natk):
-            m = natk == nk
-            sums[int(nk)] = (int(cents[m].sum()), int(m.sum()))
+        # single-pass vectorized partial: nation keys are small ints
+        n_per = np.bincount(natk) if len(natk) else np.zeros(1, np.int64)
+        c_per = (np.bincount(natk, weights=cents.astype(np.float64))
+                 .astype(np.int64) if len(natk) else np.zeros(1, np.int64))
+        nz = np.nonzero(n_per)[0]
         return pa.table({
-            "natkey": pa.array(list(sums), pa.int64()),
-            "cents": pa.array([v[0] for v in sums.values()], pa.int64()),
-            "n": pa.array([v[1] for v in sums.values()], pa.int64()),
+            "natkey": pa.array(nz.astype(np.int64)),
+            "cents": pa.array(c_per[nz]),
+            "n": pa.array(n_per[nz].astype(np.int64)),
         })
 
     agg = (j.map_batches(partial, batch_format="pyarrow")

@@ -652,8 +652,23 @@ class StreamDeduplicator:
             if snaps[i].summary["dstream_delta"].get("full") is not None:
                 start = i
                 break
+        prev_tick = None
         for snap in snaps[start:]:
             st = snap.summary["dstream_delta"]
+            tick_no = st.get("tick_no", (prev_tick or 0) + 1)
+            # GAP GUARD: snapshot expiry silently drops log entries; a
+            # delta chain with a hole (or a first delta that is neither
+            # tick 1 nor a checkpoint) would rebuild INCOMPLETE seen-state
+            # and silently re-admit old keys — refuse instead (same
+            # contract as Table.changes on expired ranges).
+            if st.get("full") is None and tick_no != (
+                    1 if prev_tick is None else prev_tick + 1):
+                raise RuntimeError(
+                    f"dedup state history has expired gaps (delta tick "
+                    f"{tick_no} follows "
+                    f"{'start' if prev_tick is None else prev_tick}); "
+                    f"exactly-once resume is impossible — retain more "
+                    f"snapshots or re-seed from a checkpoint")
             if st.get("full") is not None:
                 self.seen = dict(st["full"])
             else:
@@ -663,7 +678,8 @@ class StreamDeduplicator:
                     self.seen.pop(k, None)
             self.max_ts = st["max_ts"]
             self.last_offset = st["offset"]
-            self.ticks = st.get("tick_no", self.ticks + 1)
+            self.ticks = tick_no
+            prev_tick = tick_no
 
     CHECKPOINT_EVERY = 32
 

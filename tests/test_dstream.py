@@ -78,6 +78,22 @@ def test_checkpoint_bounds_resume_replay(tmp_path):
     snaps = [s.summary["dstream_delta"] for s in d.table.refresh().snapshots()
              if "dstream_delta" in s.summary]
     assert any(st.get("full") is not None for st in snaps)
+    # PROVE the checkpoint is what resume reads: corrupt a PRE-checkpoint
+    # delta on disk — if resume replayed from stream start it would now
+    # rebuild wrong state; reading from the checkpoint it cannot care.
+    import json
+    import os
+
+    meta_dir = os.path.join(root, "metadata")
+    for fn in os.listdir(meta_dir):
+        if not fn.startswith("snap-"):
+            continue
+        p = os.path.join(meta_dir, fn)
+        s = json.load(open(p))
+        st = s.get("summary", {}).get("dstream_delta")
+        if st and st.get("tick_no") == 2 and st.get("full") is None:
+            st["added"] = []
+            json.dump(s, open(p, "w"))
     d2 = StreamDeduplicator(root, allowed_lateness_us=10**15)
     assert d2.seen == d.seen
     assert d2.last_offset == d.last_offset and d2.ticks == d.ticks
@@ -85,6 +101,31 @@ def test_checkpoint_bounds_resume_replay(tmp_path):
     # the stream continues cleanly past the checkpoint
     d2.process_tick(n, tick(["zz"], [n * 10]))
     assert "zz" in d2.seen
+
+
+def test_resume_refuses_expired_gaps(tmp_path):
+    """Expiring a slice of the delta chain (with no later checkpoint) must
+    make resume RAISE, not silently rebuild partial seen-state."""
+    import json
+    import os
+
+    root = str(tmp_path / "t")
+    d = StreamDeduplicator(root, allowed_lateness_us=10**15)
+    for i in range(5):
+        d.process_tick(i, tick([f"k{i}"], [i * 10]))
+    # simulate expiry of tick 3's snapshot by clearing its delta record
+    meta_dir = os.path.join(root, "metadata")
+    for fn in os.listdir(meta_dir):
+        if not fn.startswith("snap-"):
+            continue
+        p = os.path.join(meta_dir, fn)
+        s = json.load(open(p))
+        st = s.get("summary", {}).get("dstream_delta")
+        if st and st.get("tick_no") == 3:
+            del s["summary"]["dstream_delta"]
+            json.dump(s, open(p, "w"))
+    with pytest.raises(RuntimeError, match="expired gaps"):
+        StreamDeduplicator(root, allowed_lateness_us=10**15)
 
 
 def test_wm_from_all_rows_including_duplicates(tmp_path):
