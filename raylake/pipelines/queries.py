@@ -4881,6 +4881,92 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 (shipping priority) — segment-filtered customers broadcast
+    as a sorted key array, date-filtered orders hash-shuffle-join date-
+    filtered lineitem on orderkey (the only all-to-all), per-batch partial
+    aggregation of integer revenue cents per (orderkey, orderdate), global
+    top-10 by revenue via sort+limit over the already-small aggregate.
+    Pruning happens AT THE READ on both big tables (columns + row filters),
+    so only survivors enter the join."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    cutoff = pd.Timestamp("1996-06-30")
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = np.sort(cust[cust["c_mktsegment"] == "BUILDING"]
+                   ["c_custkey"].to_numpy())
+    ref = ray.put(keys)
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < pa.scalar(cutoff))
+
+    def o_side(t: pa.Table) -> pa.Table:
+        ck = ray.get(ref)
+        probe = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(ck, probe), max(len(ck) - 1, 0))
+        ok = (len(ck) > 0) & (ck[idx] == probe)
+        return pa.table({
+            "k": t["o_orderkey"],
+            "o_date_us": pc.cast(t["o_orderdate"], pa.int64()),
+        }).filter(pa.array(ok))
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=pc.field("l_shipdate") > pa.scalar(cutoff))
+
+    def l_side(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "k": t["l_orderkey"],
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()),
+        })
+
+    j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
+                   orders.map_batches(o_side, batch_format="pyarrow"),
+                   on=("k",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t, ["k", "o_date_us"]).aggregate(
+            [("cents", "sum")])
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["k", "o_date_us"])
+           .aggregate(Sum("cents_sum", alias_name="revenue_cents")))
+    top = (agg.sort(["revenue_cents", "k"], descending=[True, False])
+           .limit(10).to_pandas())
+    return pd.DataFrame({
+        "l_orderkey": top["k"].astype("int64"),
+        "revenue_cents": top["revenue_cents"].astype("int64"),
+        "o_orderdate": top["o_date_us"].astype("datetime64[us]"),
+    })
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_cents,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
 _UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -5198,6 +5284,7 @@ QUERIES = {
     "collect_paths": q_collect_paths,
     "group_median": q_group_median,
     "tpch_q5": q_tpch_q5,
+    "tpch_q3": q_tpch_q3,
 }
 
 ORACLES = {
@@ -5289,4 +5376,5 @@ ORACLES = {
     "collect_paths": SQL_COLLECT_PATHS,
     "group_median": SQL_GROUP_MEDIAN,
     "tpch_q5": SQL_TPCH_Q5,
+    "tpch_q3": SQL_TPCH_Q3,
 }
