@@ -133,3 +133,31 @@ def test_full_lifecycle_tour(tmp_table_root, ray_session):
     # 9. metadata tables still coherent
     snaps = t.snapshots_table().to_pandas()
     assert (snaps["seq"] == t.current_seq).any()
+
+    # 10. shallow clone: a zero-copy twin with its own life
+    import pytest
+
+    from raylake.ops.clone import clone_table
+
+    cl = clone_table(t.root, t.root + "_clone")
+    assert cl.scan_arrow(sort=True).to_pandas().reset_index(drop=True)\
+        .equals(model)
+
+    # 11. change data feed on the clone: cdc merge + exact pre/post images
+    base_seq = cl.current_seq
+    upd = pa.Table.from_pandas(model.iloc[:10], preserve_index=False)
+    upd = upd.select(cl.schema.names).cast(cl.schema)
+    upd = upd.set_column(
+        upd.schema.get_field_index("text"), "text",
+        pa.array(["cdc-" + s for s in upd["text"].to_pylist()], pa.string()))
+    merge_into(cl, upd, cdc=True)
+    cl.refresh()
+    feed = cl.changes(after_seq=base_seq).to_pandas()
+    assert set(feed["_change_type"]) == {"update_preimage",
+                                         "update_postimage"}
+    assert len(feed) == 20
+    # the source table never noticed any of it
+    assert _vis(t).equals(model)
+    # and the feed stays honest about the history step 8 expired
+    with pytest.raises(ValueError, match="expired"):
+        cl.changes(after_seq=0)
