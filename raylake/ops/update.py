@@ -76,7 +76,15 @@ def plan_update(table: Table, max_task_bytes: int,
 
 def _update_task(table: Table, task: dict, params: dict) -> dict:
     data = read_task_inputs(table, task, params.get("branch"))
-    mask = pc.fill_null(pa.array(params["predicate"](data)), False)
+    pred = params["predicate"](data)
+    # Normalize without pa.array(<iterable>): iterating an EMPTY result
+    # (every row of the task's inputs masked by MOR deletes) would infer
+    # null type and make fill_null(False) raise ArrowInvalid.
+    if isinstance(pred, pa.ChunkedArray):
+        pred = pred.combine_chunks()
+    elif not isinstance(pred, pa.Array):
+        pred = pa.array(pred, pa.bool_())
+    mask = pc.fill_null(pc.cast(pred, pa.bool_()), False)
     n_hits = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
     if n_hits == 0 and len(data) == task["input_rows"]:
         return {"skipped": True, "entries": [], "replaced": [], "rows": 0}

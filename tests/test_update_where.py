@@ -109,3 +109,25 @@ def test_update_applies_mor_deletes_while_rewriting(tbl, ray_session):
                  {"text": "A"})
     t.refresh()
     assert t.scan_arrow(sort=True).equals(want)
+
+
+def test_update_over_fully_delete_masked_files(tbl, ray_session):
+    """Regression (hypothesis-found): when MOR deletes mask out EVERY live
+    row of a task's input files, the predicate evaluates over an empty
+    table — the mask must stay boolean-typed (an iterating pa.array() wrap
+    inferred null type and fill_null(False) raised ArrowInvalid)."""
+    t = tbl
+    # equality-delete EVERY conversation: each update task then reads an
+    # empty table, which is the exact failing shape
+    convs = pc.unique(t.scan_arrow(columns=["conv_id"])["conv_id"])
+    t.delete_by_keys(pa.table({"conv_id": convs}))
+    t.refresh()
+    assert len(t.scan_arrow()) == 0
+
+    snap = update_where(t, lambda b: pc.equal(b["role"], "user"),
+                        {"text": "GONE"})
+    t.refresh()
+    post = t.scan_arrow(sort=True)
+    # no live row matched -> table content stays empty
+    assert len(post) == 0
+    assert snap is None or snap.operation == "update"
