@@ -1057,6 +1057,39 @@ FROM documents
 """
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization — the first stage of every dedup /
+    training-prep pipeline (lowercase, strip non-alphanumerics, collapse
+    whitespace runs, trim): three vectorized Arrow RE2/string kernels per
+    batch, no per-row Python, no shuffle. Both sides use RE2 (pyarrow and
+    DuckDB), so the regex semantics are identical by construction."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(b["text"].combine_chunks())
+        s = pc.replace_substring_regex(s, "[^a-z0-9 ]+", " ")
+        s = pc.replace_substring_regex(s, "  +", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "norm_text": s,
+            "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                           '  +', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                                  '  +', ' ', 'g')))::BIGINT AS n_chars_norm
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
@@ -1972,7 +2005,10 @@ def q_ann_ivf_pq(sf_dir: str):
     nprobe=4 buckets, ADC-scores them per batch against a (m, k) LUT built
     once, keeps per-batch partial top-50; the ≤50 survivors are re-ranked
     EXACTLY by a row-group-pruned point read of their raw embeddings.
-    Approximate by design → rows-only check (recall golden in pytest)."""
+    Approximate by design → rows-only check (recall golden in pytest).
+    Sample-trained codebooks are the FAISS default; when the sample
+    under-covers, `pq_train_dataset` (tests/test_pq_distributed.py) refines
+    them with full-corpus distributed Lloyd iterations."""
     import ray
 
     from raylake.functions.similarity import (
@@ -4383,6 +4419,55 @@ FROM documents GROUP BY ROLLUP (source, lang)
 """
 
 
+def q_cube_counts(sf_dir: str):
+    """GROUPING SETS / CUBE(source, lang): all four grouping sets from ONE
+    scan. Like `rollup_counts`, the only distributed pass computes the
+    finest (source, lang) cells via per-batch partial aggregation; every
+    coarser level — by-source, by-lang, grand total — folds from those
+    <=|source|x|lang| rows on the driver. grouping_id follows the SQL
+    GROUPING() bit convention (0 = both keys, 1 = lang rolled up,
+    2 = source rolled up, 3 = grand total)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"source": t["source"], "lang": t["lang"],
+                       "n_chars": t["n_chars"],
+                       "one": pa.array(np.ones(len(t), np.int64))})
+        return pa.TableGroupBy(tt, ["source", "lang"]).aggregate(
+            [("n_chars", "sum"), ("one", "sum")])
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "lang"])
+            .aggregate(Sum("n_chars_sum", alias_name="sum_chars"),
+                       Sum("one_sum", alias_name="n_docs"))
+            .to_pandas())
+    lvl0 = fine.assign(grouping_id=0)
+    by_src = (fine.groupby("source", as_index=False)[["sum_chars", "n_docs"]]
+              .sum().assign(lang=None, grouping_id=1))
+    by_lang = (fine.groupby("lang", as_index=False)[["sum_chars", "n_docs"]]
+               .sum().assign(source=None, grouping_id=2))
+    total = pd.DataFrame({"source": [None], "lang": [None],
+                          "sum_chars": [fine["sum_chars"].sum()],
+                          "n_docs": [fine["n_docs"].sum()],
+                          "grouping_id": [3]})
+    out = pd.concat([lvl0, by_src, by_lang, total], ignore_index=True)
+    for c in ("grouping_id", "sum_chars", "n_docs"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "lang", "sum_chars", "n_docs", "grouping_id"]]
+
+
+SQL_CUBE_COUNTS = """
+SELECT source, lang, sum(n_chars)::BIGINT AS sum_chars,
+       count(*)::BIGINT AS n_docs,
+       grouping(source, lang)::BIGINT AS grouping_id
+FROM documents GROUP BY CUBE (source, lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window functions over events: rolling frame + rank family
 # ---------------------------------------------------------------------------
@@ -5130,41 +5215,21 @@ def q_funnel_counts(sf_dir: str):
     window per stage: per user, the first view, then the first click
     strictly after it (within 24 h), then the first purchase strictly
     after that click (within 24 h) — the order-sensitive sequence match a
-    plain groupby cannot express. groupby(user) shuffles only the key;
-    each group's stage times fall out of vectorized min-over-mask steps.
-    Output is one row of stage counts (ints — float-safety rule)."""
-    from ray.data.aggregate import Sum
+    plain groupby cannot express. Expressed through the reusable funnel
+    DSL (`raylake.stages.funnel`): groupby(user) shuffles only the key
+    columns; each group's stage times fall out of vectorized min-over-mask
+    steps. Output is one row of stage counts (ints — float-safety rule)."""
+    from raylake.stages.funnel import Stage, funnel_counts
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["user_id", "event_type", "ts"])
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        et = g["event_type"].to_numpy()
-        out = [0, 0, 0]
-        day = 86_400_000_000
-        views = t[et == "view"]
-        if len(views):
-            out[0] = 1
-            tv = views.min()
-            clicks = t[(et == "click") & (t > tv) & (t <= tv + day)]
-            if len(clicks):
-                out[1] = 1
-                tc = clicks.min()
-                if ((et == "purchase") & (t > tc) & (t <= tc + day)).any():
-                    out[2] = 1
-        return pd.DataFrame({"v": [out[0]], "vc": [out[1]], "vcp": [out[2]]})
-
-    flags = ds.groupby("user_id").map_groups(fn, batch_format="pandas")
-    agg = flags.aggregate(Sum("v", alias_name="n_view"),
-                          Sum("vc", alias_name="n_view_click"),
-                          Sum("vcp", alias_name="n_full_funnel"))
-    return pd.DataFrame({
-        "n_view": [int(agg["n_view"])],
-        "n_view_click": [int(agg["n_view_click"])],
-        "n_full_funnel": [int(agg["n_full_funnel"])],
-    })
+    day = 86_400_000_000
+    return funnel_counts(ds, [
+        Stage("view", name="view"),
+        Stage("click", day, name="view_click"),
+        Stage("purchase", day, name="full_funnel"),
+    ])
 
 
 SQL_FUNNEL_COUNTS = """
@@ -5183,6 +5248,52 @@ p AS (SELECT e.user_id
 SELECT (SELECT count(*) FROM v) AS n_view,
        (SELECT count(*) FROM c) AS n_view_click,
        (SELECT count(*) FROM p) AS n_full_funnel
+"""
+
+
+def q_funnel_dsl(sf_dir: str):
+    """Four-stage funnel through the declarative DSL with PER-STAGE windows:
+    signup → first view within 48 h → first click within 24 h of that view →
+    first purchase within 24 h of that click. Same greedy-first-match
+    semantics as `funnel_counts`, but the pattern (types, windows, stage
+    names) is data, not code — the shape an analytics user configures
+    per-experiment without touching the engine."""
+    from raylake.stages.funnel import Stage, funnel_counts
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+    day = 86_400_000_000
+    return funnel_counts(ds, [
+        Stage("signup", name="signup"),
+        Stage("view", 2 * day, name="sv"),
+        Stage("click", day, name="svc"),
+        Stage("purchase", day, name="svcp"),
+    ])
+
+
+SQL_FUNNEL_DSL = """
+WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+v AS (SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s.t0
+        AND epoch_us(e.ts) <= epoch_us(s.t0) + 172800000000
+      GROUP BY e.user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND epoch_us(e.ts) <= epoch_us(v.t1) + 86400000000
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND epoch_us(e.ts) <= epoch_us(c.t2) + 86400000000
+      GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM v) AS n_sv,
+       (SELECT count(*) FROM c) AS n_svc,
+       (SELECT count(*) FROM p) AS n_svcp
 """
 
 
@@ -5279,6 +5390,9 @@ QUERIES = {
     "unpivot_measures": q_unpivot_measures,
     "stream_dedup": q_stream_dedup,
     "funnel_counts": q_funnel_counts,
+    "funnel_dsl": q_funnel_dsl,
+    "cube_counts": q_cube_counts,
+    "normalize_text": q_normalize_text,
     "json_extract": q_json_extract,
     "ntile_events": q_ntile_events,
     "collect_paths": q_collect_paths,
@@ -5371,6 +5485,9 @@ ORACLES = {
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
     "stream_dedup": SQL_STREAM_DEDUP,
     "funnel_counts": SQL_FUNNEL_COUNTS,
+    "funnel_dsl": SQL_FUNNEL_DSL,
+    "cube_counts": SQL_CUBE_COUNTS,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     "json_extract": SQL_JSON_EXTRACT,
     "ntile_events": SQL_NTILE_EVENTS,
     "collect_paths": SQL_COLLECT_PATHS,
