@@ -266,3 +266,94 @@ class IVFPQEncode:
             "ivf_bucket": pa.array(d.argmin(1).astype(np.int32)),
             "pq_code": codes_to_binary(codes),
         })
+
+
+def pq_train_dataset(
+    ds,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 4,
+    seed: int = 0,
+    col: str = "embedding",
+    unit: bool = True,
+    init_sample: int = 512,
+) -> np.ndarray:
+    """Distributed PQ codebook training: full-corpus Lloyd iterations over a
+    Ray Dataset. `pq_train` fits on a driver-side sample (the FAISS default
+    and usually enough); this is the scale path when the sample under-covers
+    the distribution — every refinement step sees EVERY vector, yet only
+    O(m*k*dsub) floats ever reach the driver.
+
+    Per iteration: broadcast the (m, k, dsub) books via ray.put; each batch
+    assigns its subvectors vectorized (same -2*x@c.T + ||c||^2 kernel as
+    `pq_encode`) and emits per-(subspace, code) partial sums + counts —
+    <= m*k tiny rows per batch; `groupby(["sub","code"]).aggregate(Sum...)`
+    reduces them; the driver recomputes means (empty codes keep their old
+    centroid, standard Lloyd). The text/embedding payload never shuffles.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    sample = embedding_matrix(
+        ds.limit(init_sample).take_batch(init_sample, batch_format="pyarrow"),
+        col)
+    if unit:
+        sample = unit_rows(sample)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    books = np.stack([
+        np.ascontiguousarray(sample[idx, s * dsub:(s + 1) * dsub])
+        for s in range(m)
+    ])  # (m, k, dsub)
+
+    sum_cols = [f"c{d}" for d in range(dsub)]
+
+    def partials(batch: pa.Table, books_np: np.ndarray) -> pa.Table:
+        mat = embedding_matrix(batch, col)
+        if unit:
+            mat = unit_rows(mat)
+        subs, codes_, ns = [], [], []
+        sums = []
+        for s in range(m):
+            sub = np.ascontiguousarray(mat[:, s * dsub:(s + 1) * dsub])
+            d = -2.0 * (sub @ books_np[s].T) + (books_np[s] ** 2).sum(1)[None, :]
+            assign = d.argmin(1)
+            ssum = np.zeros((k, dsub), np.float64)
+            np.add.at(ssum, assign, sub)
+            cnt = np.bincount(assign, minlength=k).astype(np.int64)
+            subs.append(np.full(k, s, np.int64))
+            codes_.append(np.arange(k, dtype=np.int64))
+            ns.append(cnt)
+            sums.append(ssum)
+        ssum = np.concatenate(sums)
+        out = {"sub": pa.array(np.concatenate(subs)),
+               "code": pa.array(np.concatenate(codes_)),
+               "n": pa.array(np.concatenate(ns))}
+        for d_i, c in enumerate(sum_cols):
+            out[c] = pa.array(ssum[:, d_i])
+        return pa.table(out)
+
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def step(batch: pa.Table) -> pa.Table:
+            return partials(batch, ray.get(ref))
+
+        agg = (ds.map_batches(step, batch_format="pyarrow")
+               .groupby(["sub", "code"])
+               .aggregate(Sum("n", alias_name="n"),
+                          *[Sum(c, alias_name=c) for c in sum_cols])
+               .to_pandas())
+        nb = books.copy()
+        sub_i = agg["sub"].to_numpy()
+        code_i = agg["code"].to_numpy()
+        cnt = agg["n"].to_numpy().astype(np.float64)
+        smat = agg[sum_cols].to_numpy()
+        nz = cnt > 0
+        nb[sub_i[nz], code_i[nz]] = smat[nz] / cnt[nz, None]
+        books = nb
+    return books
