@@ -5052,6 +5052,94 @@ LIMIT 10
 """
 
 
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting) — the aggregate-then-join-small
+    plan: orders (date-windowed at the read) hash-shuffle-join lineitem
+    (l_returnflag='R' filtered at the read) on orderkey — the only
+    all-to-all — then revenue aggregates per custkey BEFORE any customer
+    attributes enter the plan; only the final top-20 custkeys join to
+    customer+nation via a row-group-pruned point read. At 10^9 customers
+    this is the difference between shuffling a wide customer table and
+    shuffling nothing but (custkey, cents)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(lo))
+        & (pc.field("o_orderdate") < pa.scalar(hi)))
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == pa.scalar("R"))
+
+    def l_side(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "k": t["l_orderkey"],
+            "cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()),
+        })
+
+    def o_side(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["o_orderkey"], "c_custkey": t["o_custkey"]})
+
+    j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
+                   orders.map_batches(o_side, batch_format="pyarrow"),
+                   on=("k",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t, ["c_custkey"]).aggregate([("cents", "sum")])
+
+    top = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_custkey")
+           .aggregate(Sum("cents_sum", alias_name="revenue_cents"))
+           .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+           .limit(20).to_pandas())
+
+    # enrich ONLY the 20 survivors: pruned point read + 25-row nation map
+    cust = pq.read_table(
+        _pq(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in",
+                  [int(k) for k in top["c_custkey"]])]).to_pandas()
+    nation = pq.read_table(_pq(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey")
+    out["acctbal_cents"] = np.floor(
+        out["c_acctbal"] * 100.0 + 0.5).astype("int64")
+    out = out.sort_values(["revenue_cents", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    for c in ("c_custkey", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["c_custkey", "c_name", "revenue_cents", "acctbal_cents",
+                "n_name"]]
+
+
+SQL_TPCH_Q10 = """
+WITH agg AS (
+  SELECT o_custkey AS c_custkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT))::BIGINT AS revenue_cents
+  FROM orders, lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+  ORDER BY revenue_cents DESC, c_custkey LIMIT 20)
+SELECT c.c_custkey, c.c_name, a.revenue_cents,
+       CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents,
+       n.n_name
+FROM agg a
+JOIN customer c ON a.c_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
 _UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -5399,6 +5487,7 @@ QUERIES = {
     "group_median": q_group_median,
     "tpch_q5": q_tpch_q5,
     "tpch_q3": q_tpch_q3,
+    "tpch_q10": q_tpch_q10,
 }
 
 ORACLES = {
@@ -5494,4 +5583,5 @@ ORACLES = {
     "group_median": SQL_GROUP_MEDIAN,
     "tpch_q5": SQL_TPCH_Q5,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q10": SQL_TPCH_Q10,
 }
