@@ -730,6 +730,9 @@ class Table:
             for e in entries
             if e.overlaps(col or "conv_id", conv_value, conv_value)
             and e.overlaps("conv_h32", h32, h32)
+            # generic cluster_by=(key, ...) rewrites record the same
+            # hash-space bounds under "<col>_h32" (ops/zorder.py _dim_u32)
+            and e.overlaps(f"{col or 'conv_id'}_h32", h32, h32)
         ]
         bkey = f"{col or 'conv_id'}__bloom"
         if any(bkey in e.stats for e in out):

@@ -60,32 +60,66 @@ def plan_zorder(
     return tasks
 
 
+def _dim_u32(data: pa.Table, col: str) -> tuple[np.ndarray, bool]:
+    """Map one cluster column to a uint32 key dimension.
+
+    Returns (keys, hashed): strings hash to their top-32 stable-hash bits
+    (equality locality — the point-lookup pruning dimension); timestamps
+    scale to epoch seconds (order-preserving, cross-file comparable);
+    other numerics dense-rank WITHIN the task scaled across the u32 range
+    (order-preserving and distribution-free — clustering only needs
+    relative order inside the task; cross-file range pruning comes from
+    the raw column min/max stats the write path records anyway)."""
+    t = data.schema.field(col).type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return (stable_hash64(data[col]) >> np.uint64(32)).astype(np.uint64), True
+    if pa.types.is_timestamp(t):
+        secs = data[col].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        return secs.astype(np.uint64) & np.uint64(0xFFFFFFFF), False
+    vals = data[col].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(vals, return_inverse=True)
+    if len(uniq) <= 1:
+        return np.zeros(len(vals), np.uint64), False
+    step = 0xFFFFFFFF // (len(uniq) - 1)
+    return (inv.astype(np.uint64) * np.uint64(step)), False
+
+
 def _zorder_task(table: Table, task: dict, params: dict) -> dict:
     data = read_task_inputs(table, task)
     if len(data) == 0:
         return {"entries": [], "replaced": task["input_paths"], "rows": 0}
-    h32 = (stable_hash64(data["conv_id"]) >> np.uint64(32)).astype(np.uint64)
-    secs = (data["ts"].cast(pa.int64()).to_numpy() // 1_000_000).astype(np.uint64)
+    cluster_by = params.get("cluster_by")
+    if cluster_by:
+        (c0, c1) = cluster_by
+        k0, h0 = _dim_u32(data, c0)
+        k1, h1 = _dim_u32(data, c1)
+        hash_dims = [(f"{c}_h32", k) for c, k, h in
+                     ((c0, k0, h0), (c1, k1, h1)) if h]
+    else:  # default transcript keys (bit-identical to the original path)
+        k0 = (stable_hash64(data["conv_id"]) >> np.uint64(32)).astype(np.uint64)
+        k1 = (data["ts"].cast(pa.int64()).to_numpy() // 1_000_000).astype(np.uint64)
+        hash_dims = [("conv_h32", k0)]
     if params.get("curve") == "hilbert":
         from raylake.core.hashing import hilbert_key
 
-        z = hilbert_key(h32 << np.uint64(0), secs & np.uint64(0xFFFFFFFF))
+        z = hilbert_key(k0, k1 & np.uint64(0xFFFFFFFF))
     else:
-        z = morton_interleave(h32, secs & np.uint64(0xFFFFFFFF))
+        z = morton_interleave(k0, k1 & np.uint64(0xFFFFFFFF))
     order = np.argsort(z, kind="stable")
     data = data.take(pa.array(order))
-    h32 = h32[order]
+    hash_dims = [(name, keys[order]) for name, keys in hash_dims]
     bpr = task["input_bytes"] / max(1, task["input_rows"])
     rows_per_file = max(1, int(params["target_file_bytes"] / max(1.0, bpr)))
     entries = []
     for off in range(0, len(data), rows_per_file):
         piece = data.slice(off, rows_per_file)
         e = table.write_file(piece, task["partition"])
-        hs = h32[off : off + rows_per_file]
         # hash-space bounds: a contiguous Morton range has a tight hash32
-        # span, which is what a conv_id point lookup prunes on (string-space
+        # span, which is what a key point lookup prunes on (string-space
         # min/max stats are useless after hashing — see prune_point).
-        e.stats["conv_h32"] = [int(hs.min()), int(hs.max())]
+        for name, keys in hash_dims:
+            hs = keys[off : off + rows_per_file]
+            e.stats[name] = [int(hs.min()), int(hs.max())]
         entries.append(e)
     return {"entries": entries, "replaced": task["input_paths"], "rows": len(data)}
 
@@ -97,11 +131,24 @@ def zorder(
     job_id: str | None = None,
     concurrency: int | None = None,
     max_tasks: int | None = None,
+    cluster_by: tuple[str, str] | None = None,
     **plan_kwargs,
 ):
-    """Cluster each partition by a space-filling curve over
-    (hash32(conv_id), ts): curve="z" (Morton) or "hilbert"."""
+    """Cluster each partition by a space-filling curve: curve="z" (Morton)
+    or "hilbert". Default keys are the transcript pair (hash32(conv_id),
+    ts-seconds); `cluster_by=(colA, colB)` clusters ANY two columns —
+    strings by hash32 (point-lookup pruning via per-file `<col>_h32`
+    stats, same mechanism as conv_h32), timestamps by epoch seconds,
+    other numerics by in-task dense rank (see `_dim_u32`)."""
     assert curve in ("z", "hilbert")
+    if cluster_by is not None:
+        cluster_by = tuple(cluster_by)
+        if len(cluster_by) != 2:
+            raise ValueError("cluster_by takes exactly two columns")
+        have = {f.name for f in table.schema}
+        missing = [c for c in cluster_by if c not in have]
+        if missing:
+            raise ValueError(f"no such column(s): {missing}")
     from raylake.state.ledger import Ledger
 
     if job_id is not None and Ledger(table.root, job_id).read_meta() is not None:
@@ -116,7 +163,8 @@ def zorder(
         tasks,
         _zorder_task,
         job_id=job_id,
-        params={"target_file_bytes": target_file_bytes, "curve": curve},
+        params={"target_file_bytes": target_file_bytes, "curve": curve,
+                "cluster_by": list(cluster_by) if cluster_by else None},
         concurrency=concurrency,
         max_tasks=max_tasks,
     )
