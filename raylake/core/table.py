@@ -725,14 +725,19 @@ class Table:
             p = int(partition_of([conv_value], self.num_buckets_at(snapshot))[0])
             entries = [e for e in entries if e.partition in (p, -1)]
         h32 = int(stable_hash64([conv_value])[0]) >> 32
+        key_col = col or "conv_id"
         out = [
             e
             for e in entries
-            if e.overlaps(col or "conv_id", conv_value, conv_value)
-            and e.overlaps("conv_h32", h32, h32)
+            if e.overlaps(key_col, conv_value, conv_value)
+            # legacy stat name from default (conv_id, ts) zorder rewrites —
+            # those bounds are conv_id-hash space, so they only apply when
+            # the lookup key IS conv_id (else they'd false-prune files on
+            # tables partitioned by another column)
+            and (key_col != "conv_id" or e.overlaps("conv_h32", h32, h32))
             # generic cluster_by=(key, ...) rewrites record the same
             # hash-space bounds under "<col>_h32" (ops/zorder.py _dim_u32)
-            and e.overlaps(f"{col or 'conv_id'}_h32", h32, h32)
+            and e.overlaps(f"{key_col}_h32", h32, h32)
         ]
         bkey = f"{col or 'conv_id'}__bloom"
         if any(bkey in e.stats for e in out):

@@ -302,9 +302,11 @@ def pq_train_dataset(
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if k > len(sample):  # same contract as pq_train — never return < k codes
+        raise ValueError(f"k={k} codes need >= k sample rows, got {len(sample)}")
     dsub = dim // m
     rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    idx = rng.choice(len(sample), size=k, replace=False)
     books = np.stack([
         np.ascontiguousarray(sample[idx, s * dsub:(s + 1) * dsub])
         for s in range(m)

@@ -74,8 +74,11 @@ def _dim_u32(data: pa.Table, col: str) -> tuple[np.ndarray, bool]:
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return (stable_hash64(data[col]) >> np.uint64(32)).astype(np.uint64), True
     if pa.types.is_timestamp(t):
-        secs = data[col].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
-        return secs.astype(np.uint64) & np.uint64(0xFFFFFFFF), False
+        per_s = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[t.unit]
+        secs = data[col].cast(pa.int64()).to_numpy(zero_copy_only=False) // per_s
+        # clamp (don't mask): pre-epoch must not wrap above all post-epoch
+        # rows, and post-2106 saturates instead of folding back to 1970
+        return np.clip(secs, 0, 0xFFFFFFFF).astype(np.uint64), False
     vals = data[col].to_numpy(zero_copy_only=False)
     uniq, inv = np.unique(vals, return_inverse=True)
     if len(uniq) <= 1:

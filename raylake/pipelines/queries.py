@@ -4372,13 +4372,11 @@ SQL_PIVOT_EVENTS = "SELECT event_type, " + ", ".join(
     for w in range(1, 6)) + " FROM events GROUP BY event_type"
 
 
-def q_rollup_counts(sf_dir: str):
-    """GROUPING SETS / ROLLUP(source, lang) over documents: one partial-agg
-    pass computes the finest (source, lang) cells; the two coarser levels
-    fold from those <=|source|x|lang| rows on the driver — the input is
-    scanned ONCE, exactly how a warehouse plans ROLLUP. grouping_id follows
-    the SQL GROUPING() bit convention (0 = both, 1 = lang rolled up,
-    3 = grand total)."""
+def _fine_source_lang(sf_dir: str) -> pd.DataFrame:
+    """The ONE distributed scan behind ROLLUP/CUBE(source, lang): per-batch
+    partial aggregation of the finest (source, lang) cells, reduced by a
+    small groupby — every coarser grouping set folds from these
+    <=|source|x|lang| driver rows."""
     from ray.data.aggregate import Sum
 
     rd = _rd()
@@ -4392,23 +4390,39 @@ def q_rollup_counts(sf_dir: str):
         return pa.TableGroupBy(tt, ["source", "lang"]).aggregate(
             [("n_chars", "sum"), ("one", "sum")])
 
-    fine = (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["source", "lang"])
             .aggregate(Sum("n_chars_sum", alias_name="sum_chars"),
                        Sum("one_sum", alias_name="n_docs"))
             .to_pandas())
-    lvl0 = fine.assign(grouping_id=0)
-    by_src = (fine.groupby("source", as_index=False)[["sum_chars", "n_docs"]]
-              .sum().assign(lang=None, grouping_id=1))
-    total = pd.DataFrame({"source": [None], "lang": [None],
-                          "sum_chars": [fine["sum_chars"].sum()],
-                          "n_docs": [fine["n_docs"].sum()],
-                          "grouping_id": [3]})
-    out = pd.concat([lvl0, by_src, total], ignore_index=True)
-    out["grouping_id"] = out["grouping_id"].astype("int64")
-    out["sum_chars"] = out["sum_chars"].astype("int64")
-    out["n_docs"] = out["n_docs"].astype("int64")
+
+
+def _fold_grouping_sets(fine: pd.DataFrame, with_by_lang: bool) -> pd.DataFrame:
+    """Fold coarser grouping sets from the finest cells; grouping_id follows
+    the SQL GROUPING() bit convention (0 = both, 1 = lang rolled up,
+    2 = source rolled up [CUBE only], 3 = grand total)."""
+    levels = [fine.assign(grouping_id=0),
+              (fine.groupby("source", as_index=False)[["sum_chars", "n_docs"]]
+               .sum().assign(lang=None, grouping_id=1))]
+    if with_by_lang:
+        levels.append(
+            fine.groupby("lang", as_index=False)[["sum_chars", "n_docs"]]
+            .sum().assign(source=None, grouping_id=2))
+    levels.append(pd.DataFrame({"source": [None], "lang": [None],
+                                "sum_chars": [fine["sum_chars"].sum()],
+                                "n_docs": [fine["n_docs"].sum()],
+                                "grouping_id": [3]}))
+    out = pd.concat(levels, ignore_index=True)
+    for c in ("grouping_id", "sum_chars", "n_docs"):
+        out[c] = out[c].astype("int64")
     return out[["source", "lang", "sum_chars", "n_docs", "grouping_id"]]
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUPING SETS / ROLLUP(source, lang) over documents: the input is
+    scanned ONCE (`_fine_source_lang`), exactly how a warehouse plans
+    ROLLUP; the two coarser levels fold on the driver."""
+    return _fold_grouping_sets(_fine_source_lang(sf_dir), with_by_lang=False)
 
 
 SQL_ROLLUP_COUNTS = """
@@ -4420,44 +4434,9 @@ FROM documents GROUP BY ROLLUP (source, lang)
 
 
 def q_cube_counts(sf_dir: str):
-    """GROUPING SETS / CUBE(source, lang): all four grouping sets from ONE
-    scan. Like `rollup_counts`, the only distributed pass computes the
-    finest (source, lang) cells via per-batch partial aggregation; every
-    coarser level — by-source, by-lang, grand total — folds from those
-    <=|source|x|lang| rows on the driver. grouping_id follows the SQL
-    GROUPING() bit convention (0 = both keys, 1 = lang rolled up,
-    2 = source rolled up, 3 = grand total)."""
-    from ray.data.aggregate import Sum
-
-    rd = _rd()
-    ds = rd.read_parquet(_pq(sf_dir, "documents"),
-                         columns=["source", "lang", "n_chars"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        tt = pa.table({"source": t["source"], "lang": t["lang"],
-                       "n_chars": t["n_chars"],
-                       "one": pa.array(np.ones(len(t), np.int64))})
-        return pa.TableGroupBy(tt, ["source", "lang"]).aggregate(
-            [("n_chars", "sum"), ("one", "sum")])
-
-    fine = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["source", "lang"])
-            .aggregate(Sum("n_chars_sum", alias_name="sum_chars"),
-                       Sum("one_sum", alias_name="n_docs"))
-            .to_pandas())
-    lvl0 = fine.assign(grouping_id=0)
-    by_src = (fine.groupby("source", as_index=False)[["sum_chars", "n_docs"]]
-              .sum().assign(lang=None, grouping_id=1))
-    by_lang = (fine.groupby("lang", as_index=False)[["sum_chars", "n_docs"]]
-               .sum().assign(source=None, grouping_id=2))
-    total = pd.DataFrame({"source": [None], "lang": [None],
-                          "sum_chars": [fine["sum_chars"].sum()],
-                          "n_docs": [fine["n_docs"].sum()],
-                          "grouping_id": [3]})
-    out = pd.concat([lvl0, by_src, by_lang, total], ignore_index=True)
-    for c in ("grouping_id", "sum_chars", "n_docs"):
-        out[c] = out[c].astype("int64")
-    return out[["source", "lang", "sum_chars", "n_docs", "grouping_id"]]
+    """GROUPING SETS / CUBE(source, lang): all four grouping sets folded
+    from the same single `_fine_source_lang` scan as `rollup_counts`."""
+    return _fold_grouping_sets(_fine_source_lang(sf_dir), with_by_lang=True)
 
 
 SQL_CUBE_COUNTS = """
@@ -4858,6 +4837,15 @@ GROUP BY t1, t2
 """
 
 
+def _revenue_cents(t: pa.Table) -> pa.Array:
+    """floor(l_extendedprice*(1-l_discount)*100 + 0.5) as int64 — the
+    oracle-load-bearing rounding rule (CLAUDE.md float-safety) shared by
+    every TPC-H revenue query; change it HERE and in the three SQLs."""
+    rev = pc.multiply(t["l_extendedprice"],
+                      pc.subtract(pa.scalar(1.0), t["l_discount"]))
+    return pc.cast(pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64())
+
+
 def q_tpch_q5(sf_dir: str):
     """TPC-H Q5 (local-supplier revenue) — the canonical 6-table join,
     planned the way a 100 TB cluster would: region→nation (driver, tiny),
@@ -4912,12 +4900,8 @@ def q_tpch_q5(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
     def l_side(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        cents = pc.cast(pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)),
-                        pa.int64())
         return pa.table({"k": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
-                         "cents": cents})
+                         "cents": _revenue_cents(t)})
 
     j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
                    orders.map_batches(o_side, batch_format="pyarrow"),
@@ -5008,13 +4992,7 @@ def q_tpch_q3(sf_dir: str):
         filter=pc.field("l_shipdate") > pa.scalar(cutoff))
 
     def l_side(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({
-            "k": t["l_orderkey"],
-            "cents": pc.cast(
-                pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()),
-        })
+        return pa.table({"k": t["l_orderkey"], "cents": _revenue_cents(t)})
 
     j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
                    orders.map_batches(o_side, batch_format="pyarrow"),
@@ -5076,13 +5054,7 @@ def q_tpch_q10(sf_dir: str):
         filter=pc.field("l_returnflag") == pa.scalar("R"))
 
     def l_side(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({
-            "k": t["l_orderkey"],
-            "cents": pc.cast(
-                pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64()),
-        })
+        return pa.table({"k": t["l_orderkey"], "cents": _revenue_cents(t)})
 
     def o_side(t: pa.Table) -> pa.Table:
         return pa.table({"k": t["o_orderkey"], "c_custkey": t["o_custkey"]})

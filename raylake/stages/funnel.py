@@ -97,4 +97,6 @@ def funnel_counts(
     flags = funnel_flags(ds, stages, entity_col=entity_col,
                          type_col=type_col, ts_col=ts_col)
     agg = flags.aggregate(*[Sum(n, alias_name=f"n_{n}") for n in names])
+    if agg is None:  # Ray returns None (not a dict) for an empty dataset
+        return pd.DataFrame({f"n_{n}": [0] for n in names})
     return pd.DataFrame({f"n_{n}": [int(agg[f"n_{n}"] or 0)] for n in names})
