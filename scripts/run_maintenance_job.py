@@ -38,6 +38,12 @@ def main() -> int:
     ap.add_argument("--source", default=None,
                     help="parquet path of the MERGE source (late rows)")
     ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument("--cluster-by", default=None,
+                    help="zorder: 'colA,colB' to cluster a generic column "
+                         "pair (default: transcript conv_id,ts keys)")
+    ap.add_argument("--partitions", default=None,
+                    help="compact/zorder: comma list of partition ids to "
+                         "scope the rewrite (default: all)")
     ap.add_argument("--num-buckets", type=int, default=None,
                     help="for repartition")
     ap.add_argument("--keep-last", type=int, default=10, help="for expire")
@@ -78,10 +84,15 @@ def main() -> int:
             raise SystemExit(f"unknown op {op!r}; choose from {OPS}")
         jid = f"{args.job_id}-{op}" if args.job_id else None
         t0 = time.monotonic()
+        parts = ({int(p) for p in args.partitions.split(",")}
+                 if args.partitions else None)
         if op == "compact":
-            snap = run(compact, jid, target_file_bytes=tfb)
+            snap = run(compact, jid, target_file_bytes=tfb, partitions=parts)
         elif op == "zorder":
-            snap = run(zorder, jid, target_file_bytes=tfb)
+            cby = (tuple(args.cluster_by.split(",")) if args.cluster_by
+                   else None)
+            snap = run(zorder, jid, target_file_bytes=tfb, cluster_by=cby,
+                       partitions=parts)
         elif op == "merge":
             if not args.source:
                 raise SystemExit("--source required for merge")
