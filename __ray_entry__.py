@@ -10,7 +10,7 @@ here (or in raylake) calls ``ray.init()`` / ``ray.shutdown()``.
                       (SURVEY.md §2 + training-data additions), each taking
                       ``sf_dir``.
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (93 of 96 as of round 3 — including the maintenance
+                      (93 of 97 as of round 3 — including the maintenance
                       pipeline itself via ``maintained_scan``/
                       ``mor_delete_scan``, the full-LSH transcriptions of
                       minhash/simhash near-dup, a recursive-CTE oracle for
@@ -18,9 +18,11 @@ here (or in raylake) calls ``ray.init()`` / ``ray.shutdown()``.
                       divergence scan ``table_clone``, the change-data-feed
                       reconstruction ``cdc_feed``, and the streaming-dedup
                       replay ``stream_dedup``); rows-only:
-                      ``ann_ivf``/``ann_ivf_pq`` (probabilistic probing)
-                      and the fixture-input ``transcript_maintenance`` —
-                      each carries a pytest golden check instead.
+                      ``ann_ivf``/``ann_ivf_pq`` (probabilistic probing),
+                      ``logreg_train`` (iterative training; exact
+                      single-process-equivalence pytest golden) and the
+                      fixture-input ``transcript_maintenance`` — each
+                      carries a pytest golden check instead.
 """
 
 from __future__ import annotations

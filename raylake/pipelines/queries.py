@@ -2072,6 +2072,38 @@ def q_ann_ivf_pq(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_logreg_train(sf_dir: str):
+    """Distributed model training (the reference's ST2 model stage, ref
+    src/model/lstm_classifier.py:81-149, re-expressed as the data-parallel
+    part a data engine owns): full-batch logistic regression over events —
+    per-batch gradient partial sums against broadcast weights, O(d) driver
+    state (raylake/pipelines/ml_train.py). Iterative optimization is not
+    SQL-expressible → rows-only check; the exact single-process-equivalence
+    golden lives in tests/test_ml_train.py. Weights rounded to 6 decimals
+    (full-batch sums are batching-invariant; only float-sum order drifts,
+    ~1e-15 relative)."""
+    from raylake.pipelines.ml_train import train_logreg
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "value": df["value"].astype("float64") / 100.0,
+            "hour": df["ts"].dt.hour.astype("float64") / 23.0,
+            "label": (df["event_type"] == "purchase").astype("int64"),
+        })
+
+    w, losses = train_logreg(ds.map_batches(feats, batch_format="pandas"),
+                             ["value", "hour"], "label", iters=10, lr=0.5)
+    return pd.DataFrame({
+        "weight_idx": pd.array(range(len(w)), dtype="int64"),
+        "weight": np.round(w, 6),
+        "final_loss": np.round(np.full(len(w), losses[-1]), 6),
+    })
+
+
 def q_transcript_maintenance(sf_dir: str):
     """The flagship lakehouse pipeline at query scale: build a transcript
     table (deterministic fixture), compact → zorder → merge late turns,
@@ -5431,6 +5463,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_pq": q_ann_ivf_pq,
+    "logreg_train": q_logreg_train,
     "transcript_maintenance": q_transcript_maintenance,
     "catalog_medallion": q_catalog_medallion,
     "pack_sequences": q_pack_sequences,
