@@ -5144,6 +5144,86 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
 
 
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customer) — the HAVING-over-join-agg shape:
+    lineitem pre-aggregates quantity per orderkey in map_batches partials
+    (ONE groupby on the already-partial rows), the HAVING > 300 filter runs
+    distributed on the aggregate, and only the qualifying keys — small BY
+    CONSTRUCTION of the threshold — reach the driver. Orders then filter by
+    a broadcast sorted key array (searchsorted membership, no shuffle), and
+    customer names come from a point read of the <=100 final custkeys."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"k": t["l_orderkey"],
+                       "q": pc.cast(t["l_quantity"], pa.int64())})
+        return pa.TableGroupBy(tt, ["k"]).aggregate([("q", "sum")])
+
+    big = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("q_sum", alias_name="sum_qty"))
+           .map_batches(lambda t: t.filter(pc.greater(t["sum_qty"], 300)),
+                        batch_format="pyarrow")
+           .to_pandas())  # bounded small by the HAVING threshold
+    keys = np.sort(big["k"].to_numpy())
+    kref = ray.put(keys)
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def o_side(t: pa.Table) -> pa.Table:
+        kk = ray.get(kref)
+        probe = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(kk, probe), max(len(kk) - 1, 0))
+        ok = (len(kk) > 0) & (kk[idx] == probe)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderdate": t["o_orderdate"],
+            "totalprice_cents": pc.cast(
+                pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)),
+                pa.int64()),
+        }).filter(pa.array(ok))
+
+    od = orders.map_batches(o_side, batch_format="pyarrow").to_pandas()
+    out = od.merge(big.rename(columns={"k": "o_orderkey"}), on="o_orderkey")
+    out = out.sort_values(["totalprice_cents", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).head(100)
+    cust = pq.read_table(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in",
+                  [int(c) for c in out["o_custkey"].unique()])]).to_pandas()
+    out = out.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["totalprice_cents", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).reset_index(drop=True)
+    for c in ("c_custkey", "o_orderkey", "sum_qty", "totalprice_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "totalprice_cents", "sum_qty"]]
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+         AS totalprice_cents,
+       b.sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice_cents DESC, o.o_orderdate, o.o_orderkey LIMIT 100
+"""
+
+
 _UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -5493,6 +5573,7 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "tpch_q3": q_tpch_q3,
     "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
 }
 
 ORACLES = {
@@ -5589,4 +5670,5 @@ ORACLES = {
     "tpch_q5": SQL_TPCH_Q5,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q18": SQL_TPCH_Q18,
 }
