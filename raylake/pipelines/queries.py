@@ -2072,6 +2072,80 @@ def q_ann_ivf_pq(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_bucket_join(sf_dir: str):
+    """Storage-partitioned join (Iceberg SPJ parity): orders and customer
+    are written as raylake tables hash-bucketed on the SAME customer key
+    with the same bucket count, then joined with NO shuffle — one task per
+    bucket reads only that bucket's files from each side
+    (`raylake.stages.joins.bucket_join`). The payoff of reusing one
+    partitioning key across tables: the fact-dim exchange disappears.
+    Revenue cents aggregate per market segment, exact oracle."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from raylake.core.table import Table
+    from raylake.ops.append import append
+    from raylake.stages.joins import bucket_join
+
+    rd = _rd()
+    root = tempfile.mkdtemp(prefix="raylake_spj_")
+    try:
+        ods = rd.read_parquet(_pq(sf_dir, "orders"),
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_totalprice"])
+        osch = pa.schema([("o_orderkey", pa.int64()),
+                          ("o_custkey", pa.int64()),
+                          ("o_totalprice", pa.float64())])
+        otbl = Table.create(os.path.join(root, "orders"), osch,
+                            partition_column="o_custkey", num_buckets=8,
+                            sort_order=("o_orderkey",))
+        append(otbl, ods, batch_size=8192)
+        cds = rd.read_parquet(_pq(sf_dir, "customer"),
+                              columns=["c_custkey", "c_mktsegment"])
+        csch = pa.schema([("c_custkey", pa.int64()),
+                          ("c_mktsegment", pa.string())])
+        ctbl = Table.create(os.path.join(root, "customer"), csch,
+                            partition_column="c_custkey", num_buckets=8,
+                            sort_order=("c_custkey",))
+        append(ctbl, cds, batch_size=8192)
+
+        j = bucket_join(otbl.refresh(), ctbl.refresh(),
+                        on="o_custkey", right_on="c_custkey",
+                        columns=["o_custkey", "o_totalprice"],
+                        right_columns=["c_custkey", "c_mktsegment"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.floor(pc.add(
+                pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+            tt = pa.table({"c_mktsegment": t["c_mktsegment"],
+                           "cents": cents,
+                           "one": pa.array(np.ones(len(t), np.int64))})
+            return pa.TableGroupBy(tt, ["c_mktsegment"]).aggregate(
+                [("cents", "sum"), ("one", "sum")])
+
+        agg = (j.map_batches(partial, batch_format="pyarrow")
+               .groupby("c_mktsegment")
+               .aggregate(Sum("cents_sum", alias_name="sum_cents"),
+                          Sum("one_sum", alias_name="n_orders"))
+               .to_pandas())
+        for c in ("sum_cents", "n_orders"):
+            agg[c] = agg[c].astype("int64")
+        return agg[["c_mktsegment", "n_orders", "sum_cents"]]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_BUCKET_JOIN = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+         AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_logreg_train(sf_dir: str):
     """Distributed model training (the reference's ST2 model stage, ref
     src/model/lstm_classifier.py:81-149, re-expressed as the data-parallel
@@ -5574,6 +5648,7 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
+    "bucket_join": q_bucket_join,
 }
 
 ORACLES = {
@@ -5671,4 +5746,5 @@ ORACLES = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
+    "bucket_join": SQL_BUCKET_JOIN,
 }

@@ -83,3 +83,86 @@ def asof_join_group(
         left, right_sel, on=on, direction="backward", allow_exact_matches=True
     )
     return out
+
+
+def _projected_empty(schema: pa.Schema, cols: list[str] | None) -> pa.Table:
+    if cols is not None:
+        schema = pa.schema([schema.field(c) for c in cols])
+    return schema.empty_table()
+
+
+def bucket_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+):
+    """Storage-partitioned join (Iceberg SPJ / Spark bucketed-join parity):
+    when BOTH tables are hash-bucketed on their join key with the SAME
+    bucket count, bucket i of the left can only match bucket i of the right
+    — so the join is one task per bucket reading only that bucket's files
+    from each side, with NO shuffle. At 100 TB this removes the largest
+    all-to-all exchange in a fact-fact join; it is the payoff of choosing
+    ONE partitioning key and reusing it across tables.
+
+    Requirements (validated): `partition_kind == "hash"` on both sides,
+    equal `num_buckets`, and the join keys ARE the partition columns. The
+    per-bucket join materializes one bucket per task — bounded by the
+    partition-spec sizing (same contract as compaction/zorder tasks).
+    Returns a Ray Dataset of joined Arrow batches (right key column is
+    dropped when names differ, standard join semantics via pa.Table.join).
+    """
+    import ray.data as rd
+
+    from raylake.core.table import Table
+
+    right_on = right_on or on
+    for t, key, side in ((left, on, "left"), (right, right_on, "right")):
+        if t.partition_kind != "hash":
+            raise ValueError(f"{side} table is not hash-partitioned")
+        if t.partition_column != key:
+            raise ValueError(
+                f"{side} join key {key!r} is not its partition column "
+                f"{t.partition_column!r} — bucket co-location does not hold")
+    if left.num_buckets != right.num_buckets:
+        raise ValueError(
+            f"bucket counts differ ({left.num_buckets} vs "
+            f"{right.num_buckets}); repartition one side first")
+
+    lroot, rroot = left.root, right.root
+    lsnap, rsnap = left.current_seq, right.current_seq
+    parts = sorted({e.partition for e in left.live_entries(lsnap)}
+                   | {e.partition for e in right.live_entries(rsnap)})
+    join_type = {"inner": "inner", "left": "left outer",
+                 "full": "full outer"}[how]
+
+    def one_bucket(batch: pa.Table) -> pa.Table:
+        lt, rt = Table.load(lroot), Table.load(rroot)
+        out = []
+        for p in batch["item"].to_pylist():
+            le = [e for e in lt.live_entries(lsnap) if e.partition == p]
+            re_ = [e for e in rt.live_entries(rsnap) if e.partition == p]
+            if not le:
+                continue
+            if not re_ and how == "inner":
+                continue
+            la = lt.scan_arrow(entries=le, columns=columns, snapshot=lsnap)
+            ra = (rt.scan_arrow(entries=re_, columns=right_columns,
+                                snapshot=rsnap)
+                  if re_ else None)
+            if ra is None:  # left/full with an empty right bucket
+                ra = _projected_empty(rt.schema, right_columns)
+            out.append(la.join(ra, keys=[on], right_keys=[right_on],
+                               join_type=join_type))
+        if out:
+            return pa.concat_tables(out, promote_options="permissive")
+        # schema-stable empty result: join two projected empty tables
+        return _projected_empty(lt.schema, columns).join(
+            _projected_empty(rt.schema, right_columns),
+            keys=[on], right_keys=[right_on], join_type=join_type)
+
+    return (rd.from_items(parts)
+            .map_batches(one_bucket, batch_size=1, batch_format="pyarrow"))
