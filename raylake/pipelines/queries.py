@@ -2162,14 +2162,15 @@ def q_logreg_train(sf_dir: str):
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["event_type", "ts", "value"])
 
-    def feats(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "value": df["value"].astype("float64") / 100.0,
-            "hour": df["ts"].dt.hour.astype("float64") / 23.0,
-            "label": (df["event_type"] == "purchase").astype("int64"),
+    def feats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "value": pc.divide(pc.cast(t["value"], pa.float64()), 100.0),
+            "hour": pc.divide(pc.cast(pc.hour(t["ts"]), pa.float64()), 23.0),
+            "label": pc.cast(pc.equal(t["event_type"], "purchase"),
+                             pa.int64()),
         })
 
-    w, losses = train_logreg(ds.map_batches(feats, batch_format="pandas"),
+    w, losses = train_logreg(ds.map_batches(feats, batch_format="pyarrow"),
                              ["value", "hour"], "label", iters=10, lr=0.5)
     return pd.DataFrame({
         "weight_idx": pd.array(range(len(w)), dtype="int64"),
@@ -4567,8 +4568,7 @@ def q_rolling_window(sf_dir: str):
                          columns=["event_id", "user_id", "ts", "value"])
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g, cents = _user_sorted_cents(g)
         cs = np.cumsum(cents)
         lag = np.concatenate([np.zeros(min(7, len(cs)), np.int64), cs[:-7]])
         idx = np.arange(len(cs), dtype=np.int64)
@@ -4580,6 +4580,47 @@ def q_rolling_window(sf_dir: str):
         })
 
     return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+def _user_sorted_cents(g: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
+    """Shared window scaffold: one user's events time-ordered + the
+    oracle-load-bearing integer-cents conversion (float-safety rule) —
+    used by both the bounded (`rolling_window`) and unbounded
+    (`running_total`) frame queries so the rounding rule lives ONCE."""
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return g, cents
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running totals (ROWS UNBOUNDED PRECEDING — the cumulative
+    complement of `rolling_window`'s bounded frame): one vectorized cumsum
+    per group; groupby(user) shuffles only the key columns."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g, cents = _user_sorted_cents(g)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "run_cents": np.cumsum(cents),
+            "run_n": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
+SQL_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w)::BIGINT
+         AS run_cents,
+       (count(*) OVER w)::BIGINT AS run_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
 
 
 SQL_ROLLING_WINDOW = """
@@ -4943,6 +4984,16 @@ GROUP BY t1, t2
 """
 
 
+def _sorted_membership(keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Vectorized `probe in keys` against a SORTED broadcast key array.
+    Empty-safe: an eager `keys[idx] == probe` after searchsorted raises
+    IndexError when the qualifying key set is empty (review finding)."""
+    if len(keys) == 0:
+        return np.zeros(len(probe), bool)
+    idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+    return keys[idx] == probe
+
+
 def _revenue_cents(t: pa.Table) -> pa.Array:
     """floor(l_extendedprice*(1-l_discount)*100 + 0.5) as int64 — the
     oracle-load-bearing rounding rule (CLAUDE.md float-safety) shared by
@@ -5083,9 +5134,7 @@ def q_tpch_q3(sf_dir: str):
 
     def o_side(t: pa.Table) -> pa.Table:
         ck = ray.get(ref)
-        probe = t["o_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.minimum(np.searchsorted(ck, probe), max(len(ck) - 1, 0))
-        ok = (len(ck) > 0) & (ck[idx] == probe)
+        ok = _sorted_membership(ck, t["o_custkey"].to_numpy(zero_copy_only=False))
         return pa.table({
             "k": t["o_orderkey"],
             "o_date_us": pc.cast(t["o_orderdate"], pa.int64()),
@@ -5253,9 +5302,7 @@ def q_tpch_q18(sf_dir: str):
 
     def o_side(t: pa.Table) -> pa.Table:
         kk = ray.get(kref)
-        probe = t["o_orderkey"].to_numpy(zero_copy_only=False)
-        idx = np.minimum(np.searchsorted(kk, probe), max(len(kk) - 1, 0))
-        ok = (len(kk) > 0) & (kk[idx] == probe)
+        ok = _sorted_membership(kk, t["o_orderkey"].to_numpy(zero_copy_only=False))
         return pa.table({
             "o_orderkey": t["o_orderkey"],
             "o_custkey": t["o_custkey"],
@@ -5626,6 +5673,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "rollup_counts": q_rollup_counts,
     "rolling_window": q_rolling_window,
+    "running_total": q_running_total,
     "ranked_events": q_ranked_events,
     "kmv_by_group": q_kmv_by_group,
     "table_clone": q_table_clone,
@@ -5724,6 +5772,7 @@ ORACLES = {
     "pivot_events": SQL_PIVOT_EVENTS,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "rolling_window": SQL_ROLLING_WINDOW,
+    "running_total": SQL_RUNNING_TOTAL,
     "ranked_events": SQL_RANKED_EVENTS,
     "kmv_by_group": SQL_KMV_BY_GROUP,
     "table_clone": SQL_TABLE_CLONE,
