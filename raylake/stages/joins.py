@@ -120,6 +120,8 @@ def bucket_join(
     from raylake.core.table import Table
 
     right_on = right_on or on
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how={how!r}; supported: inner, left, full")
     for t, key, side in ((left, on, "left"), (right, right_on, "right")):
         if t.partition_kind != "hash":
             raise ValueError(f"{side} table is not hash-partitioned")
@@ -140,21 +142,24 @@ def bucket_join(
                  "full": "full outer"}[how]
 
     def one_bucket(batch: pa.Table) -> pa.Table:
+        from raylake.ops.rewrite import cap_arrow_threads
+
+        cap_arrow_threads(1)  # concurrent per-bucket tasks must not each
+        # spawn a machine-wide Arrow pool (same rule as every rewrite body)
         lt, rt = Table.load(lroot), Table.load(rroot)
         out = []
         for p in batch["item"].to_pylist():
             le = [e for e in lt.live_entries(lsnap) if e.partition == p]
             re_ = [e for e in rt.live_entries(rsnap) if e.partition == p]
-            if not le:
-                continue
+            if not le and (how != "full" or not re_):
+                continue  # full outer must still emit right-only buckets
             if not re_ and how == "inner":
                 continue
-            la = lt.scan_arrow(entries=le, columns=columns, snapshot=lsnap)
+            la = (lt.scan_arrow(entries=le, columns=columns, snapshot=lsnap)
+                  if le else _projected_empty(lt.schema, columns))
             ra = (rt.scan_arrow(entries=re_, columns=right_columns,
                                 snapshot=rsnap)
-                  if re_ else None)
-            if ra is None:  # left/full with an empty right bucket
-                ra = _projected_empty(rt.schema, right_columns)
+                  if re_ else _projected_empty(rt.schema, right_columns))
             out.append(la.join(ra, keys=[on], right_keys=[right_on],
                                join_type=join_type))
         if out:

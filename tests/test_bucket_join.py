@@ -61,12 +61,15 @@ def test_left_outer_keeps_unmatched(pair):
 
 def test_no_shuffle_plan_is_per_bucket(pair):
     """The Dataset plan must contain no all-to-all operator — one map task
-    per bucket is the whole point."""
+    per bucket is the whole point. No fallback: if Ray renames the private
+    plan attribute, this must FAIL so the assertion gets re-anchored."""
     lt, rt, *_ = pair
     ds = bucket_join(lt, rt, on="k", right_on="rk")
-    plan = str(ds._plan._logical_plan.dag) if hasattr(ds, "_plan") else ""
+    plan = str(ds._plan._logical_plan.dag)  # AttributeError = test failure
     stats = ds.materialize().stats()
-    assert "AllToAll" not in plan and "Aggregate" not in stats.split("\n")[0]
+    for marker in ("AllToAll", "Aggregate", "Sort", "Shuffle", "Repartition"):
+        assert marker not in plan, f"{marker} in logical plan: {plan}"
+        assert marker not in stats, f"{marker} in executed stats"
 
 
 def test_validation_errors(tmp_path, pair, ray_session):
@@ -88,3 +91,18 @@ def test_empty_right_bucket_schema_stable(tmp_path, ray_session):
     assert len(got) == 16
     assert got[got["k"] == 3]["name"].tolist() == ["x"]
     assert got[got["k"] != 3]["name"].isna().all()
+
+
+def test_full_outer_emits_right_only_buckets(tmp_path, ray_session):
+    """Regression (review finding): buckets with files ONLY on the right
+    side must still surface in a FULL OUTER join (they were skipped)."""
+    left = pd.DataFrame({"k": np.arange(5, dtype="int64"), "v": 2.0})
+    right = pd.DataFrame({"rk": np.arange(100, 140, dtype="int64"),
+                          "name": [f"n{i}" for i in range(40)]})
+    lt = _mk(tmp_path, "lf", left, "k")
+    rt = _mk(tmp_path, "rf", right, "rk")
+    got = bucket_join(lt, rt, on="k", right_on="rk", how="full").to_pandas()
+    # zero key overlap -> full outer = all left rows + all right rows
+    assert len(got) == len(left) + len(right)
+    assert got["name"].notna().sum() == len(right)
+    assert got["v"].notna().sum() == len(left)
