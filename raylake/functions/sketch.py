@@ -64,3 +64,23 @@ def kmv_estimate(sketch: np.ndarray, k: int) -> float:
     if len(sketch) < k:
         return float(len(sketch))
     return (k - 1) / (float(sketch[k - 1]) / KMV_NORM)
+
+
+def mg_trim(tokens: pa.Array, counts: np.ndarray, k: int
+            ) -> tuple[pa.Array, np.ndarray]:
+    """Misra-Gries trim of exact (token, count) pairs down to <= k entries.
+
+    The mergeable-summaries form (Agarwal et al., PODS 2012): subtract the
+    (k+1)-th largest count from every count and drop the non-positives.
+    Guarantee: any token with true frequency > N/k survives every trim, and
+    a surviving count under-estimates the truth by at most N/k — which is
+    why heavy-hitter pipelines use the sketch only to pick CANDIDATES and
+    recount them exactly. Bounded memory: O(k) per batch regardless of
+    vocabulary size — the path that avoids a full-vocab shuffle at 10^12
+    documents."""
+    if len(counts) <= k:
+        return tokens, counts
+    thresh = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    kept = counts - thresh
+    mask = kept > 0
+    return tokens.filter(pa.array(mask)), kept[mask]

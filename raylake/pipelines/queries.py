@@ -899,6 +899,70 @@ FROM tok GROUP BY token ORDER BY token
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Top-10 most frequent tokens via Misra-Gries candidates + exact
+    recount — the BOUNDED-MEMORY path to frequent items: each batch emits
+    an O(k)-entry MG summary instead of its full vocabulary (vocab_df's
+    full (token, tf) shuffle is exact but O(vocab); at web scale the
+    vocabulary itself doesn't fit a reduce). Merged candidates carry the
+    MG guarantee (every token with freq > N/k survives, k=256 ≫ 10), then
+    ONE filtered recount pass makes the final counts exact — so the SQL
+    oracle is a plain top-10."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from raylake.functions.sketch import mg_trim
+
+    MG_K = 256
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(b["text"].combine_chunks(), " "))
+        cnt = pa.table({"token": toks}).group_by("token").aggregate(
+            [("token", "count")])
+        t, c = mg_trim(cnt["token"].combine_chunks(),
+                       cnt["token_count"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64), MG_K)
+        return pa.table({"token": t, "mg": pa.array(c, pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("mg", alias_name="mg"))
+              .to_pandas())  # <= k entries per batch pre-merge; tiny
+    cand = merged.sort_values(["mg", "token"], ascending=[False, True])
+    cand_set = pa.array(sorted(cand["token"].head(MG_K)))
+    cref = ray.put(cand_set)
+
+    def recount(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(b["text"].combine_chunks(), " "))
+        toks = toks.filter(pc.is_in(toks, value_set=ray.get(cref)))
+        cnt = pa.table({"token": toks}).group_by("token").aggregate(
+            [("token", "count")])
+        return pa.table({"token": cnt["token"],
+                         "n": pc.cast(cnt["token_count"], pa.int64())})
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    out = (exact.sort_values(["n", "token"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out[["token", "n"]]
+
+
+SQL_HEAVY_HITTERS = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, count(*)::BIGINT AS n
+FROM tok GROUP BY token
+ORDER BY n DESC, token LIMIT 10
+"""
+
+
 def q_char_stats(sf_dir: str):
     """Character-level repetitiveness features (the integer-exact proxy for
     char-entropy quality filters): per doc the distinct-char count and the
@@ -5622,6 +5686,7 @@ QUERIES = {
     "dedup_docs_exact": q_dedup_docs_exact,
     "lang_stats": q_lang_stats,
     "vocab_df": q_vocab_df,
+    "heavy_hitters": q_heavy_hitters,
     "char_stats": q_char_stats,
     "rare_token": q_rare_token,
     "regex_scrub": q_regex_scrub,
@@ -5727,6 +5792,7 @@ ORACLES = {
     "dedup_docs_exact": SQL_DEDUP_DOCS_EXACT,
     "lang_stats": SQL_LANG_STATS,
     "vocab_df": SQL_VOCAB_DF,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "char_stats": SQL_CHAR_STATS,
     "rare_token": SQL_RARE_TOKEN,
     "regex_scrub": SQL_REGEX_SCRUB,
