@@ -5,3 +5,7 @@ from raylake.ops.merge import merge_into  # noqa: F401
 from raylake.ops.expire import expire_snapshots  # noqa: F401
 from raylake.ops.repartition import repartition_table  # noqa: F401
 from raylake.ops.deletes import apply_deletes  # noqa: F401
+from raylake.ops.update import update_where  # noqa: F401
+from raylake.ops.delete_where import delete_where  # noqa: F401
+from raylake.ops.clone import clone_table  # noqa: F401
+from raylake.ops.maintain import run_with_retry  # noqa: F401

@@ -1,0 +1,5 @@
+from raylake.stages.joins import (  # noqa: F401
+    BroadcastLookup,
+    bucket_join,
+)
+from raylake.stages.funnel import Stage, funnel_counts, funnel_flags  # noqa: F401
