@@ -106,3 +106,37 @@ def test_full_outer_emits_right_only_buckets(tmp_path, ray_session):
     assert len(got) == len(left) + len(right)
     assert got["name"].notna().sum() == len(right)
     assert got["v"].notna().sum() == len(left)
+
+
+def test_bucket_join_property_random_tables(tmp_path, ray_session):
+    """Property: for random key distributions, bucket counts, and join
+    types, bucket_join == pandas merge (modulo row/column order)."""
+    rng = np.random.default_rng(42)
+    how_to_pandas = {"inner": "inner", "left": "left", "full": "outer"}
+    for trial in range(4):
+        buckets = int(rng.choice([1, 3, 8]))
+        nl, nr = int(rng.integers(1, 120)), int(rng.integers(1, 80))
+        left = pd.DataFrame({
+            "k": rng.integers(0, 30, nl).astype("int64"),
+            "v": rng.integers(0, 1000, nl).astype("int64"),
+        })
+        right = pd.DataFrame({
+            "rk": np.unique(rng.integers(0, 30, nr)).astype("int64"),
+        })
+        right["w"] = np.arange(len(right), dtype="int64")
+        lt = _mk(tmp_path, f"pl{trial}", left, "k", buckets=buckets)
+        rt = _mk(tmp_path, f"pr{trial}", right, "rk", buckets=buckets)
+        how = ["inner", "left", "full"][trial % 3]
+        got = (bucket_join(lt, rt, on="k", right_on="rk", how=how)
+               .to_pandas())
+        want = left.merge(right, left_on="k", right_on="rk",
+                          how=how_to_pandas[how])
+        # normalize: arrow full-outer coalesces nothing; compare on the
+        # shared value columns with nulls, order-insensitive
+        assert len(got) == len(want), (trial, how, len(got), len(want))
+        gs = got[["v", "w"]].fillna(-999).sort_values(["v", "w"]).reset_index(drop=True) if how == "full" else \
+            got[["k", "v", "w"]].fillna(-999).sort_values(["k", "v", "w"]).reset_index(drop=True)
+        ws = want[["v", "w"]].fillna(-999).sort_values(["v", "w"]).reset_index(drop=True) if how == "full" else \
+            want[["k", "v", "w"]].fillna(-999).sort_values(["k", "v", "w"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(gs.astype("float64"),
+                                      ws.astype("float64"))
