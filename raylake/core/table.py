@@ -473,8 +473,12 @@ class Table:
         # GAP GUARD: seqs are allocated per commit, and every commit stays in
         # the snapshot log until expiry — a seq in range that is absent from
         # the log was expired, and silently skipping it would make the feed
-        # lie (the failure mode the docstring forbids).
+        # lie (the failure mode the docstring forbids). Branch commits
+        # interleave main's seq space and never feed main's CDC, so seqs
+        # tombstoned by expire as branch-only (expired_branch_seqs) are not
+        # holes in MAIN history.
         logged = {e["seq"] for e in self.meta["snapshot_log"]}
+        logged |= set(self.meta.get("expired_branch_seqs", []))
         missing = sorted(set(range(after_seq + 1, until + 1)) - logged)
         if missing:
             raise ValueError(

@@ -42,7 +42,9 @@ pre-existing rows, the txn's own inserts survive.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import time
 import uuid
 
 import numpy as np
@@ -58,6 +60,29 @@ _TXN_DIR = "_txn"
 
 def _txn_dir(warehouse: str) -> str:
     return os.path.join(warehouse, _TXN_DIR)
+
+
+@contextlib.contextmanager
+def _warehouse_lock(warehouse: str):
+    """Exclusive warehouse-level lock serializing the commit critical
+    section (intent write -> apply -> unlink) against recover(). Without
+    it, a concurrent recover() between a live committer's intent write and
+    its first table commit sees zero committed tables and ABORTS the live
+    txn — if the committer then crashes mid-apply, the partial multi-table
+    commit is permanently unrecoverable (all-or-nothing broken). flock is
+    released automatically on process death, so a crashed committer never
+    wedges recovery; separate fds contend, so threads exclude too."""
+    import fcntl
+
+    os.makedirs(warehouse, exist_ok=True)
+    fd = os.open(os.path.join(warehouse, ".txn.lock"),
+                 os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 class CatalogTransaction:
@@ -143,9 +168,13 @@ class CatalogTransaction:
                 for ident, plan in sorted(self._plans.items())
             ],
         }
-        md.atomic_write_json(self._manifest_path(), intent)
-        _apply(self.catalog, intent)
-        os.unlink(self._manifest_path())
+        with _warehouse_lock(self.catalog.warehouse):
+            md.atomic_write_json(self._manifest_path(), intent)
+            _apply(self.catalog, intent)
+            # tolerate ENOENT: a (lock-bypassing) recover may already have
+            # rolled this txn forward and removed the intent
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(self._manifest_path())
 
     def abort(self) -> None:
         """Discard staged work: no intent was written (or it is removed), so
@@ -168,32 +197,57 @@ class CatalogTransaction:
     # ----------------------------------------------------------- recovery
 
     @staticmethod
-    def recover(catalog) -> list[str]:
+    def recover(catalog, min_age_s: float = 0.0) -> list[str]:
         """Complete (roll forward) or abort every interrupted transaction;
-        returns the txn ids that were rolled forward."""
+        returns the txn ids that were rolled forward.
+
+        Runs under the warehouse lock, so a LIVE committer (which holds the
+        lock from intent write through unlink) is never mistaken for a
+        crash — any intent visible here belongs to a dead process. As a
+        second line of defense for filesystems where flock does not
+        serialize across writers (network mounts), `min_age_s` skips
+        zero-committed intents whose mtime is younger than the grace —
+        the destructive ABORT path never fires on a possibly-live txn,
+        while roll-forward (idempotent via the txn_id stamp) still runs."""
         d = _txn_dir(catalog.warehouse)
         if not os.path.isdir(d):
             return []
         rolled = []
-        for name in sorted(os.listdir(d)):
-            if not name.endswith(".json"):
-                continue
-            path = os.path.join(d, name)
-            try:
-                intent = md.read_json(path)
-            except (ValueError, OSError):
-                # torn intent write: the txn never reached APPLY (the intent
-                # is written atomically before any commit) -> abort
-                os.unlink(path)
-                continue
-            committed = [
-                tp["ident"] for tp in intent["tables"]
-                if _txn_applied(catalog, tp["ident"], intent["txn_id"])
-            ]
-            if committed:
-                _apply(catalog, intent)
-                rolled.append(intent["txn_id"])
-            os.unlink(path)
+        with _warehouse_lock(catalog.warehouse):
+            now = time.time()
+            for name in sorted(os.listdir(d)):
+                if not name.endswith(".json"):
+                    continue
+                path = os.path.join(d, name)
+
+                def _young() -> bool:
+                    try:
+                        return now - os.path.getmtime(path) < min_age_s
+                    except OSError:
+                        return True
+                try:
+                    intent = md.read_json(path)
+                except FileNotFoundError:
+                    continue
+                except (ValueError, OSError):
+                    # torn intent write: the txn never reached APPLY (the
+                    # intent is written atomically before any commit) ->
+                    # abort, unless it might still be mid-write
+                    if not _young():
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(path)
+                    continue
+                committed = [
+                    tp["ident"] for tp in intent["tables"]
+                    if _txn_applied(catalog, tp["ident"], intent["txn_id"])
+                ]
+                if committed:
+                    _apply(catalog, intent)
+                    rolled.append(intent["txn_id"])
+                elif _young():
+                    continue  # possibly live: never abort inside the grace
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
         return rolled
 
 

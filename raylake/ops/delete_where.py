@@ -34,12 +34,16 @@ LINEAGE_POS = "_pos"
 
 
 def scan_with_lineage(table: Table, columns: list[str] | None = None,
-                      snapshot: int | None = None):
+                      snapshot: int | None = None, live_only: bool = False):
     """Streaming Dataset of PHYSICAL rows with `_file` (manifest-relative
     path) and `_pos` (row ordinal within that file) metadata columns.
-    Rows already hidden by merge-on-read delete files are included — this
-    is the raw-file view (re-deleting a hidden position is a harmless
-    union, and provenance tools need to see everything)."""
+    By default rows already hidden by merge-on-read delete files are
+    included — the raw-file view provenance tools need. With
+    `live_only=True` committed position deletes and applicable equality
+    deletes (the `seq_added < seq` rule) are subtracted per file, so only
+    logically LIVE rows flow — `_pos` still indexes the file's raw row
+    order (assigned before any mask)."""
+    import ray
     import ray.data
 
     entries = table.live_entries(snapshot)
@@ -51,24 +55,50 @@ def scan_with_lineage(table: Table, columns: list[str] | None = None,
     root = table.root
     renames = table.meta.get("column_renames") or {}
     schema = table.schema
+    loaded, posmap = [], {}
+    if live_only:
+        loaded = table._load_delete_keys(snapshot)
+        posmap = table._load_pos_deletes(snapshot)
+    key_cols = sorted(set().union(set(), *[set(kc) for _, kc, _ in loaded]))
     if columns is not None:
-        schema = pa.schema([schema.field(c) for c in columns])
+        read_cols = sorted(set(columns) | set(key_cols))
+        schema = pa.schema([schema.field(c) for c in read_cols])
+    project = None if columns is None else (
+        list(columns) + [LINEAGE_FILE, LINEAGE_POS])
+    dels_ref = ray.put(loaded) if loaded else None
+    pos_ref = ray.put(posmap) if posmap else None
 
     def read_one(b: pa.Table) -> pa.Table:
         import os
 
+        from raylake.core.deletes import apply_positions, delete_keep_mask
+
+        dl = ray.get(dels_ref) if dels_ref is not None else []
+        pm = ray.get(pos_ref) if pos_ref is not None else {}
         out = []
-        for rel in b["path"].to_pylist():
+        for rel, sa in zip(b["path"].to_pylist(),
+                           b["seq_added"].to_pylist()):
             t = pq.read_table(os.path.join(root, rel))
             t = normalize_schema(apply_renames(t, renames), schema)
             t = t.append_column(
                 LINEAGE_FILE, pa.array([rel] * len(t), pa.string()))
             t = t.append_column(
                 LINEAGE_POS, pa.array(np.arange(len(t), dtype=np.int64)))
+            if rel in pm:
+                t = apply_positions(t, pm[rel])
+            app = Table._applicable_seq(sa, dl)
+            if app:
+                mask = delete_keep_mask(t, [(dl[i][1], dl[i][2])
+                                            for i in app])
+                if not mask.all():
+                    t = t.filter(pa.array(mask))
+            if project is not None:
+                t = t.select(project)
             out.append(t)
         return pa.concat_tables(out)
 
-    paths = ray.data.from_items([{"path": e.path} for e in entries])
+    paths = ray.data.from_items(
+        [{"path": e.path, "seq_added": e.seq_added} for e in entries])
     # one file per task: positions are per-file ordinals
     return paths.map_batches(read_one, batch_format="pyarrow", batch_size=1)
 
@@ -82,8 +112,15 @@ def delete_where(table: Table,
     commits the matched positions as ONE merge-on-read delete file. Only the
     (file_path, pos) pairs of matched rows ever reach the driver. Returns
     the new snapshot seq, or None when nothing matched. `columns` prunes the
-    scan to what the predicate reads."""
-    ds = scan_with_lineage(table, columns=columns)
+    scan to what the predicate reads.
+
+    The predicate runs over the LIVE view (live_only=True): rows already
+    hidden by committed position/equality deletes are never re-matched, so
+    overlapping delete_where calls (or a delete_where after delete_by_keys)
+    cannot commit duplicate (file, pos) pairs — which scans would dedupe
+    harmlessly but Table.changes would surface as duplicate/spurious delete
+    preimage events, double-deleting in CDC consumers."""
+    ds = scan_with_lineage(table, columns=columns, live_only=True)
 
     def find(b: pa.Table) -> pa.Table:
         mask = predicate(b.drop_columns([LINEAGE_FILE, LINEAGE_POS]))

@@ -87,6 +87,16 @@ def expire_snapshots(
         expired = [e for e in log if e not in keep]
         if not dry_run and expired:
             table.meta["snapshot_log"] = keep
+            # tombstone expired BRANCH-only seqs: branch commits interleave
+            # main's seq space, so changes()'s gap guard would otherwise
+            # read a dropped branch seq as a hole in MAIN history and fail
+            # a fully-intact main range forever (expired MAIN seqs must
+            # still trip the guard — that gap is real)
+            branch_seqs = [e["seq"] for e in expired if "branch" in e]
+            if branch_seqs:
+                table.meta["expired_branch_seqs"] = sorted(
+                    set(table.meta.get("expired_branch_seqs", []))
+                    | set(branch_seqs))
             md.atomic_write_json(
                 os.path.join(table.root, "metadata", "table.json"), table.meta
             )

@@ -34,12 +34,39 @@ from raylake.ops.rewrite import (
 )
 
 
+def _zstat_key(entry, hash_col: str, raw_col: str):
+    """Bin-packing locality key for an input file: prefer the hash32 lower
+    bound written by a previous zorder pass (groups of an incremental
+    re-zorder then stay near-disjoint in z space), fall back to the raw
+    column min stat, else arbitrary. Heuristic only — grouping never
+    affects the scan invariant, just pruning tightness."""
+    hs = entry.stats.get(hash_col)
+    if hs:
+        return (0, int(hs[0]), "")
+    rs = entry.stats.get(raw_col)
+    if rs and rs[0] is not None:
+        return (1, 0, str(rs[0]))
+    return (2, 0, "")
+
+
 def plan_zorder(
     table: Table,
     partitions: set[int] | None = None,
     snapshot: int | None = None,
     min_files: int = 1,
+    max_task_bytes: int | None = None,
+    cluster_by: tuple[str, str] | None = None,
 ) -> list[RewriteTask]:
+    """One task per partition, SPLIT into file groups of ≤ `max_task_bytes`
+    when a partition outgrows it (a skewed bucket must not become one
+    oversized in-memory sort task). Groups are packed in z-locality-stat
+    order, so a previously-clustered partition splits into near-disjoint
+    z ranges; a never-clustered one splits arbitrarily — each group is
+    still z-sorted internally with tight per-file stats, a point lookup
+    then reads ≤ one file per group instead of one per partition (the
+    next zorder pass over the merged groups restores full tightness)."""
+    hash_col = f"{cluster_by[0]}_h32" if cluster_by else "conv_h32"
+    raw_col = cluster_by[0] if cluster_by else "conv_id"
     by_part: dict[int, list] = defaultdict(list)
     for e in table.live_entries(snapshot):
         if partitions is None or e.partition in partitions:
@@ -48,15 +75,32 @@ def plan_zorder(
     for p, files in sorted(by_part.items()):
         if len(files) < min_files:
             continue
-        tasks.append(
-            RewriteTask(
-                task_id=f"z{p:05d}",
-                partition=p,
-                input_paths=[e.path for e in files],
-                input_bytes=sum(e.bytes for e in files),
-                input_rows=sum(e.rows for e in files),
+        total = sum(e.bytes for e in files)
+        if max_task_bytes is None or total <= max_task_bytes:
+            groups = [files]
+        else:
+            files = sorted(files, key=lambda e: _zstat_key(
+                e, hash_col, raw_col))
+            groups, group, gbytes = [], [], 0
+            for e in files:
+                if group and gbytes + e.bytes > max_task_bytes:
+                    groups.append(group)
+                    group, gbytes = [], 0
+                group.append(e)
+                gbytes += e.bytes
+            if group:
+                groups.append(group)
+        for i, g in enumerate(groups):
+            tasks.append(
+                RewriteTask(
+                    task_id=(f"z{p:05d}" if len(groups) == 1
+                             else f"z{p:05d}-{i:04d}"),
+                    partition=p,
+                    input_paths=[e.path for e in g],
+                    input_bytes=sum(e.bytes for e in g),
+                    input_rows=sum(e.rows for e in g),
+                )
             )
-        )
     return tasks
 
 
@@ -157,7 +201,10 @@ def zorder(
     if job_id is not None and Ledger(table.root, job_id).read_meta() is not None:
         tasks = []  # resume path: run_rewrite_job reloads the persisted plan
     else:
-        tasks = plan_zorder(table, **plan_kwargs)
+        # default split threshold: a skewed bucket that outgrew the
+        # partition-spec sizing must not become one oversized sort task
+        plan_kwargs.setdefault("max_task_bytes", target_file_bytes * 8)
+        tasks = plan_zorder(table, cluster_by=cluster_by, **plan_kwargs)
         if not tasks:
             return None
     return run_rewrite_job(

@@ -2243,6 +2243,58 @@ def q_logreg_train(sf_dir: str):
     })
 
 
+def q_model_promote(sf_dir: str):
+    """Model registry + promotion gate end-to-end (the reference's final
+    pipeline stage, ref src/model/lstm_promoter.py:134-172): train a
+    challenger distributed (pipelines/ml_train.py), score it on a held-out
+    eval split via integer-exact distributed macro-F1, gate on threshold,
+    register into the lakehouse-backed registry and re-rank the
+    production/staging aliases (pipelines/registry.py). Two promote rounds
+    (a weak hand-set incumbent, then the trained challenger) exercise the
+    champion-vs-challenger path. Iterative training + registry state are
+    not SQL-expressible → rows-only check; golden alias-transition replay
+    lives in tests/test_model_registry.py."""
+    import shutil
+
+    from raylake.pipelines.ml_train import train_logreg
+    from raylake.pipelines.registry import ModelRegistry
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "ts", "value"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "parity": pa.array(eid % 2, pa.int64()),
+            "value": pc.divide(pc.cast(t["value"], pa.float64()), 100.0),
+            "hour": pc.divide(pc.cast(pc.hour(t["ts"]), pa.float64()), 23.0),
+            "label": pc.cast(pc.equal(t["event_type"], "purchase"),
+                             pa.int64()),
+        })
+
+    fds = ds.map_batches(feats, batch_format="pyarrow")
+    # deterministic split: even event_ids train, odd evaluate
+    train = fds.filter(expr="parity == 0")
+    evald = fds.filter(expr="parity == 1")
+    w, _ = train_logreg(train, ["value", "hour"], "label", iters=8, lr=0.5)
+
+    root = "/tmp/raylake_query_registry"
+    shutil.rmtree(root, ignore_errors=True)
+    reg = ModelRegistry(root)
+    incumbent = np.array([1.0, 0.0, 0.0])  # weak hand-set champion
+    reg.promote(incumbent, evald, ["value", "hour"], "label",
+                run_id="incumbent", threshold_micro=0)
+    out = reg.promote(w, evald, ["value", "hour"], "label",
+                      run_id="challenger", threshold_micro=0)
+    aliases = reg.aliases()
+    vt = reg.versions().to_pandas()
+    vt["alias"] = vt["version"].map(
+        {v: a for a, v in sorted(aliases.items())}).fillna("")
+    assert out is not None
+    return vt[["version", "run_id", "metric", "score_micro", "alias"]]
+
+
 def q_transcript_maintenance(sf_dir: str):
     """The flagship lakehouse pipeline at query scale: build a transcript
     table (deterministic fixture), compact → zorder → merge late turns,
@@ -5730,6 +5782,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_pq": q_ann_ivf_pq,
     "logreg_train": q_logreg_train,
+    "model_promote": q_model_promote,
     "transcript_maintenance": q_transcript_maintenance,
     "catalog_medallion": q_catalog_medallion,
     "pack_sequences": q_pack_sequences,

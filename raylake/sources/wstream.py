@@ -455,14 +455,20 @@ class StreamStreamJoiner:
     form exactly once because buffer×buffer was emitted by earlier ticks.
     A buffered row is evicted once the JOINT watermark (min of both sides'
     max event ts, minus allowed lateness) passes t + tolerance — no future
-    other-side row can match it, so state is bounded by
+    ON-TIME other-side row can match it, so state is bounded by
     O(arrival_rate × (tolerance + lateness)), not the stream length.
-    State (both buffers + per-side max ts) + emitted pairs + the stream
-    offset advance in ONE snapshot commit: exactly-once on replay with no
-    side checkpoint store (state-in-snapshot, as WindowedStreamAggregator
-    above; Spark needs a checkpointLocation). Rows already behind the
-    eviction horizon on arrival may have lost matches, so they are
-    side-output to the tick commit's late-audit IPC, never silently
+    An arrival is LATE when t < watermark (= min(max_ts) - lateness,
+    Spark semantics) — NOT watermark - tolerance: a row admitted at
+    t in [wm - tol, wm) could match rows already evicted (evicted at
+    t' < wm - tol) and that pair would be lost with no audit record.
+    Keeping evict_threshold = late_threshold - tol guarantees every
+    admitted row's full match window [t - tol, t + tol] is still
+    buffered. State (both buffers + per-side max ts) + emitted pairs +
+    the stream offset advance in ONE snapshot commit: exactly-once on
+    replay with no side checkpoint store (state-in-snapshot, as
+    WindowedStreamAggregator above; Spark needs a checkpointLocation).
+    Rows behind the watermark on arrival may have lost matches, so they
+    are side-output to the tick commit's late-audit IPC, never silently
     dropped."""
 
     def __init__(self, root: str, tolerance_us: int,
@@ -508,7 +514,9 @@ class StreamStreamJoiner:
         """Returns False when the offset was already committed (replay)."""
         if offset <= self.last_offset:
             return False
-        horizon = (min(self.max_ts.values()) - self.lateness_us - self.tol)
+        # Late check at the WATERMARK itself; eviction (keep_from below)
+        # runs tol lower, so an admitted row's matches are never evicted.
+        horizon = min(self.max_ts.values()) - self.lateness_us
         live, late_parts = {}, []
         left = left.select(["id", "key", "t"]).cast(_SIDE_SCHEMA)
         right = right.select(["id", "key", "t"]).cast(_SIDE_SCHEMA)

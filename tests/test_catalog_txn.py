@@ -178,3 +178,86 @@ def test_validation_errors(cat):
     tx.commit()
     with pytest.raises(RuntimeError, match="already committed"):
         tx.append("silver.orders", _rows(("a", 1)))
+
+
+def test_recover_waits_for_live_committer(cat, monkeypatch):
+    """ADVICE r03 (medium): recover() used to treat a LIVE in-flight txn
+    (intent written, first commit not yet landed) as crashed and abort it.
+    Now the commit critical section holds the warehouse lock, so a
+    concurrent recover() blocks until the committer finishes and then
+    finds nothing to do."""
+    import threading
+    import time
+
+    import raylake.core.transaction as txn_mod
+
+    real_apply = txn_mod._apply
+    started, release = threading.Event(), threading.Event()
+
+    def slow_apply(catalog, intent):
+        started.set()
+        assert release.wait(10)
+        real_apply(catalog, intent)
+
+    monkeypatch.setattr(txn_mod, "_apply", slow_apply)
+    tx = cat.transaction()
+    tx.append("gold.daily", _rows(("g", 5)))
+    committer = threading.Thread(target=tx.commit)
+    committer.start()
+    assert started.wait(10)
+    # committer is LIVE mid-apply with the intent on disk
+    monkeypatch.setattr(txn_mod, "_apply", real_apply)
+    result: dict = {}
+    recoverer = threading.Thread(
+        target=lambda: result.setdefault(
+            "rolled", CatalogTransaction.recover(cat)))
+    recoverer.start()
+    time.sleep(0.3)
+    assert "rolled" not in result  # blocked on the lock, NOT aborting
+    assert len([n for n in os.listdir(os.path.join(cat.warehouse, "_txn"))
+                if n.endswith(".json")]) == 1
+    release.set()
+    committer.join(10)
+    recoverer.join(10)
+    assert result["rolled"] == []  # commit finished; nothing to recover
+    assert _scan(cat, "gold.daily").num_rows == 1
+    assert not os.listdir(os.path.join(cat.warehouse, "_txn"))
+
+
+def test_recover_grace_skips_fresh_uncommitted_intent(cat, monkeypatch):
+    """min_age_s defense: a zero-committed intent younger than the grace is
+    left alone (possibly live on a no-flock filesystem); a PARTIALLY
+    committed one still rolls forward regardless of age (idempotent)."""
+    import raylake.core.transaction as txn_mod
+
+    tx = cat.transaction()
+    tx.append("gold.daily", _rows(("g", 5)))
+    monkeypatch.setattr(txn_mod, "_apply",
+                        lambda c, i: (_ for _ in ()).throw(OSError("crash")))
+    with pytest.raises(OSError):
+        tx.commit()
+    # fresh + zero committed -> skipped, intent survives
+    assert CatalogTransaction.recover(cat, min_age_s=3600) == []
+    intents = [n for n in os.listdir(os.path.join(cat.warehouse, "_txn"))
+               if n.endswith(".json")]
+    assert intents == [f"{tx.txid}.json"]
+    # aged out -> aborted
+    assert CatalogTransaction.recover(cat, min_age_s=0) == []
+    assert not os.listdir(os.path.join(cat.warehouse, "_txn"))
+
+    # a partially-applied txn rolls forward even inside the grace
+    tx2 = cat.transaction()
+    tx2.append("gold.daily", _rows(("h", 6)))
+    tx2.append("silver.orders", _rows(("s", 7)))
+    real_apply = _apply
+
+    def partial_apply(catalog, intent):
+        real_apply(catalog, {**intent, "tables": intent["tables"][:1]})
+        raise OSError("crash mid-apply")
+
+    monkeypatch.setattr(txn_mod, "_apply", partial_apply)
+    with pytest.raises(OSError):
+        tx2.commit()
+    monkeypatch.setattr(txn_mod, "_apply", real_apply)
+    assert CatalogTransaction.recover(cat, min_age_s=3600) == [tx2.txid]
+    assert _scan(cat, "silver.orders").num_rows == 1

@@ -191,3 +191,45 @@ def test_delete_mode_merge_cdc(tbl):
     assert (feed["_change_type"] == "delete").all()
     assert len(feed) == 25
     assert feed["text"].notna().all()
+
+
+def test_expired_branch_seqs_do_not_poison_main_feed(tbl):
+    """ADVICE r03 (low): expire drops unpublished-branch log entries whose
+    seqs interleave main's; the gap guard used to read those as expired
+    MAIN commits and fail changes() over an intact main range forever.
+    Branch-only seqs are tombstoned at expiry and skipped by the guard."""
+    from raylake.ops.append import append
+
+    base_seq = tbl.current_seq
+    cur = tbl.scan_arrow(sort=True)
+    tbl.create_branch("scratch")
+    late = cur.slice(0, 10)
+    late = late.set_column(
+        late.schema.get_field_index("turn_idx"), "turn_idx",
+        pc.cast(pc.add(late["turn_idx"], 900000), pa.int32()))
+    append(tbl, late, branch="scratch")  # branch seq interleaves main
+    tbl.refresh()
+    ins = cur.slice(20, 10)
+    ins = ins.set_column(
+        ins.schema.get_field_index("turn_idx"), "turn_idx",
+        pc.cast(pc.add(ins["turn_idx"], 800000), pa.int32()))
+    append(tbl, ins)  # main commit AFTER the branch commit
+    tbl.refresh()
+    want = tbl.changes(after_seq=base_seq)
+    assert want.num_rows == 10  # branch commits never feed main's CDC
+
+    tbl.drop_ref("scratch")
+    expire_snapshots(tbl, keep_last=100, older_than_ms=int(1e18),
+                     grace_period_s=0.0)
+    tbl.refresh()
+    # the branch seq is gone from the log but tombstoned
+    logged = {e["seq"] for e in tbl.meta["snapshot_log"]}
+    assert tbl.meta.get("expired_branch_seqs")
+    assert set(tbl.meta["expired_branch_seqs"]).isdisjoint(logged)
+    got = tbl.changes(after_seq=base_seq)  # must not raise
+    assert got.equals(want)
+    # an expired MAIN seq still trips the guard
+    expire_snapshots(tbl, keep_last=1, grace_period_s=0.0)
+    tbl.refresh()
+    with pytest.raises(ValueError, match="expired"):
+        tbl.changes(after_seq=0)

@@ -576,3 +576,47 @@ def test_merge_staged_read_amplification_bounded(small_table, ray_session):
     # stay well under the task count
     assert s["staged_rows_read"] <= max(s["staged_rows_used"] * 3,
                                         s["staged_rows_used"] + 64 * 1024)
+
+
+def test_zorder_splits_oversized_partition(small_table, ray_session):
+    """ADVICE/VERDICT r03: a skewed bucket that outgrows `max_task_bytes`
+    must split into multiple z-sorted file-group tasks instead of becoming
+    one oversized in-memory sort — with the bit-for-bit scan invariant and
+    point-lookup pruning intact."""
+    from raylake.ops import plan_zorder
+
+    t = small_table
+    pre = _golden(t)
+    sizes = {e.partition: sum(x.bytes for x in t.live_entries()
+                              if x.partition == e.partition)
+             for e in t.live_entries()}
+    big = max(sizes, key=sizes.get)
+    cap = sizes[big] // 3  # force ≥3 groups for the biggest bucket
+    tasks = plan_zorder(t, max_task_bytes=cap)
+    per_part = {}
+    for task in tasks:
+        per_part.setdefault(task.partition, []).append(task)
+        assert task.input_bytes <= cap or len(task.input_paths) == 1
+    assert len(per_part[big]) >= 3
+    # every live file is covered exactly once across the split tasks
+    planned = [p for task in tasks for p in task.input_paths]
+    assert sorted(planned) == sorted(e.path for e in t.live_entries())
+
+    snap = zorder(t, target_file_bytes=64 * 1024, concurrency=2,
+                  max_task_bytes=cap)
+    assert snap is not None
+    assert _golden(t).equals(pre)  # bit-for-bit invariant
+    conv = pre["conv_id"][len(pre) // 2].as_py()
+    pruned = t.prune_point(conv)
+    assert len(pruned) < len(t.live_entries())  # pruning still effective
+
+
+def test_zorder_unsplit_plan_is_unchanged(small_table, ray_session):
+    """Default planning (partition fits max_task_bytes) keeps the one-task-
+    per-partition shape and task ids (resume-compat)."""
+    from raylake.ops import plan_zorder
+
+    t = small_table
+    tasks = plan_zorder(t)
+    assert [task.task_id for task in tasks] == [
+        f"z{p:05d}" for p in sorted({e.partition for e in t.live_entries()})]

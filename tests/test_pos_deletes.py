@@ -251,3 +251,48 @@ def test_delete_where_after_rename_sees_logical_names(tbl, ray_session):
     assert snap is not None
     t.refresh()
     assert t.scan_arrow(sort=True).equals(want)
+
+
+def test_overlapping_delete_where_emits_no_duplicate_cdc_events(
+        tbl, ray_session):
+    """ADVICE r03 (medium): delete_where used to evaluate over the raw-file
+    view, so overlapping predicates (or a delete_where after
+    delete_by_keys) committed duplicate (file,pos) pairs and Table.changes
+    emitted duplicate delete preimages. The live_only scan subtracts
+    already-hidden rows before matching."""
+    import pyarrow.compute as pc
+
+    from raylake.ops.delete_where import delete_where
+
+    t = tbl
+    base_seq = t.current_seq
+    pre = t.scan_arrow(sort=True)
+    n_tool = len(pre.filter(pc.equal(pre["role"], "tool")))
+    assert n_tool > 0
+
+    # two OVERLAPPING predicates: every 'tool' row matches both
+    s1 = delete_where(t, lambda b: pc.equal(b["role"], "tool"),
+                      columns=["role"])
+    t.refresh()
+    s2 = delete_where(
+        t, lambda b: pc.is_in(b["role"],
+                              value_set=pa.array(["tool", "nope"])),
+        columns=["role"])
+    assert s1 is not None and s2 is None  # second pass finds nothing live
+    t.refresh()
+
+    ch = t.changes(base_seq)
+    dels = ch.filter(pc.equal(ch["_change_type"], "delete"))
+    assert len(dels) == n_tool  # one preimage per logically-deleted row
+
+    # equality delete first, then an overlapping delete_where: rows hidden
+    # by the equality delete must not re-match
+    conv = t.scan_arrow()["conv_id"][0].as_py()
+    t.delete_by_keys(pa.table({"conv_id": pa.array([conv])}))
+    t.refresh()
+    seq3 = t.current_seq
+    hidden = delete_where(
+        t, lambda b: pc.equal(b["conv_id"], conv), columns=["conv_id"])
+    assert hidden is None  # all matching rows were already hidden
+    t.refresh()
+    assert len(t.changes(seq3)) == 0

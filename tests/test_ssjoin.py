@@ -111,3 +111,25 @@ def test_ssjoin_true_straggler_is_side_output(tmp_path, ray_session):
     # and it was NOT joined
     assert 999_999 not in set(
         j.results()["id_l"].to_pylist())
+
+
+def test_ssjoin_watermark_boundary_row_is_audited_not_lost(
+        tmp_path, ray_session):
+    """ADVICE r03 (high): a row arriving at t in [wm - tol, wm) used to be
+    admitted as on-time while its match window was already evicted — the
+    pair vanished with no audit record. Now the late check runs at the
+    watermark itself, so the row lands in the late audit."""
+    tol, late = 10, 0
+    j = StreamStreamJoiner(str(tmp_path / "t"), tol, late)
+    # tick 0: buffer right t=188 (and a left row to advance l's max_ts)
+    j.process_tick(0, _side([2], ["a"], [180]), _side([1], ["a"], [188]))
+    # tick 1: both sides advance to 200 -> keep_from = 200 - 0 - 10 = 190,
+    # the t=188 right row is evicted
+    j.process_tick(1, _side([4], ["zz"], [200]), _side([3], ["zz"], [200]))
+    assert (j.buf["r"]["t"].to_numpy(zero_copy_only=False) >= 190).all()
+    # tick 2: left t=195 arrives. |195-188| <= tol, so the batch join
+    # contains the pair — but 188 is gone. 195 < wm=200 must be LATE.
+    j.process_tick(2, _side([6], ["a"], [195]), _side([], [], []))
+    late_rows = j.late_table()
+    assert late_rows is not None and 6 in late_rows["id"].to_pylist()
+    assert 6 not in set(j.results()["id_l"].to_pylist())
