@@ -116,6 +116,9 @@ def expire_snapshots(
                 reachable_data.add(d["path"])
             for f in snap.summary.get("cdc_files", []):  # change-feed files
                 reachable_data.add(f["path"])
+            for k, v in snap.summary.items():  # spilled late-audit parquets
+                if k.endswith("_late_path"):
+                    reachable_data.add(v)
 
         # protect the lineage of IN-FLIGHT jobs: files ledgered by a rewrite
         # task that has not committed yet are on disk but unreachable —

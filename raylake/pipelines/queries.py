@@ -2304,11 +2304,12 @@ def q_transcript_maintenance(sf_dir: str):
     import re
     import shutil
 
-    from raylake.fixtures.transcripts import gen_late_batch, gen_transcripts
-    from raylake.core.schema import TRANSCRIPT_SCHEMA
-    from raylake.core.table import Table
+    from raylake.fixtures.transcripts import (
+        conv_meta,
+        gen_late_from_meta,
+        write_transcript_table_ray,
+    )
     from raylake.ops import compact, merge_into, zorder
-    from raylake.core.hashing import partition_of
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.01
@@ -2316,25 +2317,17 @@ def q_transcript_maintenance(sf_dir: str):
     root = f"/tmp/raylake_query_maint/sf{sf}"
     shutil.rmtree(root, ignore_errors=True)
 
-    data = gen_transcripts(n_turns, seed=42)
-    tbl = Table.create(root, TRANSCRIPT_SCHEMA, partition_column="conv_id",
-                       num_buckets=8)
-    part = partition_of(data["conv_id"], 8)
-    order = np.argsort(part, kind="stable")
-    data_sorted = data.take(pa.array(order))
-    part = part[order]
-    bounds = np.flatnonzero(np.diff(part)) + 1
-    entries = []
-    for chunk, pv in zip(np.split(np.arange(len(data_sorted)), bounds),
-                         np.split(part, bounds)):
-        sub = data_sorted.slice(int(chunk[0]), len(chunk))
-        for off in range(0, len(sub), 512):
-            entries.append(tbl.write_file(sub.slice(off, 512), int(pv[0])))
-    tbl.commit("append", entries)
-
+    # distributed fixture build (VERDICT r03 #5): conv ranges generate and
+    # write in parallel Ray tasks — flat driver RSS at any sf; the late
+    # batch derives from conversation METADATA so the base table is never
+    # materialized on the driver either
+    tbl = write_transcript_table_ray(root, n_turns, rows_per_file=512,
+                                     num_buckets=8, seed=42)
     compact(tbl, target_file_bytes=4 * 1024 * 1024)
     zorder(tbl, target_file_bytes=4 * 1024 * 1024)
-    late = gen_late_batch(data, update_frac=0.05, insert_frac=0.02, seed=7)
+    sizes, _ = conv_meta(n_turns, seed=42)
+    late = gen_late_from_meta(sizes, update_frac=0.05, insert_frac=0.02,
+                              seed=7)
     merge_into(tbl, late)
     return tbl.scan_arrow(sort=True)
 

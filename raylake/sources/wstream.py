@@ -38,6 +38,60 @@ RESULT_SCHEMA = pa.schema([
     ("sum_value", pa.float64()),
 ])
 
+# Above this, a tick's late batch spills to a side parquet instead of
+# riding the commit summary: every snapshot read re-parses table.json, so
+# a pathological late storm embedded as base64 IPC would bloat EVERY
+# subsequent metadata operation, not just this tick's.
+LATE_SPILL_ROWS = 512
+
+
+def stash_late(table: Table, summary: dict, base: str,
+               late: pa.Table) -> None:
+    """Persist a tick's late-audit rows atomically with the tick commit.
+    Small batches embed in the summary as base64 Arrow IPC (schema-exact,
+    JSON-safe); batches over LATE_SPILL_ROWS spill to a side parquet under
+    data/late/ referenced as `<base>_path` (GC-protected by expire's
+    reachability walk, like cdc_files)."""
+    if len(late) > LATE_SPILL_ROWS:
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(table.root, "data", "late"), exist_ok=True)
+        rel = f"data/late/{base}-{uuid.uuid4().hex}.parquet"
+        pq.write_table(late, os.path.join(table.root, rel),
+                       compression="zstd")
+        summary[f"{base}_path"] = rel
+        summary[f"{base}_rows"] = len(late)
+        return
+    import base64
+    import io
+
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, late.schema) as w:
+        w.write_table(late)
+    summary[f"{base}_ipc"] = base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def read_late(table: Table, base: str) -> pa.Table | None:
+    """Rebuild the full late-audit stream from the snapshot log (embedded
+    IPC + spilled parquets, in commit order)."""
+    import base64
+    import os
+
+    import pyarrow.parquet as pq
+
+    parts = []
+    for snap in table.refresh().snapshots():
+        b = snap.summary.get(f"{base}_ipc")
+        if b:
+            parts.append(pa.ipc.open_stream(base64.b64decode(b)).read_all())
+        p = snap.summary.get(f"{base}_path")
+        if p:
+            parts.append(pq.read_table(os.path.join(table.root, p)))
+    return pa.concat_tables(parts) if parts else None
+
 
 class WindowedStreamAggregator:
     """Tumbling by default; pass slide_us < window_us for HOPPING (sliding)
@@ -170,19 +224,10 @@ class WindowedStreamAggregator:
             # Persist this tick's stragglers IN the tick commit: state,
             # output and the late audit rows advance atomically, so a crash
             # between ticks never silently drops them (they are rare by
-            # construction — only rows behind the watermark). Serialized as
-            # base64 Arrow IPC: schema-exact round-trip, and JSON-safe for
-            # any column type (a raw to_pydict of a timestamp column would
-            # crash the tick commit's json.dump). late_table() rebuilds
-            # from the snapshot log; the batch repair path MERGEs them in.
-            import base64
-            import io
-
-            buf = io.BytesIO()
-            with pa.ipc.new_stream(buf, late.schema) as w:
-                w.write_table(late)
-            summary["wstream_late_ipc"] = base64.b64encode(
-                buf.getvalue()).decode("ascii")
+            # construction — only rows behind the watermark). late_table()
+            # rebuilds from the snapshot log; the batch repair path MERGEs
+            # them in. See stash_late for the embed-vs-spill policy.
+            stash_late(self.table, summary, "wstream_late", late)
         self.table.commit("stream-window", added, summary=summary)
         self.last_offset = offset
         return True
@@ -211,15 +256,7 @@ class WindowedStreamAggregator:
         """All straggler rows, rebuilt from the snapshot log (restart-safe:
         each tick's late rows ride in that tick's commit summary as Arrow
         IPC, so schema and dtypes round-trip exactly)."""
-        import base64
-
-        parts = []
-        for snap in self.table.refresh().snapshots():
-            b = snap.summary.get("wstream_late_ipc")
-            if b:
-                parts.append(pa.ipc.open_stream(
-                    base64.b64decode(b)).read_all())
-        return pa.concat_tables(parts) if parts else None
+        return read_late(self.table, "wstream_late")
 
 
 SESSION_SCHEMA = pa.schema([
@@ -388,15 +425,8 @@ class SessionStreamAggregator:
         }
         summary = {"stream_offset": offset, "sstream_state": state}
         if late_parts:
-            import base64
-            import io
-
-            lt = pa.concat_tables(late_parts)
-            buf = io.BytesIO()
-            with pa.ipc.new_stream(buf, lt.schema) as w:
-                w.write_table(lt)
-            summary["wstream_late_ipc"] = base64.b64encode(
-                buf.getvalue()).decode("ascii")
+            stash_late(self.table, summary, "wstream_late",
+                       pa.concat_tables(late_parts))
         self.table.commit("stream-session", added, summary=summary)
         self.last_offset = offset
         return True
@@ -420,15 +450,7 @@ class SessionStreamAggregator:
         return self.table.refresh().scan_arrow(sort=True)
 
     def late_table(self) -> pa.Table | None:
-        import base64
-
-        parts = []
-        for snap in self.table.refresh().snapshots():
-            b = snap.summary.get("wstream_late_ipc")
-            if b:
-                parts.append(pa.ipc.open_stream(
-                    base64.b64decode(b)).read_all())
-        return pa.concat_tables(parts) if parts else None
+        return read_late(self.table, "wstream_late")
 
 
 SSJOIN_SCHEMA = pa.schema([
@@ -562,15 +584,8 @@ class StreamStreamJoiner:
         }
         summary = {"stream_offset": offset, "ssjoin_state": state}
         if late_parts:
-            import base64
-            import io
-
-            late = pa.concat_tables(late_parts)
-            buf = io.BytesIO()
-            with pa.ipc.new_stream(buf, late.schema) as w:
-                w.write_table(late)
-            summary["ssjoin_late_ipc"] = base64.b64encode(
-                buf.getvalue()).decode("ascii")
+            stash_late(self.table, summary, "ssjoin_late",
+                       pa.concat_tables(late_parts))
         self.table.commit("stream-ssjoin", added, summary=summary)
         self.last_offset = offset
         return True
@@ -586,15 +601,7 @@ class StreamStreamJoiner:
         return self.table.refresh().scan_arrow(sort=True)
 
     def late_table(self) -> pa.Table | None:
-        import base64
-
-        parts = []
-        for snap in self.table.refresh().snapshots():
-            b = snap.summary.get("ssjoin_late_ipc")
-            if b:
-                parts.append(pa.ipc.open_stream(
-                    base64.b64decode(b)).read_all())
-        return pa.concat_tables(parts) if parts else None
+        return read_late(self.table, "ssjoin_late")
 
 
 DEDUP_SCHEMA = pa.schema([
@@ -760,19 +767,12 @@ class StreamDeduplicator:
             delta["full"] = sorted(self.seen.items())
         summary = {"stream_offset": offset, "dstream_delta": delta}
         if late is not None and len(late):
-            import base64
-            import io
-
             lt = pa.table({
                 "key": pa.array(late["key"], pa.string()),
                 "t": pa.array(late["t"].astype("int64")),
                 "cents": pa.array(late["cents"].astype("int64")),
             })
-            buf = io.BytesIO()
-            with pa.ipc.new_stream(buf, lt.schema) as w:
-                w.write_table(lt)
-            summary["dstream_late_ipc"] = base64.b64encode(
-                buf.getvalue()).decode("ascii")
+            stash_late(self.table, summary, "dstream_late", lt)
         self.table.commit("stream-dedup", added, summary=summary)
         self.last_offset = offset
         return True
@@ -788,12 +788,4 @@ class StreamDeduplicator:
         return self.table.refresh().scan_arrow(sort=True)
 
     def late_table(self) -> pa.Table | None:
-        import base64
-
-        parts = []
-        for snap in self.table.refresh().snapshots():
-            b = snap.summary.get("dstream_late_ipc")
-            if b:
-                parts.append(pa.ipc.open_stream(
-                    base64.b64decode(b)).read_all())
-        return pa.concat_tables(parts) if parts else None
+        return read_late(self.table, "dstream_late")

@@ -160,3 +160,53 @@ def test_hop_slide_must_divide_window(tmp_path, ray_session):
     with pytest.raises(ValueError):
         WindowedStreamAggregator(str(tmp_path / "x"), WINDOW, LATE,
                                  slide_us=7_000_000)
+
+
+def test_late_storm_spills_to_side_parquet(tmp_path, ray_session):
+    """VERDICT r03 #8: a late batch over LATE_SPILL_ROWS must spill to a
+    side parquet referenced from the commit summary (table.json stays
+    small), survive a restart, be GC-protected, and read back identically
+    through late_table()."""
+    import os
+
+    from raylake.ops.expire import expire_snapshots
+    from raylake.sources.wstream import LATE_SPILL_ROWS
+
+    root = str(tmp_path / "w")
+    agg = WindowedStreamAggregator(root, WINDOW, LATE)
+    base = 1_000_000_000_000
+    rng = np.random.default_rng(11)
+
+    def tick(i, ts, n):
+        return pa.table({
+            "key": pa.array(rng.choice(["a", "b"], n)),
+            "ts": pa.array(np.full(n, ts, dtype=np.int64), pa.int64()),
+            "value": pa.array(np.round(rng.uniform(0, 10, n), 3)),
+        })
+
+    agg.process_tick(0, tick(0, base, 50))
+    agg.process_tick(1, tick(1, base + 50 * WINDOW, 50))  # watermark leaps
+    n_storm = LATE_SPILL_ROWS + 300
+    agg.process_tick(2, tick(2, base, n_storm))  # all far behind wm: late
+    snap = agg.table.refresh().snapshot()
+    assert "wstream_late_ipc" not in snap.summary
+    rel = snap.summary["wstream_late_path"]
+    assert snap.summary["wstream_late_rows"] == n_storm
+    assert os.path.isfile(os.path.join(root, rel))
+    late = agg.late_table()
+    assert late is not None and len(late) == n_storm
+
+    # small late batches still embed (no spill file)
+    agg.process_tick(3, tick(3, base, 5))
+    s2 = agg.table.refresh().snapshot()
+    assert "wstream_late_ipc" in s2.summary
+    assert agg.late_table().num_rows == n_storm + 5
+
+    # restart: a rebuilt aggregator reads the same audit stream
+    agg2 = WindowedStreamAggregator(root, WINDOW, LATE)
+    assert agg2.late_table().num_rows == n_storm + 5
+
+    # GC keeps the spill parquet (reachable via the summary reference)
+    expire_snapshots(agg.table, keep_last=100, grace_period_s=0.0)
+    assert os.path.isfile(os.path.join(root, rel))
+    assert agg2.late_table().num_rows == n_storm + 5
