@@ -20,8 +20,10 @@ here (or in raylake) calls ``ray.init()`` / ``ray.shutdown()``.
                       replay ``stream_dedup``); rows-only:
                       ``ann_ivf``/``ann_ivf_pq`` (probabilistic probing),
                       ``logreg_train`` (iterative training; exact
-                      single-process-equivalence pytest golden) and the
-                      fixture-input ``transcript_maintenance`` — each
+                      single-process-equivalence pytest golden),
+                      ``model_promote`` (registry state; alias-transition
+                      replay golden in tests/test_model_registry.py) and
+                      the fixture-input ``transcript_maintenance`` — each
                       carries a pytest golden check instead.
 """
 

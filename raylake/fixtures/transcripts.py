@@ -310,8 +310,17 @@ def gen_late_from_meta(
     turn = np.concatenate([turn, np.tile(np.arange(3), n_new)])
 
     ts = BASE_TS_US + 100 * 86400 * 1_000_000 + np.arange(len(conv), dtype=np.int64)
+    # Sort the KEYS first and generate texts in final order: a table-level
+    # sort_by on a multi-GB string column overflows int32 offsets in the
+    # take kernel (seen at sf1: 5.3M late rows × ~1 KB text). Text/role/
+    # tool derive from (conv_id, turn, salt) only, so generation order is
+    # free; ts stays attached to its construction-order row (same rows as
+    # the old sort_by path, bit for bit).
+    conv_np = np.asarray(conv, dtype=object)
+    order = np.lexsort((turn, conv_np))
+    conv_np, turn, ts = conv_np[order], turn[order], ts[order]
     texts, roles, tools = [], [], []
-    for cid, t in zip(conv, turn):
+    for cid, t in zip(conv_np, turn):
         h = hashlib.sha256(f"{cid}:{int(t)}:{salt}".encode()).hexdigest()
         nlen = 50 + (int(h[:8], 16) % 1951)
         texts.append((h * (nlen // 64 + 1))[:nlen])
@@ -322,17 +331,25 @@ def gen_late_from_meta(
         else:
             roles.append("user" if int(t) % 2 == 0 else "assistant")
             tools.append(None)
-    out = pa.table(
+
+    def _chunked_str(vals: list) -> pa.ChunkedArray:
+        # bounded chunks keep every string array far below the 2 GB
+        # int32-offset ceiling regardless of scale
+        step = 1 << 20
+        return pa.chunked_array(
+            [pa.array(vals[i:i + step], type=pa.string())
+             for i in range(0, max(1, len(vals)), step)])
+
+    return pa.table(
         {
-            "conv_id": pa.array(conv, type=pa.string()),
+            "conv_id": _chunked_str(list(conv_np)),
             "turn_idx": pa.array(turn, type=pa.int64()).cast(pa.int32()),
-            "role": pa.array(roles, type=pa.string()),
-            "text": pa.array(texts, type=pa.string()),
-            "tool": pa.array(tools, type=pa.string()),
+            "role": _chunked_str(roles),
+            "text": _chunked_str(texts),
+            "tool": _chunked_str(tools),
             "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
         }
     )
-    return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
 def write_transcript_table(

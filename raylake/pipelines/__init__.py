@@ -1,0 +1,11 @@
+"""Pipelines: medallion builds, the 100+ query catalog, the distributed
+model tail (prep → train → registry/promotion) and the bench harness."""
+
+from raylake.pipelines.ml_train import (  # noqa: F401
+    predict_logreg,
+    train_logreg,
+)
+from raylake.pipelines.registry import (  # noqa: F401
+    ModelRegistry,
+    macro_f1_counts,
+)
