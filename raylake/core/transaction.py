@@ -92,6 +92,7 @@ class CatalogTransaction:
         # ident -> {"added": [ManifestEntry], "deletes": [dict], "summary": {}}
         self._plans: dict[str, dict] = {}
         self._done = False
+        self._intent_written = False
 
     # ------------------------------------------------------------- staging
 
@@ -170,6 +171,7 @@ class CatalogTransaction:
         }
         with _warehouse_lock(self.catalog.warehouse):
             md.atomic_write_json(self._manifest_path(), intent)
+            self._intent_written = True
             _apply(self.catalog, intent)
             # tolerate ENOENT: a (lock-bypassing) recover may already have
             # rolled this txn forward and removed the intent
@@ -177,13 +179,32 @@ class CatalogTransaction:
                 os.unlink(self._manifest_path())
 
     def abort(self) -> None:
-        """Discard staged work: no intent was written (or it is removed), so
-        nothing ever becomes visible; staged parquets are GC orphans."""
+        """Discard staged work: nothing becomes visible; staged parquets are
+        GC orphans. If the APPLY phase already started and any table carries
+        the txn stamp, the intent MUST survive — unlinking it here would
+        strand a partial multi-table commit with no roll-forward path
+        (recover() would find no intent), breaking all-or-nothing. In that
+        case we roll the remaining tables forward instead (appends and
+        equality deletes never conflict, so completion is the faithful
+        outcome even when commit() died on a transient error)."""
         self._done = True
-        try:
-            os.unlink(self._manifest_path())
-        except FileNotFoundError:
-            pass
+        if not self._intent_written:
+            return  # intent never reached disk: nothing is visible
+        with _warehouse_lock(self.catalog.warehouse):
+            try:
+                intent = md.read_json(self._manifest_path())
+            except FileNotFoundError:
+                return  # recover() already finished this txn
+            applied = any(
+                _txn_applied(self.catalog, tp["ident"], intent["txn_id"])
+                for tp in intent["tables"])
+            if applied:
+                try:
+                    _apply(self.catalog, intent)  # complete, don't strand
+                except Exception:
+                    return  # still failing: keep the intent for recover()
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(self._manifest_path())
 
     def __enter__(self) -> "CatalogTransaction":
         return self

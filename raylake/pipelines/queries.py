@@ -2281,7 +2281,7 @@ def q_model_promote(sf_dir: str):
 
     root = "/tmp/raylake_query_registry"
     shutil.rmtree(root, ignore_errors=True)
-    reg = ModelRegistry(root)
+    reg = ModelRegistry(root, create=True)
     incumbent = np.array([1.0, 0.0, 0.0])  # weak hand-set champion
     reg.promote(incumbent, evald, ["value", "hour"], "label",
                 run_id="incumbent", threshold_micro=0)

@@ -24,6 +24,10 @@ is reproducible bit-for-bit across batch layouts and cluster sizes.
 
 from __future__ import annotations
 
+import contextlib
+import os
+from fractions import Fraction
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -72,22 +76,34 @@ def macro_f1_counts(ds, w: np.ndarray, feature_cols: list[str],
     counts = np.zeros(4, np.int64)
     for r in parts:
         counts[r["cell"]] = r["sum(n)"]
-    tn, fp, fn, tp = counts  # cell = y*2 + pred
+    tn, fp, fn, tp = (int(c) for c in counts)  # cell = y*2 + pred
+    # exact rational F1 from the integer counts, half-up to micro-units —
+    # no float ever enters, so no rounding-mode ties (repo rule: derive
+    # emitted metrics from exact sums/counts, never float averages)
     f1s = []
     for pos_tp, pos_fp, pos_fn in ((tp, fp, fn), (tn, fn, fp)):
         denom = 2 * pos_tp + pos_fp + pos_fn
-        f1s.append(0.0 if denom == 0 else 2.0 * pos_tp / denom)
-    return int(np.floor(sum(f1s) / len(f1s) * 1_000_000 + 0.5))
+        f1s.append(Fraction(0) if denom == 0
+                   else Fraction(2 * pos_tp, denom))
+    scaled = sum(f1s, Fraction(0)) / len(f1s) * 1_000_000 + Fraction(1, 2)
+    return scaled.numerator // scaled.denominator
 
 
 class ModelRegistry:
     """Lakehouse-backed model registry (one table per registered model
     name, ref lstm_promoter.py:9-24's registry_model_name)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, create: bool = False):
+        """`create=False` (default) loads an EXISTING registry and
+        propagates FileNotFoundError — read paths (serving reload, alias
+        lookups) must never silently materialize an empty registry at a
+        typo'd root. Pass `create=True` at the one place that owns the
+        registry's lifecycle."""
         try:
             self.table = Table.load(root)
         except FileNotFoundError:
+            if not create:
+                raise
             self.table = Table.create(root, REGISTRY_SCHEMA,
                                       partition_column=None,
                                       sort_order=("version",))
@@ -123,6 +139,26 @@ class ModelRegistry:
         return np.asarray(row["weights"][0].as_py(), dtype=np.float64)
 
     # ----------------------------------------------------------- mutation
+
+    @contextlib.contextmanager
+    def _promote_lock(self):
+        """Exclusive registry-level lock serializing the read-decide-commit
+        section of promote(). Table.commit rebases pure appends (so two
+        concurrent promotes would BOTH land), which means version
+        allocation and alias ranking need their own mutual exclusion —
+        without it, two promoters each read max(version)=N and commit
+        duplicate version N+1 rows with disagreeing alias maps. flock is
+        released on process death, so a crashed promoter never wedges."""
+        import fcntl
+
+        fd = os.open(os.path.join(self.table.root, ".promote.lock"),
+                     os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _next_version(self) -> int:
         self.table.refresh()
@@ -164,28 +200,32 @@ class ModelRegistry:
 
         Returns {"version", "score_micro", "aliases"} or None if gated.
         """
+        # materialize BEFORE any scoring pass: the challenger score, the
+        # gate, and every prior-model re-score then read the same cached
+        # blocks — the upstream feature pipeline executes exactly once
+        eval_ds = eval_ds.materialize()
         score = macro_f1_counts(eval_ds, w, feature_cols, label_col)
         if score < threshold_micro:
             return None
-        eval_ds = eval_ds.materialize()  # re-scored per aliased prior model
-        version = self._next_version()
-        scores = {version: score}
-        prior = self.aliases()
-        for alias in _ALIAS_RANK:
-            v = prior.get(alias)
-            if v is None or v in scores:
-                continue
-            scores[v] = macro_f1_counts(eval_ds, self.load(v),
-                                        feature_cols, label_col)
-        # rank: score desc, ties broken toward the OLDER version — an
-        # incumbent keeps production unless the challenger strictly beats it
-        resolved = sorted(scores, key=lambda v: (-scores[v], v))
-        aliases = {"challenger": version, "production": resolved[0]}
-        if len(resolved) > 1:
-            aliases["staging"] = resolved[1]
-        self._register(version, w, run_id, metric, score, summary={
-            "op": "model-promote", "aliases": aliases,
-            "scores_micro": {str(v): s for v, s in scores.items()},
-        })
+        with self._promote_lock():
+            version = self._next_version()
+            scores = {version: score}
+            prior = self.aliases()
+            for alias in _ALIAS_RANK:
+                v = prior.get(alias)
+                if v is None or v in scores:
+                    continue
+                scores[v] = macro_f1_counts(eval_ds, self.load(v),
+                                            feature_cols, label_col)
+            # rank: score desc, ties broken toward the OLDER version — an
+            # incumbent keeps production unless strictly beaten
+            resolved = sorted(scores, key=lambda v: (-scores[v], v))
+            aliases = {"challenger": version, "production": resolved[0]}
+            if len(resolved) > 1:
+                aliases["staging"] = resolved[1]
+            self._register(version, w, run_id, metric, score, summary={
+                "op": "model-promote", "aliases": aliases,
+                "scores_micro": {str(v): s for v, s in scores.items()},
+            })
         return {"version": version, "score_micro": score,
                 "aliases": aliases}

@@ -96,7 +96,9 @@ def serve_model(registry_root: str, feature_cols: list[str],
         return ray.get_actor(name)
     except ValueError:
         pass
+    # get_if_exists makes the create atomic: two concurrent first callers
+    # both land on ONE actor instead of the loser crashing on a name clash
     cls = ray.remote(ModelServer)
-    return cls.options(name=name, lifetime="detached",
-                       num_cpus=num_cpus).remote(
+    return cls.options(name=name, lifetime="detached", num_cpus=num_cpus,
+                       get_if_exists=True).remote(
         registry_root, feature_cols, alias=alias)

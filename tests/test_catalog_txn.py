@@ -261,3 +261,60 @@ def test_recover_grace_skips_fresh_uncommitted_intent(cat, monkeypatch):
     monkeypatch.setattr(txn_mod, "_apply", real_apply)
     assert CatalogTransaction.recover(cat, min_age_s=3600) == [tx2.txid]
     assert _scan(cat, "silver.orders").num_rows == 1
+
+
+def test_ctx_exit_after_partial_apply_keeps_intent_for_recovery(
+        cat, monkeypatch):
+    """A mid-apply failure inside `with cat.transaction()` triggers
+    __exit__ -> abort(). abort() must NOT unlink the intent once any table
+    carries the txn stamp — that would strand a partial multi-table commit
+    with no roll-forward path (all-or-nothing broken forever)."""
+    import raylake.core.transaction as txn_mod
+    real_apply = _apply
+
+    def crashing_apply(catalog, intent):
+        real_apply(catalog, {**intent, "tables": intent["tables"][:1]})
+        raise OSError("persistent failure mid-apply")
+
+    monkeypatch.setattr(txn_mod, "_apply", crashing_apply)
+    with pytest.raises(OSError):
+        with cat.transaction() as tx:
+            tx.append("gold.daily", _rows(("g", 5)))
+            tx.append("silver.orders", _rows(("s", 7)))
+            tx.commit()  # explicit: the raise hits __exit__ -> abort()
+    monkeypatch.setattr(txn_mod, "_apply", real_apply)
+
+    # abort() ran, but the intent survived (one table had committed)
+    assert len(os.listdir(os.path.join(cat.warehouse, "_txn"))) == 1
+    assert CatalogTransaction.recover(cat) == [tx.txid]
+    assert _scan(cat, "gold.daily").num_rows == 1
+    assert _scan(cat, "silver.orders").num_rows == 1
+
+
+def test_ctx_exit_after_transient_apply_failure_completes_txn(
+        cat, monkeypatch):
+    """If the apply failure was transient, abort() itself rolls the
+    remaining tables forward (appends never conflict) and cleans up."""
+    import raylake.core.transaction as txn_mod
+    real_apply = _apply
+    calls = {"n": 0}
+
+    def flaky_apply(catalog, intent):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_apply(catalog, {**intent, "tables": intent["tables"][:1]})
+            raise OSError("transient failure mid-apply")
+        real_apply(catalog, intent)
+
+    monkeypatch.setattr(txn_mod, "_apply", flaky_apply)
+    with pytest.raises(OSError):
+        with cat.transaction() as tx:
+            tx.append("gold.daily", _rows(("g", 5)))
+            tx.append("silver.orders", _rows(("s", 7)))
+            tx.commit()  # explicit: the raise hits __exit__ -> abort()
+
+    # abort() completed the txn on its retry: both visible, intent gone
+    assert _scan(cat, "gold.daily").num_rows == 1
+    assert _scan(cat, "silver.orders").num_rows == 1
+    assert not os.listdir(os.path.join(cat.warehouse, "_txn"))
+    assert CatalogTransaction.recover(cat) == []

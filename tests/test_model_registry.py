@@ -31,14 +31,17 @@ def _f1_local(t: pa.Table, w) -> int:
     z = X @ np.asarray(w[:-1]) + w[-1]
     pred = (1.0 / (1.0 + np.exp(-z)) >= 0.5).astype(np.int64)
     y = t["label"].to_numpy()
+    from fractions import Fraction
+
     f1s = []
     for cls in (1, 0):
         tp = int(((pred == cls) & (y == cls)).sum())
         fp = int(((pred == cls) & (y != cls)).sum())
         fn = int(((pred != cls) & (y == cls)).sum())
         d = 2 * tp + fp + fn
-        f1s.append(0.0 if d == 0 else 2.0 * tp / d)
-    return int(np.floor(sum(f1s) / 2 * 1_000_000 + 0.5))
+        f1s.append(Fraction(0) if d == 0 else Fraction(2 * tp, d))
+    scaled = sum(f1s, Fraction(0)) / 2 * 1_000_000 + Fraction(1, 2)
+    return scaled.numerator // scaled.denominator
 
 
 BETTER = np.array([0.9, -0.4, 0.0])    # near the generator: best F1
@@ -80,7 +83,7 @@ def test_promotion_sequence_matches_reference_semantics(
     and through the pure reference semantics — alias maps must agree at
     every step, including the threshold rejection."""
     t = _eval_table()
-    reg = ModelRegistry(str(tmp_path / "models"))
+    reg = ModelRegistry(str(tmp_path / "models"), create=True)
     models = {"good": GOOD, "better": BETTER, "bad": BAD, "mid": MID}
     scores = {k: _f1_local(t, w) for k, w in models.items()}
     assert scores["bad"] < 330_000 < scores["mid"] < scores["good"] \
@@ -106,7 +109,7 @@ def test_promotion_sequence_matches_reference_semantics(
 
 def test_gated_model_is_not_registered(tmp_path, ray_session):
     t = _eval_table()
-    reg = ModelRegistry(str(tmp_path / "models"))
+    reg = ModelRegistry(str(tmp_path / "models"), create=True)
     assert reg.promote(BAD, _ds(t), ["x0", "x1"], "label") is None
     assert len(reg.versions()) == 0
     assert reg.aliases() == {}
@@ -115,7 +118,7 @@ def test_gated_model_is_not_registered(tmp_path, ray_session):
 def test_registry_reload_and_alias_time_travel(tmp_path, ray_session):
     t = _eval_table()
     root = str(tmp_path / "models")
-    reg = ModelRegistry(root)
+    reg = ModelRegistry(root, create=True)
     reg.promote(GOOD, _ds(t), ["x0", "x1"], "label", run_id="r1")
     seq1 = reg.table.current_seq
     reg.promote(BETTER, _ds(t), ["x0", "x1"], "label", run_id="r2")
@@ -136,8 +139,48 @@ def test_incumbent_keeps_production_on_tie(tmp_path, ray_session):
     the champion, sorted-stability parity with the reference's ranking of
     equal scores by registration order)."""
     t = _eval_table()
-    reg = ModelRegistry(str(tmp_path / "models"))
+    reg = ModelRegistry(str(tmp_path / "models"), create=True)
     reg.promote(GOOD, _ds(t), ["x0", "x1"], "label")
     out = reg.promote(GOOD.copy(), _ds(t), ["x0", "x1"], "label")
     assert out["aliases"] == {"challenger": 2, "production": 1,
                               "staging": 2}
+
+
+def test_registry_read_path_does_not_create(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ModelRegistry(str(tmp_path / "nope"))
+    assert not (tmp_path / "nope").exists()  # no junk table materialized
+
+
+def test_concurrent_promotes_allocate_unique_versions(tmp_path, ray_session):
+    """Two promoters racing on one registry root must land DISTINCT
+    versions (the promote lock serializes version allocation; a pure
+    append rebases in Table.commit, so both commits survive)."""
+    import threading
+
+    t = _eval_table()
+    root = str(tmp_path / "models")
+    ModelRegistry(root, create=True)
+    results, errs = [], []
+
+    def run(w, rid):
+        try:
+            r = ModelRegistry(root)
+            results.append(r.promote(w, _ds(t), ["x0", "x1"], "label",
+                                     run_id=rid, threshold_micro=0))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=run, args=(w, rid))
+          for w, rid in ((GOOD, "a"), (BETTER, "b"))]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    versions = sorted(r["version"] for r in results)
+    assert versions == [1, 2]  # no duplicate allocation
+    reg = ModelRegistry(root)
+    vt = reg.versions()
+    assert vt["version"].to_pylist() == [1, 2]
+    # final alias map ranks by score regardless of commit order
+    best = max(results, key=lambda r: (r["score_micro"], -r["version"]))
+    assert reg.aliases()["production"] == best["version"]

@@ -30,7 +30,7 @@ W2 = np.array([0.8, -0.5, 0.0])   # the exact generator: strictly better
 
 
 def test_server_requires_promoted_model(tmp_path, ray_session):
-    ModelRegistry(str(tmp_path / "m"))
+    ModelRegistry(str(tmp_path / "m"), create=True)
     with pytest.raises(LookupError, match="promote"):
         ModelServer(str(tmp_path / "m"), ["x0", "x1"])
 
@@ -39,7 +39,7 @@ def test_score_matches_predict_logreg_and_reload_flips_version(
         tmp_path, ray_session):
     t = _eval_table()
     root = str(tmp_path / "m")
-    reg = ModelRegistry(root)
+    reg = ModelRegistry(root, create=True)
     reg.promote(W1, _ds(t), ["x0", "x1"], "label", threshold_micro=0)
 
     srv = ModelServer(root, ["x0", "x1"])
@@ -64,7 +64,7 @@ def test_named_actor_endpoint_round_trip(tmp_path, ray_session):
 
     t = _eval_table()
     root = str(tmp_path / "m")
-    reg = ModelRegistry(root)
+    reg = ModelRegistry(root, create=True)
     reg.promote(W1, _ds(t), ["x0", "x1"], "label", threshold_micro=0)
 
     name = "raylake-test-server"
@@ -89,7 +89,7 @@ def test_named_actor_endpoint_round_trip(tmp_path, ray_session):
 def test_map_batches_bulk_scoring(tmp_path, ray_session):
     t = _eval_table()
     root = str(tmp_path / "m")
-    ModelRegistry(root).promote(W1, _ds(t), ["x0", "x1"], "label",
+    ModelRegistry(root, create=True).promote(W1, _ds(t), ["x0", "x1"], "label",
                                 threshold_micro=0)
     scored = _ds(t).map_batches(
         ModelServer, fn_constructor_args=(root, ["x0", "x1"]),
