@@ -17,6 +17,10 @@ stages, explicit hash partitioning on `conv_id` with skew splitting for hot
 keys. Metadata is Avro-free JSON (manifests + snapshot log); data is Parquet.
 """
 
+from raylake.core.compat import ensure_fsspec_http_importable
+
+ensure_fsspec_http_importable()  # thread-safe Ray Data reads, see compat.py
+
 from raylake.core.table import Table, CommitConflictError  # noqa: F401
 from raylake.core.schema import TRANSCRIPT_SCHEMA  # noqa: F401
 from raylake.core.catalog import Catalog  # noqa: F401

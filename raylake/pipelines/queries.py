@@ -3418,6 +3418,137 @@ ORDER BY s_nationkey
 """
 
 
+def q_dag_medallion(sf_dir: str):
+    """The reference's Airflow orchestration (ref src/dags/elt_history.py:
+    126-143) re-expressed as a pipelines.dag run with an EXACT oracle: two
+    bronze loads run as parallel DAG branches, two silver cleans gate on
+    their loads (one fails its first attempt on purpose — the per-job
+    retry budget absorbs it, Airflow `retries` parity), and the gold
+    join-rollup gates on BOTH branches. Jobs exchange state only through
+    catalog tables (the Airflow task-boundary contract); the returned gold
+    table must equal the straight-SQL join regardless of orchestration."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from raylake.core.catalog import Catalog
+    from raylake.functions import cleaning as cl
+    from raylake.ops.append import append as tbl_append
+    from raylake.pipelines.dag import Dag, DagRun
+
+    wh = tempfile.mkdtemp(prefix="raylake_dag_", dir="/tmp")
+    try:
+        cat = Catalog.init_medallion(wh)
+        rd = _rd()
+
+        def load_supplier():
+            t = cat.create_table(
+                "bronze.supplier", pa.schema([
+                    ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                    ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64()),
+                ]), partition_column="s_suppkey", num_buckets=4,
+                sort_order=("s_suppkey",))
+            tbl_append(t, rd.read_parquet(
+                _pq(sf_dir, "supplier"),
+                columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]))
+
+        def load_nation():
+            t = cat.create_table(
+                "bronze.nation", pa.schema([
+                    ("n_nationkey", pa.int32()), ("n_name", pa.string()),
+                ]), partition_column=None, sort_order=("n_nationkey",))
+            tbl_append(t, rd.read_parquet(
+                _pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"]))
+
+        flaked = {"done": False}
+
+        def clean_supplier():
+            if not flaked["done"]:  # deterministic transient failure
+                flaked["done"] = True
+                raise RuntimeError("injected transient failure")
+            bronze = cat.load_table("bronze.supplier")
+            silver = cat.create_table(
+                "silver.supplier", bronze.schema,
+                partition_column="s_suppkey", num_buckets=4,
+                sort_order=("s_suppkey",))
+
+            def clean(t: pa.Table) -> pa.Table:
+                t = cl.trim_strings(t, ["s_name"])
+                t = cl.nullify_negative(t, ["s_acctbal"])
+                return cl.fill_null_fixed(t, {"s_acctbal": 0.0})
+
+            tbl_append(silver,
+                       bronze.scan().map_batches(clean,
+                                                 batch_format="pyarrow"))
+
+        def clean_nation():
+            bronze = cat.load_table("bronze.nation")
+            silver = cat.create_table(
+                "silver.nation", bronze.schema, partition_column=None,
+                sort_order=("n_nationkey",))
+            tbl_append(silver, bronze.scan().map_batches(
+                lambda t: cl.trim_strings(t, ["n_name"]),
+                batch_format="pyarrow"))
+
+        def gold_rollup():
+            nat = cat.load_table("silver.nation").scan_arrow()
+            nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+            lut = np.empty(int(nk.max()) + 1, dtype=object)
+            lut[nk] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+
+            def cents(t: pa.Table) -> pa.Table:
+                keys = t["s_nationkey"].to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "n_name": pa.array(lut[keys], pa.string()),
+                    "bal_cents": pa.array(np.floor(
+                        t["s_acctbal"].to_numpy() * 100 + 0.5)
+                        .astype(np.int64)),
+                })
+
+            agg = (cat.load_table("silver.supplier").scan()
+                   .map_batches(cents, batch_format="pyarrow")
+                   .groupby("n_name").aggregate(Count(), Sum("bal_cents")))
+            gold = cat.create_table(
+                "gold.nation_balance", pa.schema([
+                    ("n_name", pa.string()), ("n_suppliers", pa.int64()),
+                    ("sum_bal_cents", pa.int64()),
+                ]), partition_column=None, sort_order=("n_name",))
+            tbl_append(gold, agg.map_batches(
+                lambda t: pa.table({
+                    "n_name": t["n_name"],
+                    "n_suppliers": pc.cast(t["count()"], pa.int64()),
+                    "sum_bal_cents": pc.cast(t["sum(bal_cents)"],
+                                             pa.int64()),
+                }), batch_format="pyarrow"))
+
+        dag = Dag("elt_medallion")
+        dag.add("load_supplier", load_supplier)
+        dag.add("load_nation", load_nation)
+        dag.add("clean_supplier", clean_supplier,
+                deps=["load_supplier"], retries=2)
+        dag.add("clean_nation", clean_nation, deps=["load_nation"])
+        dag.add("gold_rollup", gold_rollup,
+                deps=["clean_supplier", "clean_nation"])
+        out = DagRun(dag, os.path.join(wh, "_dagruns")).execute(
+            max_workers=4)
+        assert set(out.values()) == {"success"}, out
+        return cat.load_table("gold.nation_balance").scan_arrow(sort=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+SQL_DAG_MEDALLION = """
+SELECT trim(n_name) AS n_name,
+       count(*)::BIGINT AS n_suppliers,
+       sum(floor(CASE WHEN s_acctbal < 0 THEN 0.0 ELSE s_acctbal END
+                 * 100 + 0.5))::BIGINT AS sum_bal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY trim(n_name)
+ORDER BY n_name
+"""
+
+
 def q_mor_delete_scan(sf_dir: str):
     """Merge-on-read equality delete, oracle-checked end-to-end: build the
     events-derived transcript table (same derivation as maintained_scan),
@@ -5778,6 +5909,7 @@ QUERIES = {
     "model_promote": q_model_promote,
     "transcript_maintenance": q_transcript_maintenance,
     "catalog_medallion": q_catalog_medallion,
+    "dag_medallion": q_dag_medallion,
     "pack_sequences": q_pack_sequences,
     "gopher_rules": q_gopher_rules,
     "chunk_docs": q_chunk_docs,
@@ -5878,6 +6010,7 @@ ORACLES = {
     "simhash": SQL_SIMHASH,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "catalog_medallion": SQL_CATALOG_MEDALLION,
+    "dag_medallion": SQL_DAG_MEDALLION,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "gopher_rules": SQL_GOPHER_RULES,
     "chunk_docs": SQL_CHUNK_DOCS,
