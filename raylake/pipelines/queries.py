@@ -1624,48 +1624,24 @@ def _join_pair_sides(cand, side_ds_factory, rows_hint=None):
                       rows_hint=rows_hint)
 
 
-def q_minhash_neardup(sf_dir: str):
-    """MinHash+LSH near-dup candidates verified by true 3-gram Jaccard ≥ 0.5.
+_JACCARD_EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
+                           "doc_b": pa.array([], pa.int64()),
+                           "jaccard": pa.array([], pa.float64())})
 
-    shingle→minhash per batch → explode to (band_id, band_hash, doc_id) →
-    groupby bands → candidate pairs → hash-join each side back to the
-    shingle-hash stream → vectorized intersection counts (pandas merge on
-    flattened (pair_idx, hash) rows). The driver holds candidate IDs and
-    the final verified pairs — never payloads, never the corpus (r02
-    verdict item 3). Cross-band duplicate pairs (≤ bands× for identical
-    docs) ride through the join and dedup with the final rows; on a
-    dup-heavy corpus re-enable a pair-keyed groupby dedup before the join
-    instead (one extra all-to-all). Oracle: the SQL
-    transcription replicates the FULL LSH pipeline (md5 gram hashes →
-    universal-hash minhash with the same wrap semantics → banding →
-    verify), so the match is exact including banding false negatives."""
-    from raylake.functions.dedup import MinHasher, _token_hashes, lsh_band_rows
 
-    rd = _rd()
-    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher(num_perm=64, shingle=3),
-                          batch_format="pandas")
-    bands = sigs.map_batches(lambda b: lsh_band_rows(b, "doc_id", bands=16),
-                             batch_format="pandas")
-    cand = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(_neardup_pairs_groupfn(), batch_format="pandas")
-        .materialize()  # object store (bounded by |candidates|), not driver
-    )
-    empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
-    n_cand = cand.count()
-    if n_cand == 0:
-        return empty
-
-    # Candidate-id set, broadcast once (ray.put): O(|candidate ids|) on the
-    # driver — ids only, never payloads (the r02 finding was the SHINGLE-SET
-    # dict, which stays distributed below). A pair agreeing on k bands is
-    # emitted k times here; the duplicate verifies are bounded by band count
-    # and deduped with the final pair rows on the driver — cheaper than a
-    # dedicated all-to-all dedup shuffle at every scale we measured.
+def _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5):
+    """Distributed exact-Jaccard verify of candidate (doc_a, doc_b) pairs
+    against the shingle sets of `ds` (doc_id, text) — shared tail of
+    minhash_neardup (LSH candidates) and jaccard_neardup (prefix-filter
+    candidates). Candidate-id set broadcasts once via ray.put (ids only,
+    never payloads); shingle sets flow as binary-packed uint64 blobs
+    through a two-sided hash join; intersection counts come from ONE
+    vectorized merge per batch. Duplicate candidate pairs ride through and
+    dedup with the final rows on the driver (bounded by the caller's
+    candidate-generation dup factor)."""
     import ray as _ray
+
+    from raylake.functions.dedup import _token_hashes
 
     idp = cand.map_batches(
         lambda t: pa.table({"doc_id": np.unique(np.concatenate(
@@ -1680,7 +1656,7 @@ def q_minhash_neardup(sf_dir: str):
         keep = np.fromiter((int(d) in want for d in t["doc_id"].to_numpy()),
                            bool, len(t))
         t = t.filter(pa.array(keep))
-        hs = [np.unique(_token_hashes(s, 3)).tobytes()
+        hs = [np.unique(_token_hashes(s, shingle)).tobytes()
               for s in t["text"].to_pylist()]
         return pa.table({
             "doc_id": t["doc_id"],
@@ -1701,7 +1677,7 @@ def q_minhash_neardup(sf_dir: str):
     def verify(t: pa.Table) -> pa.Table:
         n = len(t)
         if n == 0:
-            return empty
+            return _JACCARD_EMPTY
         va, la = _binary_u64_flat(t["hashes_a"])
         vb, lb = _binary_u64_flat(t["hashes_b"])
         # flatten to (pair_idx, hash) rows; intersection counts via ONE
@@ -1713,7 +1689,7 @@ def q_minhash_neardup(sf_dir: str):
         inter[m.index.to_numpy()] = m.to_numpy()
         union = la + lb - inter
         js = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-        keep = js >= 0.5
+        keep = js >= tau
         return pa.table({
             "doc_a": t["doc_a"].filter(pa.array(keep)),
             "doc_b": t["doc_b"].filter(pa.array(keep)),
@@ -1722,7 +1698,7 @@ def q_minhash_neardup(sf_dir: str):
 
     verified = (joined.map_batches(verify, batch_format="pyarrow")
                 .to_pandas()  # final pairs only — the answer itself
-                .drop_duplicates(["doc_a", "doc_b"])  # cross-band dups
+                .drop_duplicates(["doc_a", "doc_b"])  # cross-bucket dups
                 .sort_values(["doc_a", "doc_b"], kind="mergesort")
                 .reset_index(drop=True))
     return pa.table({
@@ -1730,6 +1706,141 @@ def q_minhash_neardup(sf_dir: str):
         "doc_b": pa.array(verified["doc_b"], pa.int64()),
         "jaccard": pa.array(verified["jaccard"], pa.float64()),
     })
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup candidates verified by true 3-gram Jaccard ≥ 0.5.
+
+    shingle→minhash per batch → explode to (band_id, band_hash, doc_id) →
+    groupby bands → candidate pairs → hash-join each side back to the
+    shingle-hash stream → vectorized intersection counts (pandas merge on
+    flattened (pair_idx, hash) rows). The driver holds candidate IDs and
+    the final verified pairs — never payloads, never the corpus (r02
+    verdict item 3). Cross-band duplicate pairs (≤ bands× for identical
+    docs) ride through the join and dedup with the final rows; on a
+    dup-heavy corpus re-enable a pair-keyed groupby dedup before the join
+    instead (one extra all-to-all). Oracle: the SQL
+    transcription replicates the FULL LSH pipeline (md5 gram hashes →
+    universal-hash minhash with the same wrap semantics → banding →
+    verify), so the match is exact including banding false negatives."""
+    from raylake.functions.dedup import MinHasher, lsh_band_rows
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher(num_perm=64, shingle=3),
+                          batch_format="pandas")
+    bands = sigs.map_batches(lambda b: lsh_band_rows(b, "doc_id", bands=16),
+                             batch_format="pandas")
+    cand = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(_neardup_pairs_groupfn(), batch_format="pandas")
+        .materialize()  # object store (bounded by |candidates|), not driver
+    )
+    n_cand = cand.count()
+    if n_cand == 0:
+        return _JACCARD_EMPTY
+
+    # Verify tail shared with q_jaccard_neardup. Candidate-id set broadcasts
+    # once (ray.put): O(|candidate ids|) on the driver — ids only, never
+    # payloads (the r02 finding was the SHINGLE-SET dict, which stays
+    # distributed). A pair agreeing on k bands is emitted k times here; the
+    # duplicate verifies are bounded by band count and deduped with the
+    # final pair rows — cheaper than a dedicated all-to-all dedup shuffle
+    # at every scale we measured.
+    return _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5)
+
+
+def q_jaccard_neardup(sf_dir: str):
+    """EXACT n-gram Jaccard set-similarity self-join (3-grams, τ=0.5) via
+    PREFIX FILTERING (Bayardo/Ma/Srikant WWW'07 "Scaling Up All Pairs
+    Similarity Search"; Chaudhuri et al. SSJoin) — the exact counterpart of
+    minhash_neardup's approximate LSH: zero false negatives (no banding
+    misses), same (doc_a, doc_b, jaccard) output contract.
+
+    Completeness bound: J(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉ (union ≥
+    max size), and under a global total order on shingle hashes two sorted
+    sets with overlap ≥ α must share an element within their first
+    (size − α + 1) elements — so emitting only each doc's PREFIX of length
+    n − ⌈τ·n⌉ + 1 into the candidate groupby loses no qualifying pair
+    (property-tested against brute force in tests/test_jaccard_neardup.py).
+
+    Scale shape: text never moves. Prefix rows (hv, doc_id) are ~half the
+    distinct-gram stream; candidate generation is a vectorized hash
+    SELF-JOIN on hv (NOT a groupby(hv).map_groups — one pandas call per
+    gram bucket measured 16 s where the Acero join takes <1 s on the same
+    input); pair dedup is a vectorized hash-aggregate over bare
+    (doc_a, doc_b) keys (a prefix pair can co-occur in many buckets —
+    unbounded dup factor, unlike LSH's ≤ bands, so dedup BEFORE the verify
+    join, not after); verify is the same distributed binary-packed
+    hash-join as minhash_neardup. No all-pairs stage; the driver holds
+    candidate IDs + final pairs only. An AllPairs length filter prunes
+    pairs whose set sizes differ >2× before the verify join. Hot-gram
+    caveat: the global order is the hash value (a uniform random order);
+    a corpus-wide stop-gram landing in many prefixes makes its join bucket
+    quadratic — at real scale switch the order to ascending document
+    frequency (PPJoin canonical order; any total order keeps the
+    completeness proof) so prefixes hold the rarest grams. Reference
+    semantics family: D1 exact dedup
+    (src/elt/silver/_silver_handler.py:124-143) hardened to near-dup."""
+    from ray.data.aggregate import Count
+
+    from raylake.functions.dedup import _token_hashes
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ids, hvs, lens = [], [], []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hv = np.unique(_token_hashes(s, 3))  # sorted = the global order
+            n = len(hv)
+            p = n - (n + 1) // 2 + 1  # n − ⌈0.5·n⌉ + 1
+            hvs.append(hv[:p])
+            ids.append(np.full(p, d, np.int64))
+            lens.append(np.full(p, n, np.int64))  # full set size, for the
+        if not ids:                               # length filter downstream
+            return pa.table({"hv": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "hv": pa.array(np.concatenate(hvs).view(np.int64)),
+            "doc_id": pa.array(np.concatenate(ids)),
+            "n": pa.array(np.concatenate(lens)),
+        })
+
+    pre = (ds.map_batches(prefix_rows, batch_format="pyarrow")
+           .materialize())  # (hv, doc_id, setsize) — reused by both sides
+
+    def side(name, ncol):
+        return pre.map_batches(
+            lambda t, name=name, ncol=ncol: pa.table(
+                {"hv": t["hv"], name: t["doc_id"], ncol: t["n"]}),
+            batch_format="pyarrow")
+
+    def pair_filter(t: pa.Table) -> pa.Table:
+        # ordered pairs + AllPairs LENGTH filter: J ≥ τ ⇒ i ≤ min(a,b) and
+        # union = max(a,b) at best ⇒ min/max ≥ τ — a 2× size gap can't
+        # reach Jaccard 0.5, prune before the expensive verify join
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nb = t["nb_"].to_numpy(zero_copy_only=False)
+        keep = (t["doc_a"].to_numpy(zero_copy_only=False)
+                < t["doc_b"].to_numpy(zero_copy_only=False))
+        keep &= (np.maximum(na, nb) <= 2 * np.minimum(na, nb))
+        return t.filter(pa.array(keep)).select(["doc_a", "doc_b"])
+
+    cand = (
+        _hash_join(side("doc_a", "na"), side("doc_b", "nb_"), on=("hv",))
+        .map_batches(pair_filter, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])  # distributed pair dedup (see docstring)
+        .aggregate(Count(alias_name="nb"))
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                     batch_format="pyarrow")
+        .materialize()  # object store (bounded by |candidates|), not driver
+    )
+    n_cand = cand.count()
+    if n_cand == 0:
+        return _JACCARD_EMPTY
+    return _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5)
 
 
 DUP_SPAN_L = 5  # words per span fingerprint
@@ -1958,6 +2069,30 @@ ORDER BY i.doc_a, i.doc_b
 
 
 SQL_MINHASH_NEARDUP = _sql_minhash_neardup()
+
+# Exact transcription of jaccard_neardup: candidates = pairs sharing ANY
+# gram (a superset of the Ray side's prefix-filter candidates — the prefix
+# theorem says every J ≥ 0.5 pair shares a PREFIX gram, so after the
+# identical verify both candidate sets yield the same pairs). jaccard is a
+# division of identical integers on both sides (driver float-safety).
+SQL_JACCARD_NEARDUP = rf"""
+WITH {_SQL_GRAMS3},
+sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM gh x JOIN gh y ON x.hv = y.hv AND x.doc_id < y.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN gh x ON x.doc_id = c.doc_a
+          JOIN gh y ON y.doc_id = c.doc_b AND y.hv = x.hv
+          GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       i.i::DOUBLE / (sa.n + sb.n - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.5
+ORDER BY i.doc_a, i.doc_b
+"""
 
 _SQL_SIMHASH_SIG = r"""
 tk AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
@@ -5347,6 +5482,130 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change) — the pure scan-side shape:
+    ALL three predicates (shipdate year, discount band, quantity cap) push
+    into the parquet read, so row groups outside the year never leave
+    storage and only two needed columns are projected; each batch reduces
+    to ONE partial row (revenue, count); the global sum is a tiny
+    aggregate. Revenue = Σ extendedprice·discount kept exact as
+    cents × basis-points int64 — no double accumulation order dependence
+    (driver float-safety)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate")
+                >= pa.scalar(pd.Timestamp("1996-01-01")))
+        & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1997-01-01")))
+        & (pc.field("l_discount") >= 0.05)
+        & (pc.field("l_discount") <= 0.07)
+        & (pc.field("l_quantity") < 24.0))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        bp = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_discount"], 100.0), 0.5)), pa.int64())
+        rev = pc.sum(pc.multiply(cents, bp)).as_py()
+        return pa.table({"revenue_i": pa.array([rev or 0], pa.int64()),
+                         "n_items": pa.array([len(t)], pa.int64())})
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("revenue_i", alias_name="revenue_i"),
+                      Sum("n_items", alias_name="n_items"))) or {}
+    return pa.table({
+        "revenue_i": pa.array([int(agg.get("revenue_i") or 0)], pa.int64()),
+        "n_items": pa.array([int(agg.get("n_items") or 0)], pa.int64()),
+    })
+
+
+SQL_TPCH_Q6 = """
+SELECT sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))::BIGINT
+           AS revenue_i,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect) — dimension-broadcast join: the part
+    side reduces to a sorted partkey array + promo bool array shipped ONCE
+    via ray.put (at sf1 that's 2 M keys ≈ 16 MB — the canonical broadcast,
+    never a shuffle); date-filtered lineitem streams through a vectorized
+    searchsorted membership + conditional partial. Returns the integer
+    numerator/denominator (promo vs total revenue cents) instead of the
+    TPC-H percentage — a ratio of doubles is summation-order-dependent,
+    the two int sums are exact (driver float-safety)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    part = part.sort_values("p_partkey")
+    ref = ray.put((part["p_partkey"].to_numpy(),
+                   (part["p_type"] == "PROMO").to_numpy()))
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate")
+                >= pa.scalar(pd.Timestamp("1996-09-01")))
+        & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1996-10-01"))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, promo = ray.get(ref)
+        probe = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ok = _sorted_membership(keys, probe)
+        cents = _revenue_cents(t).to_numpy(zero_copy_only=False)
+        is_promo = np.zeros(len(probe), bool)
+        if len(keys):
+            idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+            is_promo = ok & promo[idx]
+        return pa.table({
+            "promo_rev_cents": pa.array([int(cents[is_promo].sum())],
+                                        pa.int64()),
+            "total_rev_cents": pa.array([int(cents[ok].sum())], pa.int64()),
+            "n_items": pa.array([int(ok.sum())], pa.int64()),
+        })
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("promo_rev_cents", alias_name="promo_rev_cents"),
+                      Sum("total_rev_cents", alias_name="total_rev_cents"),
+                      Sum("n_items", alias_name="n_items"))) or {}
+    return pa.table({
+        "promo_rev_cents": pa.array([int(agg.get("promo_rev_cents") or 0)],
+                                    pa.int64()),
+        "total_rev_cents": pa.array([int(agg.get("total_rev_cents") or 0)],
+                                    pa.int64()),
+        "n_items": pa.array([int(agg.get("n_items") or 0)], pa.int64()),
+    })
+
+
+SQL_TPCH_Q14 = """
+SELECT sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                                + 0.5) AS BIGINT) ELSE 0 END)::BIGINT
+           AS promo_rev_cents,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                AS BIGINT))::BIGINT AS total_rev_cents,
+       count(*) AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3 (shipping priority) — segment-filtered customers broadcast
     as a sorted key array, date-filtered orders hash-shuffle-join date-
@@ -5900,6 +6159,7 @@ QUERIES = {
     # non-SQL-expressible (rows-only driver check): minhash banding and IVF
     # probing aren't reproducible in SQL; both carry pytest golden checks.
     "minhash_neardup": q_minhash_neardup,
+    "jaccard_neardup": q_jaccard_neardup,
     "dup_spans": q_dup_spans,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
@@ -5936,6 +6196,8 @@ QUERIES = {
     "collect_paths": q_collect_paths,
     "group_median": q_group_median,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q14": q_tpch_q14,
     "tpch_q3": q_tpch_q3,
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
@@ -6006,6 +6268,7 @@ ORACLES = {
     "time_travel": SQL_TIME_TRAVEL,
     "wap_isolation": SQL_WAP_ISOLATION,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "jaccard_neardup": SQL_JACCARD_NEARDUP,
     "dup_spans": SQL_DUP_SPANS,
     "simhash": SQL_SIMHASH,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
@@ -6037,6 +6300,8 @@ ORACLES = {
     "collect_paths": SQL_COLLECT_PATHS,
     "group_median": SQL_GROUP_MEDIAN,
     "tpch_q5": SQL_TPCH_Q5,
+    "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q14": SQL_TPCH_Q14,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
