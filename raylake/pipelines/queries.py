@@ -1556,29 +1556,6 @@ FROM documents
 # Non-SQL-expressible (rows-only driver check)
 # ---------------------------------------------------------------------------
 
-def _neardup_pairs_groupfn(id_col: str = "doc_id", carry_band: bool = False):
-    """map_groups body emitting all id pairs within one LSH bucket."""
-    import itertools
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique().tolist())
-        cols = {"doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64")}
-        if carry_band:
-            cols["band_id"] = pd.Series([], dtype="int32")
-        if len(ids) < 2:
-            return pd.DataFrame(cols)
-        combos = list(itertools.combinations(ids, 2))
-        out = {"doc_a": [a for a, _ in combos],
-               "doc_b": [b for _, b in combos]}
-        if carry_band:
-            out["band_id"] = np.full(len(combos), g["band_id"].iloc[0],
-                                     dtype=np.int32)
-        return pd.DataFrame(out)
-
-    return pairs
-
-
 def _binary_u64_flat(col) -> tuple:
     """Vectorized decode of a binary column of packed-uint64 sets →
     (flat values, per-row element counts). Pure buffer math, no per-row
@@ -1622,6 +1599,30 @@ def _join_pair_sides(cand, side_ds_factory, rows_hint=None):
                    rows_hint=rows_hint)
     return _hash_join(j, side_ds_factory("doc_b", "_b"), on=("doc_b",),
                       rows_hint=rows_hint)
+
+
+def _bucket_pairs_join(rows, keys, carry_band=False):
+    """All (doc_a, doc_b) id pairs co-located in one LSH bucket, via a
+    vectorized hash SELF-JOIN on the bucket keys — replaces
+    groupby(keys).map_groups(pairs-per-bucket): one pandas call per bucket
+    costs more than the whole Acero join once buckets number in the tens
+    of thousands (mostly singletons at any realistic near-dup rate). Join
+    volume is Σ bucket_size² — bounded by the same skew the per-group
+    version had. A pair agreeing on k buckets is emitted k times, same as
+    the per-group version; callers dedup downstream."""
+    def side(name):
+        return rows.map_batches(
+            lambda t, name=name: pa.table(
+                {**{k: t[k] for k in keys}, name: t["doc_id"]}),
+            batch_format="pyarrow")
+
+    keep_cols = ["doc_a", "doc_b"] + (["band_id"] if carry_band else [])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_a"], t["doc_b"])).select(keep_cols)
+
+    return (_hash_join(side("doc_a"), side("doc_b"), on=tuple(keys))
+            .map_batches(pairs, batch_format="pyarrow"))
 
 
 _JACCARD_EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
@@ -1712,14 +1713,14 @@ def q_minhash_neardup(sf_dir: str):
     """MinHash+LSH near-dup candidates verified by true 3-gram Jaccard ≥ 0.5.
 
     shingle→minhash per batch → explode to (band_id, band_hash, doc_id) →
-    groupby bands → candidate pairs → hash-join each side back to the
-    shingle-hash stream → vectorized intersection counts (pandas merge on
-    flattened (pair_idx, hash) rows). The driver holds candidate IDs and
-    the final verified pairs — never payloads, never the corpus (r02
-    verdict item 3). Cross-band duplicate pairs (≤ bands× for identical
-    docs) ride through the join and dedup with the final rows; on a
-    dup-heavy corpus re-enable a pair-keyed groupby dedup before the join
-    instead (one extra all-to-all). Oracle: the SQL
+    bucket-pair SELF-JOIN on (band_id, band_hash) → hash-join each side
+    back to the shingle-hash stream → vectorized intersection counts
+    (pandas merge on flattened (pair_idx, hash) rows). The driver holds
+    candidate IDs and the final verified pairs — never payloads, never the
+    corpus (r02 verdict item 3). Cross-band duplicate pairs (≤ bands× for
+    identical docs) ride through the join and dedup with the final rows;
+    on a dup-heavy corpus add a pair-keyed hash-aggregate dedup before the
+    join instead (one extra all-to-all). Oracle: the SQL
     transcription replicates the FULL LSH pipeline (md5 gram hashes →
     universal-hash minhash with the same wrap semantics → banding →
     verify), so the match is exact including banding false negatives."""
@@ -1732,8 +1733,7 @@ def q_minhash_neardup(sf_dir: str):
     bands = sigs.map_batches(lambda b: lsh_band_rows(b, "doc_id", bands=16),
                              batch_format="pandas")
     cand = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(_neardup_pairs_groupfn(), batch_format="pandas")
+        _bucket_pairs_join(bands, ["band_id", "band_hash"])
         .materialize()  # object store (bounded by |candidates|), not driver
     )
     n_cand = cand.count()
@@ -1935,8 +1935,8 @@ def q_simhash(sf_dir: str):
 
 def q_simhash_neardup(sf_dir: str):
     """SimHash near-dup pairs: signatures → 4×16-bit band explode →
-    groupby(band) candidates → hash-join each side back to the signature
-    stream → vectorized Hamming ≤ 3 verify. The pigeonhole band guarantee
+    bucket-pair self-join candidates → hash-join each side back to the
+    signature stream → vectorized Hamming ≤ 3 verify. The pigeonhole band guarantee
     makes this EXACT for Hamming ≤ 3 (zero false negatives) while the
     shuffle moves only (band_id, band_val, doc_id) and (pair, sig) rows —
     no driver-side {doc_id: sig} map (r02 verdict item 4; at 10^12 docs
@@ -1958,9 +1958,8 @@ def q_simhash_neardup(sf_dir: str):
             .select_columns(["doc_id", "simhash"])
             .materialize())  # object store (16 B/doc), reused by two stages
     bands = sigs.map_batches(simhash_band_rows, batch_format="pyarrow")
-    cand = (bands.groupby(["band_id", "band_val"])
-            .map_groups(_neardup_pairs_groupfn(carry_band=True),
-                        batch_format="pandas")
+    cand = (_bucket_pairs_join(bands, ["band_id", "band_val"],
+                               carry_band=True)
             .materialize())
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
