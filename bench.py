@@ -156,8 +156,9 @@ def run_bench() -> dict:
     from raylake.pipelines.queries import QUERIES
 
     for qname in ("pricing_summary", "dedup_events", "window_agg",
-                  "ann_topk", "minhash_neardup", "text_stats",
-                  "funnel_counts", "normalize_text", "tpch_q10"):
+                  "ann_topk", "minhash_neardup", "jaccard_neardup",
+                  "text_stats", "funnel_counts", "normalize_text",
+                  "tpch_q10"):
         t = time.monotonic()
         try:
             qres = QUERIES[qname](SF_DIR)
