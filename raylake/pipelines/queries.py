@@ -1774,28 +1774,65 @@ def q_jaccard_neardup(sf_dir: str):
     join, not after); verify is the same distributed binary-packed
     hash-join as minhash_neardup. No all-pairs stage; the driver holds
     candidate IDs + final pairs only. An AllPairs length filter prunes
-    pairs whose set sizes differ >2× before the verify join. Hot-gram
-    caveat: the global order is the hash value (a uniform random order);
-    a corpus-wide stop-gram landing in many prefixes makes its join bucket
-    quadratic — at real scale switch the order to ascending document
-    frequency (PPJoin canonical order; any total order keeps the
-    completeness proof) so prefixes hold the rarest grams. Reference
-    semantics family: D1 exact dedup
-    (src/elt/silver/_silver_handler.py:124-143) hardened to near-dup."""
-    from ray.data.aggregate import Count
+    pairs whose set sizes differ >2× before the verify join.
+
+    Prefix ORDER is the PPJoin canonical order — ascending document
+    frequency, ties by hash — so each prefix holds the doc's RAREST grams
+    (any total order keeps the completeness proof, and the shared-gram
+    oracle is order-independent). This is load-bearing on template-heavy
+    corpora: under plain hash order the sf0.1 fixture emitted 430k
+    candidates (3.4% of all pairs — every doc pair sharing common template
+    grams), df order cuts that to ~the true near-dup set. The df map
+    broadcasts only grams with df ≥ 2 (absent ⇒ df=1, the rarest tier);
+    at corpus scale replace the exact map with a sampled/approximate df —
+    any consistent order stays exact. Reference semantics family: D1 exact
+    dedup (src/elt/silver/_silver_handler.py:124-143) hardened to
+    near-dup."""
+    import ray as _ray
+
+    from ray.data.aggregate import Count, Sum
 
     from raylake.functions.dedup import _token_hashes
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
+    def gram_partials(t: pa.Table) -> pa.Table:
+        # batch-local combiner before the df groupby (dup_spans pattern)
+        if len(t) == 0:
+            return pa.table({"hv": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        hvs = [np.unique(_token_hashes(s, 3))
+               for s in t["text"].to_pylist()]
+        flat = np.concatenate(hvs).view(np.int64)
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"hv": pa.array(u), "c": pa.array(c)})
+
+    df_tbl = (ds.map_batches(gram_partials, batch_format="pyarrow")
+              .groupby("hv").aggregate(Sum("c", alias_name="df"))
+              .map_batches(lambda t: t.filter(pc.greater(t["df"], 1)),
+                           batch_format="pyarrow")
+              .to_pandas())  # repeated grams only — the broadcastable core
+    df_keys = np.sort(df_tbl["hv"].to_numpy().view(np.uint64))
+    df_vals = (df_tbl["df"].to_numpy()
+               [np.argsort(df_tbl["hv"].to_numpy().view(np.uint64),
+                           kind="stable")].astype(np.int64))
+    df_ref = _ray.put((df_keys, df_vals))
+
     def prefix_rows(t: pa.Table) -> pa.Table:
+        keys, vals = _ray.get(df_ref)
         ids, hvs, lens = [], [], []
         for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            hv = np.unique(_token_hashes(s, 3))  # sorted = the global order
+            hv = np.unique(_token_hashes(s, 3))
             n = len(hv)
+            df = np.ones(n, np.int64)
+            if len(keys):
+                idx = np.minimum(np.searchsorted(keys, hv), len(keys) - 1)
+                hit = keys[idx] == hv
+                df[hit] = vals[idx[hit]]
+            order = np.lexsort((hv, df))  # canonical: (df asc, hash asc)
             p = n - (n + 1) // 2 + 1  # n − ⌈0.5·n⌉ + 1
-            hvs.append(hv[:p])
+            hvs.append(hv[order[:p]])
             ids.append(np.full(p, d, np.int64))
             lens.append(np.full(p, n, np.int64))  # full set size, for the
         if not ids:                               # length filter downstream
