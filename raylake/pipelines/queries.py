@@ -1630,16 +1630,21 @@ _JACCARD_EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
                            "jaccard": pa.array([], pa.float64())})
 
 
-def _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5):
-    """Distributed exact-Jaccard verify of candidate (doc_a, doc_b) pairs
-    against the shingle sets of `ds` (doc_id, text) — shared tail of
-    minhash_neardup (LSH candidates) and jaccard_neardup (prefix-filter
-    candidates). Candidate-id set broadcasts once via ray.put (ids only,
-    never payloads); shingle sets flow as binary-packed uint64 blobs
-    through a two-sided hash join; intersection counts come from ONE
-    vectorized merge per batch. Duplicate candidate pairs ride through and
-    dedup with the final rows on the driver (bounded by the caller's
-    candidate-generation dup factor)."""
+def _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5, hset=None):
+    """Distributed exact-Jaccard verify of candidate (doc_a, doc_b) pairs —
+    shared tail of minhash_neardup (LSH candidates) and jaccard_neardup
+    (prefix-filter candidates). Candidate-id set broadcasts once via
+    ray.put (ids only, never payloads); shingle sets flow as binary-packed
+    uint64 blobs through a two-sided hash join; intersection counts come
+    from ONE vectorized merge per batch. Duplicate candidate pairs ride
+    through and dedup with the final rows on the driver (bounded by the
+    caller's candidate-generation dup factor).
+
+    If `hset` is given it is a materialized (doc_id, hashes, ...) stream of
+    binary-packed sorted-unique uint64 shingle hashes and the corpus is NOT
+    re-shingled (jaccard_neardup packs once and serves its df, prefix and
+    verify passes from it); otherwise the texts of `ds` are shingled for
+    candidate docs only — cheaper when candidates are sparse (minhash)."""
     import ray as _ray
 
     from raylake.functions.dedup import _token_hashes
@@ -1650,21 +1655,32 @@ def _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5):
         batch_format="pyarrow").to_pandas()
     ids_ref = _ray.put(set(idp["doc_id"].tolist()))
 
-    def shingle_sets(t: pa.Table, ids_ref=ids_ref) -> pa.Table:
-        # binary-encoded uint64 sets: Acero hash joins reject list<> payload
-        # columns, and the byte blobs decode vectorized on the other side
+    def _keep_ids(t: pa.Table) -> pa.Table:
         want = _ray.get(ids_ref)
         keep = np.fromiter((int(d) in want for d in t["doc_id"].to_numpy()),
                            bool, len(t))
-        t = t.filter(pa.array(keep))
-        hs = [np.unique(_token_hashes(s, shingle)).tobytes()
-              for s in t["text"].to_pylist()]
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "hashes": pa.array(hs, pa.binary()),
-        })
+        return t.filter(pa.array(keep))
 
-    hset = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
+    if hset is None:
+        def shingle_sets(t: pa.Table) -> pa.Table:
+            # binary-encoded uint64 sets: Acero hash joins reject list<>
+            # payload columns, and the blobs decode vectorized on the
+            # other side
+            t = _keep_ids(t)
+            hs = [np.unique(_token_hashes(s, shingle)).tobytes()
+                  for s in t["text"].to_pylist()]
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "hashes": pa.array(hs, pa.binary()),
+            })
+
+        hset = (ds.map_batches(shingle_sets, batch_format="pyarrow")
+                .materialize())
+    else:
+        hset = (hset.map_batches(
+                    lambda t: _keep_ids(t).select(["doc_id", "hashes"]),
+                    batch_format="pyarrow")
+                .materialize())
 
     def side(id_name, suffix):
         return hset.map_batches(
@@ -1730,8 +1746,12 @@ def q_minhash_neardup(sf_dir: str):
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
     sigs = ds.map_batches(MinHasher(num_perm=64, shingle=3),
                           batch_format="pandas")
-    bands = sigs.map_batches(lambda b: lsh_band_rows(b, "doc_id", bands=16),
-                             batch_format="pandas")
+    bands = (sigs.map_batches(lambda b: lsh_band_rows(b, "doc_id", bands=16),
+                              batch_format="pandas")
+             .materialize())  # BOTH self-join sides consume this — an
+    # unmaterialized dataset branched into two join sides re-executes the
+    # shared lineage (read + 64-perm MinHasher) once PER SIDE (review
+    # finding, empirically confirmed on Ray 2.49)
     cand = (
         _bucket_pairs_join(bands, ["band_id", "band_hash"])
         .materialize()  # object store (bounded by |candidates|), not driver
@@ -1797,39 +1817,55 @@ def q_jaccard_neardup(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
+    def pack_shingles(t: pa.Table) -> pa.Table:
+        # shingle the corpus ONCE (the per-gram md5 loop is the dominant
+        # CPU — review finding): binary-packed sorted-unique uint64 blobs
+        # serve the df pass, the prefix pass AND the verify join
+        hs, ns = [], []
+        for s in t["text"].to_pylist():
+            hv = np.unique(_token_hashes(s, 3))
+            hs.append(hv.tobytes())
+            ns.append(len(hv))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "hashes": pa.array(hs, pa.binary()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    hset = (ds.map_batches(pack_shingles, batch_format="pyarrow")
+            .materialize())
+
     def gram_partials(t: pa.Table) -> pa.Table:
         # batch-local combiner before the df groupby (dup_spans pattern)
         if len(t) == 0:
             return pa.table({"hv": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64())})
-        hvs = [np.unique(_token_hashes(s, 3))
-               for s in t["text"].to_pylist()]
-        flat = np.concatenate(hvs).view(np.int64)
+        flat, _ = _binary_u64_flat(t["hashes"])
         u, c = np.unique(flat, return_counts=True)
-        return pa.table({"hv": pa.array(u), "c": pa.array(c)})
+        return pa.table({"hv": pa.array(u.view(np.int64)), "c": pa.array(c)})
 
-    df_tbl = (ds.map_batches(gram_partials, batch_format="pyarrow")
+    df_tbl = (hset.map_batches(gram_partials, batch_format="pyarrow")
               .groupby("hv").aggregate(Sum("c", alias_name="df"))
               .map_batches(lambda t: t.filter(pc.greater(t["df"], 1)),
                            batch_format="pyarrow")
               .to_pandas())  # repeated grams only — the broadcastable core
-    df_keys = np.sort(df_tbl["hv"].to_numpy().view(np.uint64))
-    df_vals = (df_tbl["df"].to_numpy()
-               [np.argsort(df_tbl["hv"].to_numpy().view(np.uint64),
-                           kind="stable")].astype(np.int64))
-    df_ref = _ray.put((df_keys, df_vals))
+    hv_u64 = df_tbl["hv"].to_numpy().view(np.uint64)
+    order = np.argsort(hv_u64, kind="stable")
+    df_ref = _ray.put((hv_u64[order], df_tbl["df"].to_numpy()[order]
+                       .astype(np.int64)))
 
     def prefix_rows(t: pa.Table) -> pa.Table:
         keys, vals = _ray.get(df_ref)
+        flat, counts = _binary_u64_flat(t["hashes"])
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
         ids, hvs, lens = [], [], []
-        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            hv = np.unique(_token_hashes(s, 3))
-            n = len(hv)
-            df = np.ones(n, np.int64)
-            if len(keys):
-                idx = np.minimum(np.searchsorted(keys, hv), len(keys) - 1)
-                hit = keys[idx] == hv
-                df[hit] = vals[idx[hit]]
+        start = 0
+        for d, ln in zip(dids, counts):
+            hv = flat[start:start + ln]
+            start += ln
+            n = int(ln)
+            hit, dfv = _sorted_lookup(keys, vals, hv)
+            df = np.where(hit, dfv, 1)
             order = np.lexsort((hv, df))  # canonical: (df asc, hash asc)
             p = n - (n + 1) // 2 + 1  # n − ⌈0.5·n⌉ + 1
             hvs.append(hv[order[:p]])
@@ -1845,7 +1881,7 @@ def q_jaccard_neardup(sf_dir: str):
             "n": pa.array(np.concatenate(lens)),
         })
 
-    pre = (ds.map_batches(prefix_rows, batch_format="pyarrow")
+    pre = (hset.map_batches(prefix_rows, batch_format="pyarrow")
            .materialize())  # (hv, doc_id, setsize) — reused by both sides
 
     def side(name, ncol):
@@ -1877,7 +1913,8 @@ def q_jaccard_neardup(sf_dir: str):
     n_cand = cand.count()
     if n_cand == 0:
         return _JACCARD_EMPTY
-    return _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5)
+    return _verify_jaccard(None, cand, n_cand, shingle=3, tau=0.5,
+                           hset=hset)
 
 
 DUP_SPAN_L = 5  # words per span fingerprint
@@ -1994,7 +2031,8 @@ def q_simhash_neardup(sf_dir: str):
                            concurrency=(1, 4))
             .select_columns(["doc_id", "simhash"])
             .materialize())  # object store (16 B/doc), reused by two stages
-    bands = sigs.map_batches(simhash_band_rows, batch_format="pyarrow")
+    bands = (sigs.map_batches(simhash_band_rows, batch_format="pyarrow")
+             .materialize())  # both self-join sides consume this
     cand = (_bucket_pairs_join(bands, ["band_id", "band_val"],
                                carry_band=True)
             .materialize())
@@ -5405,6 +5443,18 @@ def _sorted_membership(keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
     return keys[idx] == probe
 
 
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray,
+                   probe: np.ndarray) -> tuple:
+    """Vectorized (found, value) lookup of `probe` against a SORTED
+    broadcast key array with parallel values — the broadcast-join kernel
+    shared by the TPC-H dimension lookups and the jaccard df order.
+    Empty-safe like _sorted_membership."""
+    if len(keys) == 0:
+        return np.zeros(len(probe), bool), np.zeros(len(probe), vals.dtype)
+    idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+    return keys[idx] == probe, vals[idx]
+
+
 def _revenue_cents(t: pa.Table) -> pa.Array:
     """floor(l_extendedprice*(1-l_discount)*100 + 0.5) as int64 — the
     oracle-load-bearing rounding rule (CLAUDE.md float-safety) shared by
@@ -5444,12 +5494,6 @@ def q_tpch_q5(sf_dir: str):
     ref = ray.put((cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy(),
                    supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy()))
 
-    def lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
-        if len(keys) == 0:
-            return np.zeros(len(probe), bool), np.zeros(len(probe), np.int64)
-        idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-        return keys[idx] == probe, vals[idx]
-
     orders = rd.read_parquet(
         _pq(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -5459,7 +5503,7 @@ def q_tpch_q5(sf_dir: str):
 
     def o_side(t: pa.Table) -> pa.Table:
         ck, cn, _, _ = ray.get(ref)
-        ok, natk = lookup(ck, cn, t["o_custkey"].to_numpy(zero_copy_only=False))
+        ok, natk = _sorted_lookup(ck, cn, t["o_custkey"].to_numpy(zero_copy_only=False))
         return pa.table({"k": t["o_orderkey"], "cnat": pa.array(natk)}).filter(
             pa.array(ok))
 
@@ -5477,7 +5521,7 @@ def q_tpch_q5(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         _, _, sk, sn = ray.get(ref)
-        ok, snat = lookup(sk, sn, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        ok, snat = _sorted_lookup(sk, sn, t["l_suppkey"].to_numpy(zero_copy_only=False))
         cnat = t["cnat"].to_numpy(zero_copy_only=False)
         keep = ok & (snat == cnat)
         natk = cnat[keep].astype(np.int64)
@@ -5601,12 +5645,9 @@ def q_tpch_q14(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         keys, promo = ray.get(ref)
         probe = t["l_partkey"].to_numpy(zero_copy_only=False)
-        ok = _sorted_membership(keys, probe)
+        ok, flag = _sorted_lookup(keys, promo, probe)
         cents = _revenue_cents(t).to_numpy(zero_copy_only=False)
-        is_promo = np.zeros(len(probe), bool)
-        if len(keys):
-            idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-            is_promo = ok & promo[idx]
+        is_promo = ok & flag
         return pa.table({
             "promo_rev_cents": pa.array([int(cents[is_promo].sum())],
                                         pa.int64()),
@@ -6192,8 +6233,11 @@ QUERIES = {
     "schema_evolution_scan": q_schema_evolution_scan,
     "time_travel": q_time_travel,
     "wap_isolation": q_wap_isolation,
-    # non-SQL-expressible (rows-only driver check): minhash banding and IVF
-    # probing aren't reproducible in SQL; both carry pytest golden checks.
+    # near-dup / similarity / ML family. The near-dup pipelines all have
+    # EXACT oracles (full-LSH SQL transcriptions, shared-gram candidate
+    # supersets); rows-only driver checks with pytest goldens instead:
+    # ann_ivf / ann_ivf_pq (probabilistic probing), logreg_train,
+    # model_promote.
     "minhash_neardup": q_minhash_neardup,
     "jaccard_neardup": q_jaccard_neardup,
     "dup_spans": q_dup_spans,
