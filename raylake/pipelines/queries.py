@@ -1466,8 +1466,6 @@ def q_neardup_components(sf_dir: str):
     tiles upstream. Reference semantics: the dedup family of
     /root/reference/src/elt/silver/_silver_handler.py:124-143 extended to
     transitive groups."""
-    from ray.data.aggregate import Min
-
     pairs = q_embed_neardup(sf_dir)
 
     def both_dirs(b: pa.Table) -> pa.Table:
@@ -1477,6 +1475,23 @@ def q_neardup_components(sf_dir: str):
                          "dst": np.concatenate([c, a])})
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    lab = _components_bsp(edges)
+    if lab is None:  # empty graph: no near-dup pairs at this threshold
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    return lab.map_batches(
+        lambda b: pa.table({"vec_id": b["v"], "component": b["l"]}),
+        batch_format="pyarrow")
+
+
+def _components_bsp(edges):
+    """BSP min-label propagation over a MATERIALIZED both-direction edge
+    Dataset (src, dst) → Dataset (v, l) where l is the component's min node
+    id. Shared by q_neardup_components (embedding graph) and
+    q_neardup_dedup (MinHash graph); the scale analysis lives on
+    q_neardup_components' docstring. Returns None for an empty graph.
+    Driver state is the O(1) label-sum convergence checksum only."""
+    from ray.data.aggregate import Min
 
     lab = edges.groupby("src").aggregate(Min("dst")).map_batches(
         lambda b: pa.table({
@@ -1484,9 +1499,8 @@ def q_neardup_components(sf_dir: str):
             "l": pc.min_element_wise(b["src"], b["min(dst)"]),
         }), batch_format="pyarrow").materialize()
     prev = lab.sum("l")
-    if prev is None:  # empty graph: no near-dup pairs at this threshold
-        return pa.table({"vec_id": pa.array([], pa.int64()),
-                         "component": pa.array([], pa.int64())})
+    if prev is None:
+        return None
     for _ in range(64):  # cap >> any real dup-cluster diameter
         msgs = _hash_join(edges, lab, on=("src",), right_on=("v",))
         msgs = msgs.map_batches(
@@ -1499,9 +1513,7 @@ def q_neardup_components(sf_dir: str):
         if s == prev:
             break
         prev = s
-    return lab.map_batches(
-        lambda b: pa.table({"vec_id": b["v"], "component": b["l"]}),
-        batch_format="pyarrow")
+    return lab
 
 
 SQL_NEARDUP_COMPONENTS = """
@@ -1569,7 +1581,7 @@ def _binary_u64_flat(col) -> tuple:
     return vals, np.diff(off) // 8
 
 
-def _hash_join(left, right, on, right_on=None, rows_hint=None):
+def _hash_join(left, right, on, right_on=None, rows_hint=None, how="inner"):
     """Dataset.join sized to the session: num_partitions scales with CPUs
     and (when known) the row count — every partition costs an aggregator
     ACTOR spawn (~100 ms each; three 16-partition joins add seconds of pure
@@ -1583,7 +1595,7 @@ def _hash_join(left, right, on, right_on=None, rows_hint=None):
     parts = max(2, min(16, cpus // 2))
     if rows_hint is not None:
         parts = max(2, min(parts, int(rows_hint) // 50_000 + 2))
-    return left.join(right, "inner", num_partitions=parts, on=on,
+    return left.join(right, how, num_partitions=parts, on=on,
                      right_on=right_on,
                      aggregator_ray_remote_args={"num_cpus": 0.25})
 
@@ -2101,19 +2113,20 @@ gh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g),1,16))::UBIGINT AS hv
        FROM (SELECT doc_id, unnest(grams) AS g FROM g0))"""
 
 
-def _sql_minhash_neardup() -> str:
-    """Full-LSH transcription: same 64 universal-hash perms (seed 1), same
-    uint64 wrap semantics, same 16×4 banding, same Jaccard ≥ 0.5 verify —
-    so banding false NEGATIVES match too (the match is exact, not just
-    'all true pairs')."""
+def _sql_minhash_pairs_ctes() -> str:
+    """Shared WITH-body of the full-LSH transcription: same 64
+    universal-hash perms (seed 1), same uint64 wrap semantics, same 16×4
+    banding, same Jaccard ≥ 0.5 verify — so banding false NEGATIVES match
+    too (the match is exact, not just 'all true pairs'). Ends with a
+    ``pairs`` CTE (doc_a, doc_b, jaccard) composed into both the
+    minhash_neardup oracle and the neardup_dedup survivor oracle."""
     from raylake.functions.dedup import _MERSENNE, MinHasher
 
     mh = MinHasher(num_perm=64, shingle=3, seed=1)
     perm_vals = ",".join(
         f"({i},{int(a)},{int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b)))
     n = 1 << 64
-    return rf"""
-WITH {_SQL_GRAMS3},
+    return rf"""{_SQL_GRAMS3},
 perms AS (SELECT * FROM (VALUES {perm_vals}) AS p(perm, pa, pb)),
 sig AS (SELECT doc_id, perm,
                min((((pa::HUGEINT * hv::HUGEINT) % {n} + pb) % {n})
@@ -2131,18 +2144,93 @@ inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
           FROM cand c
           JOIN gh x ON x.doc_id = c.doc_a
           JOIN gh y ON y.doc_id = c.doc_b AND y.hv = x.hv
-          GROUP BY c.doc_a, c.doc_b)
-SELECT i.doc_a, i.doc_b,
-       i.i::DOUBLE / (sa.n + sb.n - i.i) AS jaccard
-FROM inter i
-JOIN sizes sa ON i.doc_a = sa.doc_id
-JOIN sizes sb ON i.doc_b = sb.doc_id
-WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.5
-ORDER BY i.doc_a, i.doc_b
+          GROUP BY c.doc_a, c.doc_b),
+pairs AS (SELECT i.doc_a, i.doc_b,
+                 i.i::DOUBLE / (sa.n + sb.n - i.i) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+          WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= 0.5)"""
+
+
+SQL_MINHASH_NEARDUP = f"""
+WITH {_sql_minhash_pairs_ctes()}
+SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b
 """
 
 
-SQL_MINHASH_NEARDUP = _sql_minhash_neardup()
+def q_neardup_dedup(sf_dir: str):
+    """END-TO-END near-duplicate REMOVAL — the canonical training-data
+    dedup pipeline (Lee et al. 2021; RefinedWeb §3.3) run to completion:
+    MinHash+LSH candidates → exact-Jaccard verify (q_minhash_neardup) →
+    connected components over the verified pair graph (BSP min-label,
+    _components_bsp) → keep ONE doc per component (the min doc_id, the
+    standard deterministic survivor policy) → per-doc (component, keep)
+    verdict for every corpus document.
+
+    Scale shape: each stage reuses an already-audited distributed
+    primitive — candidates/verify never go all-pairs and never ship
+    payloads; the component label table is O(docs in the dup graph) and
+    stays sharded (supersteps are hash joins, driver holds the O(1)
+    label-sum checksum); the final verdict is a LEFT OUTER hash join of
+    the corpus id stream against the label table — no driver-side
+    label map (at web scale the dup graph can cover ~40% of the corpus).
+    Oracle: the full-LSH pairs transcription + recursive-CTE components +
+    LEFT JOIN survivor rule — exact including banding false negatives.
+    Reference semantics family: D1 exact dedup
+    (/root/reference/src/elt/silver/_silver_handler.py:124-143) hardened
+    to transitive near-dup groups."""
+    rd = _rd()
+    pairs = q_minhash_neardup(sf_dir)  # (doc_a, doc_b, jaccard) pa.Table
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id"])
+
+    if pairs.num_rows == 0:
+        return docs.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"], "component": t["doc_id"],
+                "keep": pa.array(np.ones(len(t), np.int64)),
+            }), batch_format="pyarrow")
+
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    edges = rd.from_arrow(pa.table({
+        "src": np.concatenate([a, b]), "dst": np.concatenate([b, a]),
+    })).materialize()  # both join sides + every superstep consume this
+    comp = _components_bsp(edges)  # (v, l) — only docs in the dup graph
+
+    out = _hash_join(docs, comp, on=("doc_id",), right_on=("v",),
+                     how="left_outer")
+
+    def verdict(t: pa.Table) -> pa.Table:
+        component = pc.coalesce(t["l"], t["doc_id"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "component": component,
+            "keep": pc.cast(pc.equal(component, t["doc_id"]), pa.int64()),
+        })
+
+    return out.map_batches(verdict, batch_format="pyarrow")
+
+
+SQL_NEARDUP_DEDUP = f"""
+WITH RECURSIVE {_sql_minhash_pairs_ctes()},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS v FROM edges),
+walk(v, l) AS (
+  SELECT v, v AS l FROM nodes
+  UNION
+  SELECT e.dst AS v, w.l FROM walk w JOIN edges e ON e.src = w.v
+    WHERE w.l < e.dst
+),
+comp AS (SELECT v, min(l) AS component FROM walk GROUP BY v)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id)::BIGINT AS component,
+       (CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+ORDER BY d.doc_id
+"""
 
 # Exact transcription of jaccard_neardup: candidates = pairs sharing ANY
 # gram (a superset of the Ray side's prefix-filter candidates — the prefix
@@ -5921,6 +6009,211 @@ ORDER BY totalprice_cents DESC, o.o_orderdate, o.o_orderkey LIMIT 100
 """
 
 
+# Q7's two nations: chosen so BOTH have suppliers at every test SF
+# (sf0.001 ships only 10 suppliers over 25 nations).
+_Q7_NATIONS = ("NATION_3", "NATION_8")
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 (volume shipping between two nations) — TWO dimension
+    broadcasts + ONE shuffle: supplier→nation and customer→nation reduce
+    to sorted key arrays restricted to the two nations, shipped once via
+    ray.put (at sf1 that's ≤ 12k customers + 800 suppliers ≈ 100 KB);
+    year-filtered lineitem maps to (orderkey, supp_nat, year, cents) and
+    orders to (orderkey, cust_nat), BOTH pre-filtered to the two-nation
+    slice, so the single orderkey hash join — the only all-to-all —
+    carries a tiny fraction of either table. Group keys (2 directions ×
+    2 years) are bounded: per-batch composite-int partials reduce to a
+    4-row groupby. Revenue stays integer cents (driver float-safety)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    nat = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    nat = nat[nat["n_name"].isin(_Q7_NATIONS)]
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nat_keys = set(nat["n_nationkey"])
+
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_keys)].sort_values("s_suppkey")
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_keys)].sort_values("c_custkey")
+    ref = ray.put((supp["s_suppkey"].to_numpy(),
+                   supp["s_nationkey"].to_numpy().astype(np.int64),
+                   cust["c_custkey"].to_numpy(),
+                   cust["c_nationkey"].to_numpy().astype(np.int64)))
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pc.field("l_shipdate")
+                >= pa.scalar(pd.Timestamp("1996-01-01")))
+        & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1998-01-01"))))
+
+    def l_side(t: pa.Table) -> pa.Table:
+        sk, sn, _, _ = ray.get(ref)
+        ok, snat = _sorted_lookup(
+            sk, sn, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        year = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        return pa.table({
+            "k": t["l_orderkey"], "snat": pa.array(snat), "l_year": year,
+            "cents": _revenue_cents(t),
+        }).filter(pa.array(ok))
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def o_side(t: pa.Table) -> pa.Table:
+        _, _, ck, cn = ray.get(ref)
+        ok, cnat = _sorted_lookup(
+            ck, cn, t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"k": t["o_orderkey"],
+                         "cnat": pa.array(cnat)}).filter(pa.array(ok))
+
+    j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
+                   orders.map_batches(o_side, batch_format="pyarrow"),
+                   on=("k",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        snat = t["snat"].to_numpy(zero_copy_only=False)
+        cnat = t["cnat"].to_numpy(zero_copy_only=False)
+        keep = snat != cnat  # the two cross directions only
+        year = t["l_year"].to_numpy(zero_copy_only=False)[keep]
+        cents = t["cents"].to_numpy(zero_copy_only=False)[keep]
+        comp = (snat[keep] * 32 + cnat[keep]) * 8192 + year
+        u, inv = np.unique(comp, return_inverse=True)
+        return pa.table({
+            "comp": pa.array(u.astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents.astype(np.float64)).astype(np.int64)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("comp")
+           .aggregate(Sum("cents", alias_name="revenue_cents"),
+                      Sum("n", alias_name="n_items"))
+           .to_pandas())
+    comp = agg["comp"].to_numpy()
+    agg["supp_nation"] = pd.Series(comp // 8192 // 32).map(nat_name)
+    agg["cust_nation"] = pd.Series(comp // 8192 % 32).map(nat_name)
+    agg["l_year"] = comp % 8192
+    out = agg[["supp_nation", "cust_nation", "l_year", "revenue_cents",
+               "n_items"]]
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]
+                           ).reset_index(drop=True)
+
+
+SQL_TPCH_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+    OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# Q19's three disjunctive clauses as data: (brand, max p_size, qty lo, qty
+# hi). Bands are wider than TPC-H's spec so the query is non-vacuous on
+# the small synthetic part table.
+_Q19_CLAUSES = (("Brand#12", 15, 1, 11),
+                ("Brand#23", 25, 10, 20),
+                ("Brand#4", 35, 20, 30))
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates) — the
+    DISJUNCTIVE-JOIN-PREDICATE shape: three (brand, size, quantity-band)
+    OR-clauses that a naive plan evaluates as a cross filter AFTER a full
+    part⋈lineitem join. Here the part side of every clause compiles into
+    ONE broadcast structure — a sorted partkey array + per-part clause id
+    (parts matching no clause's brand/size never ship) — and the lineitem
+    side becomes a vectorized per-batch lookup + per-clause quantity-band
+    check; no join, no shuffle, single pass. Clause bands live in numpy
+    arrays indexed by clause id, so adding clauses costs nothing. Revenue
+    stays integer cents; the global sum is a two-cell aggregate."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_size"]
+                         ).to_pandas()
+    clause = np.full(len(part), -1, np.int64)
+    for ci, (brand, smax, _, _) in enumerate(_Q19_CLAUSES):
+        hit = ((part["p_brand"] == brand) & (part["p_size"] >= 1)
+               & (part["p_size"] <= smax) & (clause == -1))
+        clause[hit.to_numpy()] = ci
+    part = part.assign(clause=clause)
+    part = part[part["clause"] >= 0].sort_values("p_partkey")
+    ref = ray.put((part["p_partkey"].to_numpy(),
+                   part["clause"].to_numpy(),
+                   np.array([c[2] for c in _Q19_CLAUSES], np.float64),
+                   np.array([c[3] for c in _Q19_CLAUSES], np.float64)))
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, cls, qlo, qhi = ray.get(ref)
+        ok, ci = _sorted_lookup(
+            keys, cls, t["l_partkey"].to_numpy(zero_copy_only=False))
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ci = np.where(ok, ci, 0)  # dummy index for misses, masked below
+        keep = ok & (qty >= qlo[ci]) & (qty <= qhi[ci])
+        cents = _revenue_cents(t).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "revenue_cents": pa.array([int(cents[keep].sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                      Sum("n_items", alias_name="n_items"))) or {}
+    return pa.table({
+        "revenue_cents": pa.array([int(agg.get("revenue_cents") or 0)],
+                                  pa.int64()),
+        "n_items": pa.array([int(agg.get("n_items") or 0)], pa.int64()),
+    })
+
+
+SQL_TPCH_Q19 = f"""
+SELECT coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                               + 0.5) AS BIGINT)), 0)::BIGINT
+           AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = '{_Q19_CLAUSES[0][0]}'
+        AND p_size BETWEEN 1 AND {_Q19_CLAUSES[0][1]}
+        AND l_quantity BETWEEN {_Q19_CLAUSES[0][2]} AND {_Q19_CLAUSES[0][3]})
+    OR (p_brand = '{_Q19_CLAUSES[1][0]}'
+        AND p_size BETWEEN 1 AND {_Q19_CLAUSES[1][1]}
+        AND l_quantity BETWEEN {_Q19_CLAUSES[1][2]} AND {_Q19_CLAUSES[1][3]})
+    OR (p_brand = '{_Q19_CLAUSES[2][0]}'
+        AND p_size BETWEEN 1 AND {_Q19_CLAUSES[2][1]}
+        AND l_quantity BETWEEN {_Q19_CLAUSES[2][2]} AND {_Q19_CLAUSES[2][3]}))
+"""
+
+
 _UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -6239,6 +6532,7 @@ QUERIES = {
     # ann_ivf / ann_ivf_pq (probabilistic probing), logreg_train,
     # model_promote.
     "minhash_neardup": q_minhash_neardup,
+    "neardup_dedup": q_neardup_dedup,
     "jaccard_neardup": q_jaccard_neardup,
     "dup_spans": q_dup_spans,
     "simhash": q_simhash,
@@ -6281,6 +6575,8 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q19": q_tpch_q19,
     "bucket_join": q_bucket_join,
 }
 
@@ -6348,6 +6644,7 @@ ORACLES = {
     "time_travel": SQL_TIME_TRAVEL,
     "wap_isolation": SQL_WAP_ISOLATION,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "neardup_dedup": SQL_NEARDUP_DEDUP,
     "jaccard_neardup": SQL_JACCARD_NEARDUP,
     "dup_spans": SQL_DUP_SPANS,
     "simhash": SQL_SIMHASH,
@@ -6385,5 +6682,7 @@ ORACLES = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
+    "tpch_q7": SQL_TPCH_Q7,
+    "tpch_q19": SQL_TPCH_Q19,
     "bucket_join": SQL_BUCKET_JOIN,
 }
