@@ -4740,16 +4740,18 @@ class _SSJoinShard:
     """One key-shard of the streaming interval join: hosts a
     StreamStreamJoiner over its own lakehouse table root."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, join_type: str = "inner"):
         from raylake.sources.wstream import StreamStreamJoiner
 
-        self.j = StreamStreamJoiner(root, _SSJOIN_TOL_US, _SSJOIN_LATE_US)
+        self.j = StreamStreamJoiner(root, _SSJOIN_TOL_US, _SSJOIN_LATE_US,
+                                    join_type=join_type)
 
     def process_tick(self, offset: int, left: pa.Table,
                      right: pa.Table) -> None:
         self.j.process_tick(offset, left, right)
 
     def finish(self) -> pa.Table:
+        self.j.flush_outer()
         return self.j.results()
 
 
@@ -4767,6 +4769,14 @@ def q_stream_interval_join(sf_dir: str):
     oracle. Scale shape: per-shard state is bounded by
     O(rate × (tolerance + lateness)); the driver only routes zero-copy
     Arrow slices and never joins."""
+    return _ssjoin_replay(sf_dir, "inner")
+
+
+def _ssjoin_replay(sf_dir: str, join_type: str) -> pa.Table:
+    """Shared event-replay body of the streaming interval / left-outer
+    joins: split the event log into two streams, replay in event-time
+    order as micro-batch ticks hash-routed to _SSJoinShard actors, then
+    flush + collect."""
     import shutil
     import tempfile
 
@@ -4789,7 +4799,8 @@ def q_stream_interval_join(sf_dir: str):
     root = tempfile.mkdtemp(prefix="raylake_ssj_")
     try:
         shard_cls = ray.remote(_SSJoinShard)
-        shards = [shard_cls.options(num_cpus=0.25).remote(f"{root}/shard={i}")
+        shards = [shard_cls.options(num_cpus=0.25).remote(
+                      f"{root}/shard={i}", join_type)
                   for i in range(_SSJOIN_SHARDS)]
         pending = []
         for off, batch in enumerate(
@@ -4809,6 +4820,35 @@ def q_stream_interval_join(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
     return out.take(pc.sort_indices(
         out, sort_keys=[("id_l", "ascending"), ("id_r", "ascending")]))
+
+
+def q_stream_outer_join(sf_dir: str):
+    """Stream-stream LEFT OUTER interval join — the Spark
+    `left.join(right, cond, "leftOuter")` + watermark shape the
+    reference's dead streaming path never reached. Same replay as
+    q_stream_interval_join; additionally every left event that reaches
+    watermark eviction (or the end-of-stream flush) without a match emits
+    exactly once with the right side as the OUTER_SENTINEL (-1, not NULL:
+    a nullable int64 drifts to float64 through the driver-gate's pandas
+    hop). Outer emission at eviction is safe because admission runs at
+    the watermark while eviction runs tolerance lower — no admitted right
+    row can match an evicted left (see StreamStreamJoiner docstring).
+    Because the ordered replay strands nothing behind the watermark, the
+    converged result is EXACTLY the batch left join, which is the SQL
+    oracle."""
+    return _ssjoin_replay(sf_dir, "left_outer")
+
+
+SQL_STREAM_OUTER_JOIN = f"""
+SELECT l.event_id AS id_l, coalesce(r.event_id, -1)::BIGINT AS id_r,
+       l.user_id::VARCHAR AS key, epoch_us(l.ts)::BIGINT AS t_l_us,
+       coalesce(epoch_us(r.ts), -1)::BIGINT AS t_r_us
+FROM (SELECT * FROM events WHERE event_id % 2 = 0) l
+LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) r
+  ON l.user_id = r.user_id
+ AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= {_SSJOIN_TOL_US}
+ORDER BY id_l, id_r
+"""
 
 
 SQL_STREAM_INTERVAL_JOIN = f"""
@@ -6514,6 +6554,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "stream_sessions": q_stream_sessions,
     "stream_interval_join": q_stream_interval_join,
+    "stream_outer_join": q_stream_outer_join,
     "mor_delete_scan": q_mor_delete_scan,
     "delete_where_scan": q_delete_where_scan,
     "update_where_scan": q_update_where_scan,
@@ -6631,6 +6672,7 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
+    "stream_outer_join": SQL_STREAM_OUTER_JOIN,
     "mor_delete_scan": SQL_MOR_DELETE_SCAN,
     "delete_where_scan": SQL_DELETE_WHERE_SCAN,
     "update_where_scan": SQL_UPDATE_WHERE_SCAN,

@@ -491,10 +491,31 @@ class StreamStreamJoiner:
     WindowedStreamAggregator above; Spark needs a checkpointLocation).
     Rows behind the watermark on arrival may have lost matches, so they
     are side-output to the tick commit's late-audit IPC, never silently
-    dropped."""
+    dropped.
+
+    join_type="left_outer" adds Spark's left-outer semantics: a left row
+    that reaches state EVICTION without ever having matched emits exactly
+    once as (id_l, id_r=OUTER_SENTINEL, key, t_l_us, t_r_us=SENTINEL) —
+    correct because eviction runs at wm - tol while admission runs at wm,
+    so any right row admitted later has t_r ≥ wm and its match window
+    [t_r - tol, t_r + tol] lies entirely above the evicted row's t_l
+    (< wm - tol): no admitted right row can ever match an evicted left.
+    The matched-id set is part of the per-tick snapshot state (bounded by
+    the left buffer size, i.e. O(rate × (tolerance + lateness)));
+    flush_outer() closes the stream by emitting the still-buffered
+    unmatched lefts — replay-safe via a summary flag."""
+
+    #: sentinel for the missing right side of an outer row (NULL would
+    #: drift int64→float64 through pandas on the driver-gate path)
+    OUTER_SENTINEL = -1
 
     def __init__(self, root: str, tolerance_us: int,
-                 allowed_lateness_us: int):
+                 allowed_lateness_us: int, join_type: str = "inner"):
+        if join_type not in ("inner", "left_outer"):
+            raise ValueError(f"unsupported join_type {join_type!r}")
+        self.join_type = join_type
+        self.matched_l: set[int] = set()
+        self.flushed = False
         self.tol = tolerance_us
         self.lateness_us = allowed_lateness_us
         try:
@@ -519,6 +540,8 @@ class StreamStreamJoiner:
                 }
                 self.max_ts = {k: int(v) for k, v in st["max_ts"].items()}
                 self.last_offset = st["offset"]
+                self.matched_l = set(st.get("matched_l", ()))
+                self.flushed = bool(st.get("flushed", False))
 
     def _pairs(self, l: pa.Table, r: pa.Table) -> pa.Table:
         if len(l) == 0 or len(r) == 0:
@@ -530,6 +553,32 @@ class StreamStreamJoiner:
         return pa.Table.from_pandas(
             m[["id_l", "id_r", "key", "t_l_us", "t_r_us"]],
             preserve_index=False).cast(SSJOIN_SCHEMA)
+
+    def _outer_rows(self, gone: pa.Table) -> pa.Table:
+        """Outer-emit the never-matched rows of an evicted left slice."""
+        if len(gone) == 0:
+            return SSJOIN_SCHEMA.empty_table()
+        um = pa.array([i not in self.matched_l
+                       for i in gone["id"].to_pylist()])
+        gone = gone.filter(um)
+        sent = pa.array([self.OUTER_SENTINEL] * len(gone), pa.int64())
+        return pa.table({
+            "id_l": gone["id"], "id_r": sent, "key": gone["key"],
+            "t_l_us": gone["t"], "t_r_us": sent,
+        }).cast(SSJOIN_SCHEMA)
+
+    def _write_rows(self, out: pa.Table) -> list:
+        import numpy as np
+
+        from raylake.core.hashing import partition_of
+
+        added = []
+        if len(out):
+            parts = partition_of(out["key"], self.table.num_buckets)
+            for p in np.unique(parts):
+                added.append(self.table.write_file(
+                    out.filter(pa.array(parts == p)), int(p)))
+        return added
 
     def process_tick(self, offset: int, left: pa.Table,
                      right: pa.Table) -> bool:
@@ -554,6 +603,8 @@ class StreamStreamJoiner:
                         pa.concat_tables([self.buf["r"], live["r"]])),
             self._pairs(self.buf["l"], live["r"]),
         ])
+        if self.join_type == "left_outer" and len(out):
+            self.matched_l.update(out["id_l"].to_pylist())
         for side in ("l", "r"):
             if len(live[side]):
                 self.max_ts[side] = max(
@@ -561,20 +612,17 @@ class StreamStreamJoiner:
                 self.buf[side] = pa.concat_tables(
                     [self.buf[side], live[side]])
         keep_from = min(self.max_ts.values()) - self.lateness_us - self.tol
+        if self.join_type == "left_outer" and len(self.buf["l"]):
+            evict = pc.less(self.buf["l"]["t"], keep_from)
+            if pc.any(evict).as_py():
+                gone = self.buf["l"].filter(evict)
+                out = pa.concat_tables([out, self._outer_rows(gone)])
+                self.matched_l.difference_update(gone["id"].to_pylist())
         for side in ("l", "r"):
             self.buf[side] = self.buf[side].filter(
                 pc.greater_equal(self.buf[side]["t"], keep_from))
 
-        added: list[ManifestEntry] = []
-        if len(out):
-            import numpy as np
-
-            from raylake.core.hashing import partition_of
-
-            parts = partition_of(out["key"], self.table.num_buckets)
-            for p in np.unique(parts):
-                added.append(self.table.write_file(
-                    out.filter(pa.array(parts == p)), int(p)))
+        added = self._write_rows(out)
         state = {
             "offset": offset,
             "max_ts": self.max_ts,
@@ -582,6 +630,8 @@ class StreamStreamJoiner:
                         t["t"].to_pylist()]
                     for s, t in self.buf.items()},
         }
+        if self.join_type == "left_outer":
+            state["matched_l"] = sorted(self.matched_l)
         summary = {"stream_offset": offset, "ssjoin_state": state}
         if late_parts:
             stash_late(self.table, summary, "ssjoin_late",
@@ -596,6 +646,30 @@ class StreamStreamJoiner:
             if self.process_tick(offset, left, right):
                 n += 1
         return n
+
+    def flush_outer(self) -> None:
+        """Close the stream (left_outer only): outer-emit every still-
+        buffered never-matched left row. Equivalent to both sides' event
+        time advancing to +∞. Replay-safe: the flush rides its own commit
+        with a `flushed` state flag, so a crashed-and-replayed flush is a
+        no-op the second time."""
+        if self.join_type != "left_outer" or self.flushed:
+            return
+        out = self._outer_rows(self.buf["l"])
+        added = self._write_rows(out)
+        self.buf = {"l": _SIDE_SCHEMA.empty_table(),
+                    "r": _SIDE_SCHEMA.empty_table()}
+        self.matched_l = set()
+        self.flushed = True
+        state = {
+            "offset": self.last_offset, "max_ts": self.max_ts,
+            "buf": {s: [[], [], []] for s in ("l", "r")},
+            "matched_l": [], "flushed": True,
+        }
+        self.table.commit(
+            "stream-ssjoin-flush", added,
+            summary={"stream_offset": self.last_offset,
+                     "ssjoin_state": state})
 
     def results(self) -> pa.Table:
         return self.table.refresh().scan_arrow(sort=True)

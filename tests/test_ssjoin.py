@@ -133,3 +133,81 @@ def test_ssjoin_watermark_boundary_row_is_audited_not_lost(
     late_rows = j.late_table()
     assert late_rows is not None and 6 in late_rows["id"].to_pylist()
     assert 6 not in set(j.results()["id_l"].to_pylist())
+
+
+def _batch_left_join(ticks):
+    """Batch left-outer oracle: inner pairs + sentinel rows for lefts that
+    never matched (mirrors StreamStreamJoiner.OUTER_SENTINEL)."""
+    pairs = _batch_pairs(ticks)
+    l = pa.concat_tables([t[1] for t in ticks]).to_pandas()
+    unmatched = l[~l["id"].isin(pairs["id_l"])]
+    outer = pd.DataFrame({
+        "id_l": unmatched["id"], "id_r": -1, "key": unmatched["key"],
+        "t_l_us": unmatched["t"], "t_r_us": -1,
+    })
+    return (pd.concat([pairs, outer], ignore_index=True)
+            .astype({"id_r": "int64", "t_r_us": "int64"})
+            .sort_values(["id_l", "id_r"]).reset_index(drop=True))
+
+
+def test_ssjoin_left_outer_matches_batch_left_join(tmp_path, ray_session):
+    ticks = _ticks(seed=11)
+    j = StreamStreamJoiner(str(tmp_path / "t"), TOL, LATE,
+                           join_type="left_outer")
+    j.run(ticks)
+    j.flush_outer()
+    pd.testing.assert_frame_equal(_result_df(j), _batch_left_join(ticks))
+    assert j.late_table() is None
+
+
+def test_ssjoin_left_outer_emits_at_eviction_not_only_flush(
+        tmp_path, ray_session):
+    """An unmatched left that falls behind the watermark emits its outer
+    row in that tick's commit — before any end-of-stream flush."""
+    tol, late = 10, 0
+    j = StreamStreamJoiner(str(tmp_path / "t"), tol, late,
+                           join_type="left_outer")
+    # left id=2 t=100 on key 'a'; right side has only key 'b'
+    j.process_tick(0, _side([2], ["a"], [100]), _side([1], ["b"], [100]))
+    # both sides jump to 500: keep_from = 490, id=2 is evicted unmatched
+    j.process_tick(1, _side([4], ["c"], [500]), _side([3], ["c"], [500]))
+    out = j.results().to_pandas()
+    row = out[out["id_l"] == 2]
+    assert len(row) == 1
+    assert row["id_r"].iloc[0] == StreamStreamJoiner.OUTER_SENTINEL
+    assert row["t_r_us"].iloc[0] == StreamStreamJoiner.OUTER_SENTINEL
+
+
+def test_ssjoin_left_outer_matched_row_never_outer_emits(
+        tmp_path, ray_session):
+    tol, late = 10, 0
+    j = StreamStreamJoiner(str(tmp_path / "t"), tol, late,
+                           join_type="left_outer")
+    j.process_tick(0, _side([2], ["a"], [100]), _side([1], ["a"], [105]))
+    j.process_tick(1, _side([4], ["c"], [500]), _side([3], ["c"], [500]))
+    j.flush_outer()
+    out = j.results().to_pandas()
+    rows = out[out["id_l"] == 2]
+    assert len(rows) == 1  # the inner pair only
+    assert rows["id_r"].iloc[0] == 1
+
+
+def test_ssjoin_left_outer_crash_resume_and_flush_idempotent(
+        tmp_path, ray_session):
+    ticks = _ticks(seed=13)
+    j1 = StreamStreamJoiner(str(tmp_path / "t"), TOL, LATE,
+                            join_type="left_outer")
+    j1.run(ticks[:3])
+    # crash: rebuild from the snapshot log (matched-id state must ride it)
+    j2 = StreamStreamJoiner(str(tmp_path / "t"), TOL, LATE,
+                            join_type="left_outer")
+    assert j2.matched_l == j1.matched_l
+    assert j2.run(ticks) == len(ticks) - 3
+    j2.flush_outer()
+    pd.testing.assert_frame_equal(_result_df(j2), _batch_left_join(ticks))
+    # a replayed flush (crash between flush and reading results) is a no-op
+    j3 = StreamStreamJoiner(str(tmp_path / "t"), TOL, LATE,
+                            join_type="left_outer")
+    assert j3.flushed
+    j3.flush_outer()
+    pd.testing.assert_frame_equal(_result_df(j3), _batch_left_join(ticks))
