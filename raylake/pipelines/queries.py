@@ -6254,6 +6254,130 @@ WHERE p_partkey = l_partkey
 """
 
 
+_Q8_TYPE, _Q8_REGION, _Q8_NATION = "ECONOMY", "AMERICA", "NATION_3"
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 (national market share) — THREE dimension broadcasts + ONE
+    shuffle: type-filtered partkeys (membership), supplier→is-target-nation
+    flag, and region-filtered custkeys each reduce to sorted arrays shipped
+    once via ray.put; lineitem maps to (orderkey, cents, flag·cents),
+    date-filtered orders map to (orderkey, year), and the orderkey hash
+    join is the single all-to-all with both sides pre-pruned. The market
+    share returns as integer numerator/denominator cents per year (a ratio
+    of doubles is summation-order-dependent — driver float-safety)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    nat = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(_pq(sf_dir, "region")).to_pandas()
+    target_nk = int(nat[nat["n_name"] == _Q8_NATION]["n_nationkey"].iloc[0])
+    rk = reg[reg["r_name"] == _Q8_REGION]["r_regionkey"].iloc[0]
+    region_nk = set(nat[nat["n_regionkey"] == rk]["n_nationkey"])
+
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    pk = np.sort(part[part["p_type"] == _Q8_TYPE]["p_partkey"].to_numpy())
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"]
+                         ).to_pandas().sort_values("s_suppkey")
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cust[cust["c_nationkey"].isin(region_nk)]
+                 ["c_custkey"].to_numpy())
+    ref = ray.put((pk, supp["s_suppkey"].to_numpy(),
+                   (supp["s_nationkey"] == target_nk).to_numpy(), ck))
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def l_side(t: pa.Table) -> pa.Table:
+        pkeys, skeys, sflag, _ = ray.get(ref)
+        in_p, _ = _sorted_lookup(pkeys, pkeys, t["l_partkey"].to_numpy(
+            zero_copy_only=False))
+        ok_s, flag = _sorted_lookup(skeys, sflag, t["l_suppkey"].to_numpy(
+            zero_copy_only=False))
+        keep = in_p & ok_s
+        cents = _revenue_cents(t).to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "k": t["l_orderkey"].filter(pa.array(keep)),
+            "cents": pa.array(cents),
+            "mkt": pa.array(np.where(flag[keep], cents, 0)),
+        })
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate"],
+        filter=(pc.field("o_orderdate")
+                >= pa.scalar(pd.Timestamp("1996-01-01")))
+        & (pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1998-01-01"))))
+
+    def o_side(t: pa.Table) -> pa.Table:
+        _, _, _, ckeys = ray.get(ref)
+        ok, _ = _sorted_lookup(ckeys, ckeys, t["o_custkey"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "k": t["o_orderkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        }).filter(pa.array(ok))
+
+    j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
+                   orders.map_batches(o_side, batch_format="pyarrow"),
+                   on=("k",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = t["o_year"].to_numpy(zero_copy_only=False) - 1996
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        mkt = t["mkt"].to_numpy(zero_copy_only=False)
+        n = np.bincount(yr, minlength=2)
+        return pa.table({
+            "o_year": pa.array([1996, 1997], pa.int64()),
+            "mkt_cents": pa.array(np.bincount(
+                yr, weights=mkt.astype(np.float64),
+                minlength=2).astype(np.int64)),
+            "total_cents": pa.array(np.bincount(
+                yr, weights=cents.astype(np.float64),
+                minlength=2).astype(np.int64)),
+            "n_items": pa.array(n.astype(np.int64)),
+        })
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("mkt_cents", alias_name="mkt_cents"),
+                      Sum("total_cents", alias_name="total_cents"),
+                      Sum("n_items", alias_name="n_items"))
+           .to_pandas())
+    agg = agg[agg["n_items"] > 0]  # drop the padded empty-year partials
+    return (agg[["o_year", "mkt_cents", "total_cents", "n_items"]]
+            .sort_values("o_year").reset_index(drop=True))
+
+
+SQL_TPCH_Q8 = f"""
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       sum(CASE WHEN n1.n_name = '{_Q8_NATION}'
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                                + 0.5) AS BIGINT) ELSE 0 END)::BIGINT
+           AS mkt_cents,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                AS BIGINT))::BIGINT AS total_cents,
+       count(*) AS n_items
+FROM part, lineitem, supplier, orders, customer, nation n1, nation n2,
+     region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+  AND r_name = '{_Q8_REGION}' AND s_nationkey = n1.n_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND p_type = '{_Q8_TYPE}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 _UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -6617,6 +6741,7 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
     "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
     "tpch_q19": q_tpch_q19,
     "bucket_join": q_bucket_join,
 }
@@ -6725,6 +6850,7 @@ ORACLES = {
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q7": SQL_TPCH_Q7,
+    "tpch_q8": SQL_TPCH_Q8,
     "tpch_q19": SQL_TPCH_Q19,
     "bucket_join": SQL_BUCKET_JOIN,
 }
