@@ -157,8 +157,8 @@ def run_bench() -> dict:
 
     for qname in ("pricing_summary", "dedup_events", "window_agg",
                   "ann_topk", "minhash_neardup", "jaccard_neardup",
-                  "text_stats", "funnel_counts", "normalize_text",
-                  "tpch_q10"):
+                  "neardup_dedup", "text_stats", "funnel_counts",
+                  "normalize_text", "tpch_q10"):
         t = time.monotonic()
         try:
             qres = QUERIES[qname](SF_DIR)
