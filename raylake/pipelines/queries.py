@@ -1581,23 +1581,56 @@ def _binary_u64_flat(col) -> tuple:
     return vals, np.diff(off) // 8
 
 
-def _hash_join(left, right, on, right_on=None, rows_hint=None, how="inner"):
+def _hash_join(left, right, on, right_on=None, rows_hint=None, how="inner",
+               left_schema=None, right_schema=None):
     """Dataset.join sized to the session: num_partitions scales with CPUs
     and (when known) the row count — every partition costs an aggregator
     ACTOR spawn (~100 ms each; three 16-partition joins add seconds of pure
     actor startup to a small-candidate run). On a real cluster: size by
     data volume instead. Aggregators take fractional CPUs so they can't
     starve the map stages into a deadlock on small nodes (observed: 16
-    one-CPU aggregators wedge a 4-CPU session)."""
+    one-CPU aggregators wedge a 4-CPU session).
+
+    left_schema/right_schema (pa.Schema): seed the side with ONE sentinel
+    row whose key columns are -1 (left) / -2 (right). A side whose lineage
+    yields ZERO blocks (e.g. every row filtered out) reaches the join
+    schema-less and Acero fails with 'No match for key field reference'
+    instead of returning the empty result (review finding — Ray 2.49);
+    0-row blocks are dropped before the shuffle, so the seed must be a
+    real row. Inner-join only (the sentinels can never match each other
+    or the callers' non-negative keys, so they vanish in the join — under
+    an outer join a sentinel would emit)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     parts = max(2, min(16, cpus // 2))
     if rows_hint is not None:
         parts = max(2, min(parts, int(rows_hint) // 50_000 + 2))
+    if left_schema is not None or right_schema is not None:
+        assert how == "inner", "join seeds are inner-join only"
+    if left_schema is not None:
+        left = _rd().from_arrow(
+            _join_seed(left_schema, on, -1)).union(left)
+    if right_schema is not None:
+        right = _rd().from_arrow(
+            _join_seed(right_schema, right_on or on, -2)).union(right)
     return left.join(right, how, num_partitions=parts, on=on,
                      right_on=right_on,
                      aggregator_ray_remote_args={"num_cpus": 0.25})
+
+
+def _join_seed(schema: pa.Schema, key_cols, key_val: int) -> pa.Table:
+    """One sentinel row for _hash_join's empty-side seeding: key columns
+    get the impossible key, payload columns a typed zero/empty value."""
+    arrays = []
+    for f in schema:
+        if f.name in key_cols:
+            arrays.append(pa.array([key_val], f.type))
+        elif pa.types.is_string(f.type):
+            arrays.append(pa.array([""], f.type))
+        else:
+            arrays.append(pa.array([0], f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
 
 
 def _join_pair_sides(cand, side_ds_factory, rows_hint=None):
@@ -5643,9 +5676,14 @@ def q_tpch_q5(sf_dir: str):
         return pa.table({"k": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
                          "cents": _revenue_cents(t)})
 
-    j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
-                   orders.map_batches(o_side, batch_format="pyarrow"),
-                   on=("k",))
+    j = _hash_join(
+        li.map_batches(l_side, batch_format="pyarrow"),
+        orders.map_batches(o_side, batch_format="pyarrow"), on=("k",),
+        left_schema=pa.schema([("k", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()),
+                                ("cnat", pa.int32())]))
 
     def partial(t: pa.Table) -> pa.Table:
         _, _, sk, sn = ray.get(ref)
@@ -5670,6 +5708,12 @@ def q_tpch_q5(sf_dir: str):
            .aggregate(Sum("cents", alias_name="revenue_cents"),
                       Sum("n", alias_name="n_items"))
            .to_pandas())
+    if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return pd.DataFrame({
+            "n_name": pd.Series([], dtype=object),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "n_items": pd.Series([], dtype="int64"),
+        })
     agg["n_name"] = agg["natkey"].map(nat_name)
     return agg[["n_name", "revenue_cents", "n_items"]]
 
@@ -5853,9 +5897,12 @@ def q_tpch_q3(sf_dir: str):
     def l_side(t: pa.Table) -> pa.Table:
         return pa.table({"k": t["l_orderkey"], "cents": _revenue_cents(t)})
 
-    j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
-                   orders.map_batches(o_side, batch_format="pyarrow"),
-                   on=("k",))
+    j = _hash_join(
+        li.map_batches(l_side, batch_format="pyarrow"),
+        orders.map_batches(o_side, batch_format="pyarrow"), on=("k",),
+        left_schema=pa.schema([("k", pa.int64()), ("cents", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()),
+                                ("o_date_us", pa.int64())]))
 
     def partial(t: pa.Table) -> pa.Table:
         return pa.TableGroupBy(t, ["k", "o_date_us"]).aggregate(
@@ -5866,6 +5913,12 @@ def q_tpch_q3(sf_dir: str):
            .aggregate(Sum("cents_sum", alias_name="revenue_cents")))
     top = (agg.sort(["revenue_cents", "k"], descending=[True, False])
            .limit(10).to_pandas())
+    if top.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return pd.DataFrame({
+            "l_orderkey": pd.Series([], dtype="int64"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        })
     return pd.DataFrame({
         "l_orderkey": top["k"].astype("int64"),
         "revenue_cents": top["revenue_cents"].astype("int64"),
@@ -5918,9 +5971,12 @@ def q_tpch_q10(sf_dir: str):
     def o_side(t: pa.Table) -> pa.Table:
         return pa.table({"k": t["o_orderkey"], "c_custkey": t["o_custkey"]})
 
-    j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
-                   orders.map_batches(o_side, batch_format="pyarrow"),
-                   on=("k",))
+    j = _hash_join(
+        li.map_batches(l_side, batch_format="pyarrow"),
+        orders.map_batches(o_side, batch_format="pyarrow"), on=("k",),
+        left_schema=pa.schema([("k", pa.int64()), ("cents", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()),
+                                ("c_custkey", pa.int64())]))
 
     def partial(t: pa.Table) -> pa.Table:
         return pa.TableGroupBy(t, ["c_custkey"]).aggregate([("cents", "sum")])
@@ -5930,6 +5986,14 @@ def q_tpch_q10(sf_dir: str):
            .aggregate(Sum("cents_sum", alias_name="revenue_cents"))
            .sort(["revenue_cents", "c_custkey"], descending=[True, False])
            .limit(20).to_pandas())
+    if top.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "c_name": pd.Series([], dtype=object),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "acctbal_cents": pd.Series([], dtype="int64"),
+            "n_name": pd.Series([], dtype=object),
+        })
 
     # enrich ONLY the 20 survivors: pruned point read + 25-row nation map
     cust = pq.read_table(
@@ -5997,6 +6061,9 @@ def q_tpch_q18(sf_dir: str):
            .map_batches(lambda t: t.filter(pc.greater(t["sum_qty"], 300)),
                         batch_format="pyarrow")
            .to_pandas())  # bounded small by the HAVING threshold
+    if big.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        big = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                            "sum_qty": pd.Series([], dtype="int64")})
     keys = np.sort(big["k"].to_numpy())
     kref = ray.put(keys)
 
@@ -6017,9 +6084,25 @@ def q_tpch_q18(sf_dir: str):
         }).filter(pa.array(ok))
 
     od = orders.map_batches(o_side, batch_format="pyarrow").to_pandas()
+    if od.empty:  # all-filtered datasets drop their blocks → no columns
+        od = pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_custkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "totalprice_cents": pd.Series([], dtype="int64"),
+        })
     out = od.merge(big.rename(columns={"k": "o_orderkey"}), on="o_orderkey")
     out = out.sort_values(["totalprice_cents", "o_orderdate", "o_orderkey"],
                           ascending=[False, True, True]).head(100)
+    if out.empty:  # an empty 'in' filter list is rejected by pyarrow
+        return pd.DataFrame({
+            "c_name": pd.Series([], dtype=object),
+            "c_custkey": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "totalprice_cents": pd.Series([], dtype="int64"),
+            "sum_qty": pd.Series([], dtype="int64"),
+        })
     cust = pq.read_table(
         _pq(sf_dir, "customer"), columns=["c_custkey", "c_name"],
         filters=[("c_custkey", "in",
@@ -6114,9 +6197,13 @@ def q_tpch_q7(sf_dir: str):
         return pa.table({"k": t["o_orderkey"],
                          "cnat": pa.array(cnat)}).filter(pa.array(ok))
 
-    j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
-                   orders.map_batches(o_side, batch_format="pyarrow"),
-                   on=("k",))
+    j = _hash_join(
+        li.map_batches(l_side, batch_format="pyarrow"),
+        orders.map_batches(o_side, batch_format="pyarrow"), on=("k",),
+        left_schema=pa.schema([("k", pa.int64()), ("snat", pa.int64()),
+                               ("l_year", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("cnat", pa.int64())]))
 
     def partial(t: pa.Table) -> pa.Table:
         snat = t["snat"].to_numpy(zero_copy_only=False)
@@ -6138,6 +6225,14 @@ def q_tpch_q7(sf_dir: str):
            .aggregate(Sum("cents", alias_name="revenue_cents"),
                       Sum("n", alias_name="n_items"))
            .to_pandas())
+    if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "n_items": pd.Series([], dtype="int64"),
+        })
     comp = agg["comp"].to_numpy()
     agg["supp_nation"] = pd.Series(comp // 8192 // 32).map(nat_name)
     agg["cust_nation"] = pd.Series(comp // 8192 % 32).map(nat_name)
@@ -6297,7 +6392,7 @@ def q_tpch_q8(sf_dir: str):
 
     def l_side(t: pa.Table) -> pa.Table:
         pkeys, skeys, sflag, _ = ray.get(ref)
-        in_p, _ = _sorted_lookup(pkeys, pkeys, t["l_partkey"].to_numpy(
+        in_p = _sorted_membership(pkeys, t["l_partkey"].to_numpy(
             zero_copy_only=False))
         ok_s, flag = _sorted_lookup(skeys, sflag, t["l_suppkey"].to_numpy(
             zero_copy_only=False))
@@ -6318,16 +6413,19 @@ def q_tpch_q8(sf_dir: str):
 
     def o_side(t: pa.Table) -> pa.Table:
         _, _, _, ckeys = ray.get(ref)
-        ok, _ = _sorted_lookup(ckeys, ckeys, t["o_custkey"].to_numpy(
+        ok = _sorted_membership(ckeys, t["o_custkey"].to_numpy(
             zero_copy_only=False))
         return pa.table({
             "k": t["o_orderkey"],
             "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
         }).filter(pa.array(ok))
 
-    j = _hash_join(li.map_batches(l_side, batch_format="pyarrow"),
-                   orders.map_batches(o_side, batch_format="pyarrow"),
-                   on=("k",))
+    j = _hash_join(
+        li.map_batches(l_side, batch_format="pyarrow"),
+        orders.map_batches(o_side, batch_format="pyarrow"), on=("k",),
+        left_schema=pa.schema([("k", pa.int64()), ("cents", pa.int64()),
+                               ("mkt", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("o_year", pa.int64())]))
 
     def partial(t: pa.Table) -> pa.Table:
         yr = t["o_year"].to_numpy(zero_copy_only=False) - 1996
@@ -6351,6 +6449,13 @@ def q_tpch_q8(sf_dir: str):
                       Sum("total_cents", alias_name="total_cents"),
                       Sum("n_items", alias_name="n_items"))
            .to_pandas())
+    if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return pd.DataFrame({
+            "o_year": pd.Series([], dtype="int64"),
+            "mkt_cents": pd.Series([], dtype="int64"),
+            "total_cents": pd.Series([], dtype="int64"),
+            "n_items": pd.Series([], dtype="int64"),
+        })
     agg = agg[agg["n_items"] > 0]  # drop the padded empty-year partials
     return (agg[["o_year", "mkt_cents", "total_cents", "n_items"]]
             .sort_values("o_year").reset_index(drop=True))

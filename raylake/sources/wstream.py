@@ -585,6 +585,13 @@ class StreamStreamJoiner:
         """Returns False when the offset was already committed (replay)."""
         if offset <= self.last_offset:
             return False
+        if self.flushed:
+            # flush_outer() closed the stream: admitting more left rows
+            # would strand them (a later flush is a no-op on the flag), so
+            # refuse loudly instead of silently dropping their outer emit.
+            raise RuntimeError(
+                "stream already closed by flush_outer(); cannot process "
+                f"tick offset={offset}")
         # Late check at the WATERMARK itself; eviction (keep_from below)
         # runs tol lower, so an admitted row's matches are never evicted.
         horizon = min(self.max_ts.values()) - self.lateness_us
@@ -657,10 +664,6 @@ class StreamStreamJoiner:
             return
         out = self._outer_rows(self.buf["l"])
         added = self._write_rows(out)
-        self.buf = {"l": _SIDE_SCHEMA.empty_table(),
-                    "r": _SIDE_SCHEMA.empty_table()}
-        self.matched_l = set()
-        self.flushed = True
         state = {
             "offset": self.last_offset, "max_ts": self.max_ts,
             "buf": {s: [[], [], []] for s in ("l", "r")},
@@ -670,6 +673,14 @@ class StreamStreamJoiner:
             "stream-ssjoin-flush", added,
             summary={"stream_offset": self.last_offset,
                      "ssjoin_state": state})
+        # In-memory state mutates only AFTER the commit (the process_tick
+        # convention): a commit that raises leaves the buffers intact, so
+        # a retried flush_outer() re-emits instead of silently dropping
+        # the end-of-stream outer rows behind an already-set flag.
+        self.buf = {"l": _SIDE_SCHEMA.empty_table(),
+                    "r": _SIDE_SCHEMA.empty_table()}
+        self.matched_l = set()
+        self.flushed = True
 
     def results(self) -> pa.Table:
         return self.table.refresh().scan_arrow(sort=True)

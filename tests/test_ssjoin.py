@@ -211,3 +211,50 @@ def test_ssjoin_left_outer_crash_resume_and_flush_idempotent(
     assert j3.flushed
     j3.flush_outer()
     pd.testing.assert_frame_equal(_result_df(j3), _batch_left_join(ticks))
+
+
+def test_ssjoin_flush_commit_failure_is_retryable(tmp_path, ray_session):
+    """Review finding: flush_outer used to clear buffers and set the
+    flushed flag BEFORE committing — a failed commit + retry silently
+    dropped every end-of-stream outer row. State must mutate only after
+    the commit succeeds."""
+    tol, late = 10, 0
+    j = StreamStreamJoiner(str(tmp_path / "t"), tol, late,
+                           join_type="left_outer")
+    j.process_tick(0, _side([2], ["a"], [100]), _side([1], ["b"], [100]))
+
+    real_commit = j.table.commit
+    calls = {"n": 0}
+
+    def flaky_commit(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected commit failure")
+        return real_commit(*a, **k)
+
+    j.table.commit = flaky_commit
+    try:
+        import pytest as _pytest
+        with _pytest.raises(OSError):
+            j.flush_outer()
+        assert not j.flushed and len(j.buf["l"]) == 1
+        j.flush_outer()  # retry succeeds and emits the outer row
+    finally:
+        j.table.commit = real_commit
+    out = j.results().to_pandas()
+    assert (out["id_l"] == 2).sum() == 1
+    assert out[out["id_l"] == 2]["id_r"].iloc[0] == j.OUTER_SENTINEL
+
+
+def test_ssjoin_tick_after_flush_raises(tmp_path, ray_session):
+    import pytest as _pytest
+
+    j = StreamStreamJoiner(str(tmp_path / "t"), 10, 0,
+                           join_type="left_outer")
+    j.process_tick(0, _side([2], ["a"], [100]), _side([1], ["a"], [105]))
+    j.flush_outer()
+    with _pytest.raises(RuntimeError, match="closed by flush_outer"):
+        j.process_tick(1, _side([4], ["c"], [500]), _side([3], ["c"], [500]))
+    # replayed (already-committed) offsets are still fine post-flush
+    assert j.process_tick(0, _side([2], ["a"], [100]),
+                          _side([1], ["a"], [105])) is False
