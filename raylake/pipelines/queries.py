@@ -6264,6 +6264,90 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 (order-priority checking) — the EXISTS-subquery shape,
+    planned as aggregate-then-join: EXISTS(lineitem with l_shipdate >
+    o_orderdate) ≡ max(l_shipdate) > o_orderdate, so lineitem reduces to
+    ONE row per orderkey (per-batch max partials → groupby max — payload
+    is two int64s), the date-windowed orders side joins that tiny
+    aggregate on orderkey (the only all-to-all), and the priority counts
+    are a 5-row groupby. The adapted predicate (a line SHIPPED after the
+    order date — the synthetic schema has no commit/receipt dates) keeps
+    Q4's plan shape exactly."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"k": t["l_orderkey"],
+                       "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
+        return pa.TableGroupBy(tt, ["k"]).aggregate([("ship_us", "max")])
+
+    from ray.data.aggregate import Max
+
+    lmax = (li.map_batches(l_partial, batch_format="pyarrow")
+            .groupby("k").aggregate(Max("ship_us_max",
+                                        alias_name="max_ship_us")))
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate")
+                >= pa.scalar(pd.Timestamp("1996-01-01")))
+        & (pc.field("o_orderdate") < pa.scalar(pd.Timestamp("1996-07-01"))))
+
+    def o_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["o_orderkey"],
+            "o_date_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    j = _hash_join(
+        orders.map_batches(o_side, batch_format="pyarrow"),
+        lmax, on=("k",),
+        left_schema=pa.schema([("k", pa.int64()), ("o_date_us", pa.int64()),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()),
+                                ("max_ship_us", pa.int64())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        late = pc.greater(t["max_ship_us"], t["o_date_us"])
+        tt = pa.table({
+            "o_orderpriority": t["o_orderpriority"].filter(late),
+        })
+        g = pa.TableGroupBy(tt, ["o_orderpriority"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "n"])
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="order_count"))
+           .to_pandas())
+    if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype=object),
+            "order_count": pd.Series([], dtype="int64"),
+        })
+    return (agg[["o_orderpriority", "order_count"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # Q19's three disjunctive clauses as data: (brand, max p_size, qty lo, qty
 # hi). Bands are wider than TPC-H's spec so the query is non-vacuous on
 # the small synthetic part table.
@@ -6845,6 +6929,7 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
+    "tpch_q4": q_tpch_q4,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q19": q_tpch_q19,
@@ -6954,6 +7039,7 @@ ORACLES = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
+    "tpch_q4": SQL_TPCH_Q4,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q8": SQL_TPCH_Q8,
     "tpch_q19": SQL_TPCH_Q19,

@@ -29,8 +29,9 @@ def empty_sf_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q5", "tpch_q7",
-                                  "tpch_q8", "tpch_q10", "tpch_q18"])
+@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q4", "tpch_q5",
+                                  "tpch_q7", "tpch_q8", "tpch_q10",
+                                  "tpch_q18"])
 def test_empty_join_matches_oracle(name, empty_sf_dir, ray_session):
     got = QUERIES[name](empty_sf_dir)
     if not isinstance(got, pd.DataFrame):
