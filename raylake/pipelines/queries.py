@@ -1674,16 +1674,23 @@ _JACCARD_EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
                            "doc_b": pa.array([], pa.int64()),
                            "jaccard": pa.array([], pa.float64())})
 
+#: verify-blob broadcast cap: candidate-doc shingle sets up to this total
+#: size ship once via ray.put instead of re-shipping per candidate pair
+#: through two hash joins (see _verify_jaccard)
+_VERIFY_BCAST_BYTES = 64 << 20
+
 
 def _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5, hset=None):
-    """Distributed exact-Jaccard verify of candidate (doc_a, doc_b) pairs —
-    shared tail of minhash_neardup (LSH candidates) and jaccard_neardup
+    """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs — shared
+    tail of minhash_neardup (LSH candidates) and jaccard_neardup
     (prefix-filter candidates). Candidate-id set broadcasts once via
-    ray.put (ids only, never payloads); shingle sets flow as binary-packed
-    uint64 blobs through a two-sided hash join; intersection counts come
-    from ONE vectorized merge per batch. Duplicate candidate pairs ride
-    through and dedup with the final rows on the driver (bounded by the
-    caller's candidate-generation dup factor).
+    ray.put (ids only, never payloads); the candidate docs' binary-packed
+    uint64 shingle sets reach the verify kernel SIZE-ADAPTIVELY — a ≤64 MB
+    blob map broadcasts once, larger payloads flow through a two-sided
+    distributed hash join (the 100 TB path); either way intersection
+    counts come from ONE vectorized merge per batch. Duplicate candidate
+    pairs ride through and dedup with the final rows on the driver
+    (bounded by the caller's candidate-generation dup factor).
 
     If `hset` is given it is a materialized (doc_id, hashes, ...) stream of
     binary-packed sorted-unique uint64 shingle hashes and the corpus is NOT
@@ -1727,23 +1734,10 @@ def _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5, hset=None):
                     batch_format="pyarrow")
                 .materialize())
 
-    def side(id_name, suffix):
-        return hset.map_batches(
-            lambda t, id_name=id_name, suffix=suffix: pa.table({
-                id_name: t["doc_id"],
-                f"hashes{suffix}": t["hashes"],
-            }), batch_format="pyarrow")
-
-    joined = _join_pair_sides(cand, side, rows_hint=n_cand)
-
-    def verify(t: pa.Table) -> pa.Table:
-        n = len(t)
-        if n == 0:
-            return _JACCARD_EMPTY
-        va, la = _binary_u64_flat(t["hashes_a"])
-        vb, lb = _binary_u64_flat(t["hashes_b"])
+    def _intersect(t, va, la, vb, lb) -> pa.Table:
         # flatten to (pair_idx, hash) rows; intersection counts via ONE
         # vectorized merge instead of a per-pair Python loop
+        n = len(t)
         dfa = pd.DataFrame({"i": np.repeat(np.arange(n), la), "h": va})
         dfb = pd.DataFrame({"i": np.repeat(np.arange(n), lb), "h": vb})
         inter = np.zeros(n, dtype=np.int64)
@@ -1758,7 +1752,58 @@ def _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5, hset=None):
             "jaccard": pa.array(js[keep], pa.float64()),
         })
 
-    verified = (joined.map_batches(verify, batch_format="pyarrow")
+    # Size-adaptive verify: the candidate docs' packed sets are often tiny
+    # relative to the candidate-pair join volume (each pair re-ships BOTH
+    # blobs — 310k candidates at sf0.1 move ~500 MB through two joins while
+    # the 5k distinct blobs total 4 MB). Under the cap, broadcast the blob
+    # map once via ray.put and intersect locally per candidate batch; over
+    # it (the 100 TB path — candidate-doc payloads can exceed any worker),
+    # keep the two-sided distributed hash join. The cap bounds the
+    # broadcast object, NOT the driver: both branches keep per-batch work
+    # identical and the driver holds only the final pairs.
+    blob_bytes = hset.map_batches(
+        lambda t: pa.table({"b": pa.array(
+            [int(pc.sum(pc.binary_length(t["hashes"])).as_py() or 0)
+             + 16 * len(t)], pa.int64())}),
+        batch_format="pyarrow").sum("b") or 0
+
+    if blob_bytes <= _VERIFY_BCAST_BYTES:
+        pdf = hset.to_pandas()
+        blob_ref = _ray.put(dict(zip(pdf["doc_id"].tolist(),
+                                     pdf["hashes"].tolist())))
+
+        def verify_bcast(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return _JACCARD_EMPTY
+            blobs = _ray.get(blob_ref)
+            ba = [blobs[d] for d in t["doc_a"].to_pylist()]
+            bb = [blobs[d] for d in t["doc_b"].to_pylist()]
+            va = np.frombuffer(b"".join(ba), np.uint64)
+            vb = np.frombuffer(b"".join(bb), np.uint64)
+            la = np.fromiter((len(b) // 8 for b in ba), np.int64, len(ba))
+            lb = np.fromiter((len(b) // 8 for b in bb), np.int64, len(bb))
+            return _intersect(t, va, la, vb, lb)
+
+        joined = cand.map_batches(verify_bcast, batch_format="pyarrow")
+    else:
+        def side(id_name, suffix):
+            return hset.map_batches(
+                lambda t, id_name=id_name, suffix=suffix: pa.table({
+                    id_name: t["doc_id"],
+                    f"hashes{suffix}": t["hashes"],
+                }), batch_format="pyarrow")
+
+        def verify(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return _JACCARD_EMPTY
+            va, la = _binary_u64_flat(t["hashes_a"])
+            vb, lb = _binary_u64_flat(t["hashes_b"])
+            return _intersect(t, va, la, vb, lb)
+
+        joined = (_join_pair_sides(cand, side, rows_hint=n_cand)
+                  .map_batches(verify, batch_format="pyarrow"))
+
+    verified = (joined
                 .to_pandas()  # final pairs only — the answer itself
                 .drop_duplicates(["doc_a", "doc_b"])  # cross-bucket dups
                 .sort_values(["doc_a", "doc_b"], kind="mergesort")
