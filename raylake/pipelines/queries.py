@@ -1619,6 +1619,16 @@ def _hash_join(left, right, on, right_on=None, rows_hint=None, how="inner",
                      aggregator_ray_remote_args={"num_cpus": 0.25})
 
 
+def _empty_frame(spec: dict) -> pd.DataFrame:
+    """Typed 0-row DataFrame for the empty-result guards: a dataset whose
+    blocks are all 0-row (every row filtered / empty groupby) reaches
+    to_pandas() as a COLUMN-LESS frame (Ray 2.49 drops empty blocks), so
+    the oracle-exact schema must be rebuilt by hand — via this one tested
+    helper instead of a per-query copy-paste."""
+    return pd.DataFrame({c: pd.Series([], dtype=d)
+                         for c, d in spec.items()})
+
+
 def _join_seed(schema: pa.Schema, key_cols, key_val: int) -> pa.Table:
     """One sentinel row for _hash_join's empty-side seeding: key columns
     get the impossible key, payload columns a typed zero/empty value."""
@@ -1758,9 +1768,9 @@ def _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5, hset=None):
     # the 5k distinct blobs total 4 MB). Under the cap, broadcast the blob
     # map once via ray.put and intersect locally per candidate batch; over
     # it (the 100 TB path — candidate-doc payloads can exceed any worker),
-    # keep the two-sided distributed hash join. The cap bounds the
-    # broadcast object, NOT the driver: both branches keep per-batch work
-    # identical and the driver holds only the final pairs.
+    # keep the two-sided distributed hash join. In the broadcast branch
+    # the driver transiently assembles the cap-bounded (≤64 MB) blob map
+    # before ray.put; in the join branch it holds only the final pairs.
     blob_bytes = hset.map_batches(
         lambda t: pa.table({"b": pa.array(
             [int(pc.sum(pc.binary_length(t["hashes"])).as_py() or 0)
@@ -1768,9 +1778,12 @@ def _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5, hset=None):
         batch_format="pyarrow").sum("b") or 0
 
     if blob_bytes <= _VERIFY_BCAST_BYTES:
-        pdf = hset.to_pandas()
-        blob_ref = _ray.put(dict(zip(pdf["doc_id"].tolist(),
-                                     pdf["hashes"].tolist())))
+        blobs = {}
+        for b in hset.iter_batches(batch_format="pyarrow"):
+            blobs.update(zip(b["doc_id"].to_pylist(),
+                             b["hashes"].to_pylist()))
+        blob_ref = _ray.put(blobs)
+        del blobs  # driver holds the cap-bounded map only until ray.put
 
         def verify_bcast(t: pa.Table) -> pa.Table:
             if len(t) == 0:
@@ -1803,8 +1816,10 @@ def _verify_jaccard(ds, cand, n_cand, shingle=3, tau=0.5, hset=None):
         joined = (_join_pair_sides(cand, side, rows_hint=n_cand)
                   .map_batches(verify, batch_format="pyarrow"))
 
-    verified = (joined
-                .to_pandas()  # final pairs only — the answer itself
+    verified = joined.to_pandas()  # final pairs only — the answer itself
+    if verified.empty:  # every candidate failed τ: the all-0-row-block
+        return _JACCARD_EMPTY  # dataset drops to a column-less frame
+    verified = (verified
                 .drop_duplicates(["doc_a", "doc_b"])  # cross-bucket dups
                 .sort_values(["doc_a", "doc_b"], kind="mergesort")
                 .reset_index(drop=True))
@@ -5754,11 +5769,8 @@ def q_tpch_q5(sf_dir: str):
                       Sum("n", alias_name="n_items"))
            .to_pandas())
     if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        return pd.DataFrame({
-            "n_name": pd.Series([], dtype=object),
-            "revenue_cents": pd.Series([], dtype="int64"),
-            "n_items": pd.Series([], dtype="int64"),
-        })
+        return _empty_frame({"n_name": object, "revenue_cents": "int64",
+                             "n_items": "int64"})
     agg["n_name"] = agg["natkey"].map(nat_name)
     return agg[["n_name", "revenue_cents", "n_items"]]
 
@@ -5959,11 +5971,9 @@ def q_tpch_q3(sf_dir: str):
     top = (agg.sort(["revenue_cents", "k"], descending=[True, False])
            .limit(10).to_pandas())
     if top.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        return pd.DataFrame({
-            "l_orderkey": pd.Series([], dtype="int64"),
-            "revenue_cents": pd.Series([], dtype="int64"),
-            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
-        })
+        return _empty_frame({"l_orderkey": "int64",
+                             "revenue_cents": "int64",
+                             "o_orderdate": "datetime64[us]"})
     return pd.DataFrame({
         "l_orderkey": top["k"].astype("int64"),
         "revenue_cents": top["revenue_cents"].astype("int64"),
@@ -6032,13 +6042,9 @@ def q_tpch_q10(sf_dir: str):
            .sort(["revenue_cents", "c_custkey"], descending=[True, False])
            .limit(20).to_pandas())
     if top.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        return pd.DataFrame({
-            "c_custkey": pd.Series([], dtype="int64"),
-            "c_name": pd.Series([], dtype=object),
-            "revenue_cents": pd.Series([], dtype="int64"),
-            "acctbal_cents": pd.Series([], dtype="int64"),
-            "n_name": pd.Series([], dtype=object),
-        })
+        return _empty_frame({"c_custkey": "int64", "c_name": object,
+                             "revenue_cents": "int64",
+                             "acctbal_cents": "int64", "n_name": object})
 
     # enrich ONLY the 20 survivors: pruned point read + 25-row nation map
     cust = pq.read_table(
@@ -6107,8 +6113,7 @@ def q_tpch_q18(sf_dir: str):
                         batch_format="pyarrow")
            .to_pandas())  # bounded small by the HAVING threshold
     if big.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        big = pd.DataFrame({"k": pd.Series([], dtype="int64"),
-                            "sum_qty": pd.Series([], dtype="int64")})
+        big = _empty_frame({"k": "int64", "sum_qty": "int64"})
     keys = np.sort(big["k"].to_numpy())
     kref = ray.put(keys)
 
@@ -6130,24 +6135,18 @@ def q_tpch_q18(sf_dir: str):
 
     od = orders.map_batches(o_side, batch_format="pyarrow").to_pandas()
     if od.empty:  # all-filtered datasets drop their blocks → no columns
-        od = pd.DataFrame({
-            "o_orderkey": pd.Series([], dtype="int64"),
-            "o_custkey": pd.Series([], dtype="int64"),
-            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
-            "totalprice_cents": pd.Series([], dtype="int64"),
-        })
+        od = _empty_frame({"o_orderkey": "int64", "o_custkey": "int64",
+                           "o_orderdate": "datetime64[us]",
+                           "totalprice_cents": "int64"})
     out = od.merge(big.rename(columns={"k": "o_orderkey"}), on="o_orderkey")
     out = out.sort_values(["totalprice_cents", "o_orderdate", "o_orderkey"],
                           ascending=[False, True, True]).head(100)
     if out.empty:  # an empty 'in' filter list is rejected by pyarrow
-        return pd.DataFrame({
-            "c_name": pd.Series([], dtype=object),
-            "c_custkey": pd.Series([], dtype="int64"),
-            "o_orderkey": pd.Series([], dtype="int64"),
-            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
-            "totalprice_cents": pd.Series([], dtype="int64"),
-            "sum_qty": pd.Series([], dtype="int64"),
-        })
+        return _empty_frame({"c_name": object, "c_custkey": "int64",
+                             "o_orderkey": "int64",
+                             "o_orderdate": "datetime64[us]",
+                             "totalprice_cents": "int64",
+                             "sum_qty": "int64"})
     cust = pq.read_table(
         _pq(sf_dir, "customer"), columns=["c_custkey", "c_name"],
         filters=[("c_custkey", "in",
@@ -6271,13 +6270,9 @@ def q_tpch_q7(sf_dir: str):
                       Sum("n", alias_name="n_items"))
            .to_pandas())
     if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        return pd.DataFrame({
-            "supp_nation": pd.Series([], dtype=object),
-            "cust_nation": pd.Series([], dtype=object),
-            "l_year": pd.Series([], dtype="int64"),
-            "revenue_cents": pd.Series([], dtype="int64"),
-            "n_items": pd.Series([], dtype="int64"),
-        })
+        return _empty_frame({"supp_nation": object, "cust_nation": object,
+                             "l_year": "int64", "revenue_cents": "int64",
+                             "n_items": "int64"})
     comp = agg["comp"].to_numpy()
     agg["supp_nation"] = pd.Series(comp // 8192 // 32).map(nat_name)
     agg["cust_nation"] = pd.Series(comp // 8192 % 32).map(nat_name)
@@ -6372,10 +6367,8 @@ def q_tpch_q4(sf_dir: str):
            .aggregate(Sum("n", alias_name="order_count"))
            .to_pandas())
     if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        return pd.DataFrame({
-            "o_orderpriority": pd.Series([], dtype=object),
-            "order_count": pd.Series([], dtype="int64"),
-        })
+        return _empty_frame({"o_orderpriority": object,
+                             "order_count": "int64"})
     return (agg[["o_orderpriority", "order_count"]]
             .sort_values("o_orderpriority").reset_index(drop=True))
 
@@ -6579,12 +6572,8 @@ def q_tpch_q8(sf_dir: str):
                       Sum("n_items", alias_name="n_items"))
            .to_pandas())
     if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        return pd.DataFrame({
-            "o_year": pd.Series([], dtype="int64"),
-            "mkt_cents": pd.Series([], dtype="int64"),
-            "total_cents": pd.Series([], dtype="int64"),
-            "n_items": pd.Series([], dtype="int64"),
-        })
+        return _empty_frame({"o_year": "int64", "mkt_cents": "int64",
+                             "total_cents": "int64", "n_items": "int64"})
     agg = agg[agg["n_items"] > 0]  # drop the padded empty-year partials
     return (agg[["o_year", "mkt_cents", "total_cents", "n_items"]]
             .sort_values("o_year").reset_index(drop=True))

@@ -46,3 +46,32 @@ def test_empty_join_matches_oracle(name, empty_sf_dir, ray_session):
     got_dt = {c: str(got[c].dtype) for c in got.columns}
     want_dt = {c: str(want[c].dtype) for c in want.columns}
     assert got_dt == want_dt
+
+
+def test_verify_jaccard_all_candidates_fail_tau(ray_session, monkeypatch):
+    """Review finding: when candidates exist but every pair fails the τ
+    filter, all verify batches are 0-row, the dataset drops its blocks and
+    to_pandas() is column-less — the tail must return the typed empty
+    result, in BOTH the broadcast and the distributed-join branches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import raylake.pipelines.queries as Q
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["alpha beta gamma delta epsilon",
+                 "zeta eta theta iota kappa"],
+    }))
+    cand = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1], pa.int64()),
+        "doc_b": pa.array([2], pa.int64()),
+    }))
+    out = Q._verify_jaccard(docs, cand, 1)
+    assert out.num_rows == 0
+    assert out.schema.equals(Q._JACCARD_EMPTY.schema)
+
+    monkeypatch.setattr(Q, "_VERIFY_BCAST_BYTES", 0)  # force the join path
+    out2 = Q._verify_jaccard(docs, cand, 1)
+    assert out2.num_rows == 0
+    assert out2.schema.equals(Q._JACCARD_EMPTY.schema)
