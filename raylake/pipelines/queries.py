@@ -1857,6 +1857,8 @@ def q_minhash_neardup(sf_dir: str):
     # unmaterialized dataset branched into two join sides re-executes the
     # shared lineage (read + 64-perm MinHasher) once PER SIDE (review
     # finding, empirically confirmed on Ray 2.49)
+    if bands.count() == 0:  # empty corpus: a zero-block side crashes the
+        return _JACCARD_EMPTY  # self-join (schema-less Acero FieldRef)
     cand = (
         _bucket_pairs_join(bands, ["band_id", "band_hash"])
         .materialize()  # object store (bounded by |candidates|), not driver
@@ -1939,6 +1941,8 @@ def q_jaccard_neardup(sf_dir: str):
 
     hset = (ds.map_batches(pack_shingles, batch_format="pyarrow")
             .materialize())
+    if hset.count() == 0:  # empty corpus: the df pass would reach
+        return _JACCARD_EMPTY  # to_pandas() as a column-less frame
 
     def gram_partials(t: pa.Table) -> pa.Table:
         # batch-local combiner before the df groupby (dup_spans pattern)
@@ -1954,6 +1958,8 @@ def q_jaccard_neardup(sf_dir: str):
               .map_batches(lambda t: t.filter(pc.greater(t["df"], 1)),
                            batch_format="pyarrow")
               .to_pandas())  # repeated grams only — the broadcastable core
+    if df_tbl.empty:  # no repeated gram anywhere → column-less frame
+        df_tbl = _empty_frame({"hv": "int64", "df": "int64"})
     hv_u64 = df_tbl["hv"].to_numpy().view(np.uint64)
     order = np.argsort(hv_u64, kind="stable")
     df_ref = _ray.put((hv_u64[order], df_tbl["df"].to_numpy()[order]
@@ -2138,12 +2144,14 @@ def q_simhash_neardup(sf_dir: str):
             .materialize())  # object store (16 B/doc), reused by two stages
     bands = (sigs.map_batches(simhash_band_rows, batch_format="pyarrow")
              .materialize())  # both self-join sides consume this
-    cand = (_bucket_pairs_join(bands, ["band_id", "band_val"],
-                               carry_band=True)
-            .materialize())
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int64())})
+    if bands.count() == 0:  # empty corpus: a zero-block side crashes the
+        return empty        # self-join (schema-less Acero FieldRef)
+    cand = (_bucket_pairs_join(bands, ["band_id", "band_val"],
+                               carry_band=True)
+            .materialize())
     if cand.count() == 0:  # no bucket held two docs — joins would KeyError
         return empty
 

@@ -75,3 +75,25 @@ def test_verify_jaccard_all_candidates_fail_tau(ray_session, monkeypatch):
     out2 = Q._verify_jaccard(docs, cand, 1)
     assert out2.num_rows == 0
     assert out2.schema.equals(Q._JACCARD_EMPTY.schema)
+
+
+@pytest.fixture(scope="module")
+def empty_docs_dir(tmp_path_factory):
+    """sf0.001 with an EMPTY documents table — the near-dup self-joins'
+    zero-block edge (schema-less Acero sides, column-less df frames)."""
+    d = tmp_path_factory.mktemp("sf_empty_docs")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        if t == "documents":
+            tbl = tbl.slice(0, 0)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["minhash_neardup", "jaccard_neardup",
+                                  "simhash_neardup", "neardup_dedup"])
+def test_neardup_family_empty_corpus(name, empty_docs_dir, ray_session):
+    got = QUERIES[name](empty_docs_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert len(got) == 0
