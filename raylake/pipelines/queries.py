@@ -1606,8 +1606,15 @@ def _hash_join(left, right, on, right_on=None, rows_hint=None, how="inner",
     parts = max(2, min(16, cpus // 2))
     if rows_hint is not None:
         parts = max(2, min(parts, int(rows_hint) // 50_000 + 2))
-    if left_schema is not None or right_schema is not None:
-        assert how == "inner", "join seeds are inner-join only"
+    # A seed sentinel must be guaranteed to vanish in the join: under
+    # "inner" both sides qualify; under "left_outer" only the RIGHT seed
+    # does (an unmatched right row never emits, an unmatched LEFT row
+    # would surface as a null-padded output row).
+    if left_schema is not None:
+        assert how == "inner", "left join seeds are inner-join only"
+    if right_schema is not None:
+        assert how in ("inner", "left_outer"), \
+            "right join seeds require inner or left_outer"
     if left_schema is not None:
         left = _rd().from_arrow(
             _join_seed(left_schema, on, -1)).union(left)
@@ -6312,6 +6319,70 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer distribution) — the LEFT-OUTER + double-
+    aggregation shape: priority-filtered orders pre-aggregate to
+    (custkey, cnt) partials (per-batch TableGroupBy, then ONE groupby —
+    only 16-byte rows shuffle), the customer id stream LEFT OUTER
+    hash-joins that already-small aggregate (customers with no orders
+    keep count 0 via coalesce — the right-side join seed covers the
+    zero-order corpus edge), and the final distribution is a second
+    groupby over the per-batch count-of-counts partials. No wide row
+    ever shuffles; the distribution result is O(max orders per
+    customer). The adapted exclusion predicate (o_orderpriority <>
+    '4-NOT SPECIFIED' — the synthetic schema has no o_comment) keeps
+    Q13's plan shape exactly."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") != pa.scalar("4-NOT SPECIFIED"))
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"k": t["o_custkey"]}),
+                            ["k"]).aggregate([([], "count_all")])
+        return g.rename_columns(["k", "cnt"])
+
+    counts = (orders.map_batches(o_partial, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("cnt", alias_name="cnt")))
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
+    j = _hash_join(cust, counts, on=("c_custkey",), right_on=("k",),
+                   how="left_outer",
+                   right_schema=pa.schema([("k", pa.int64()),
+                                           ("cnt", pa.int64())]))
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        c = pc.coalesce(t["cnt"], pa.scalar(0, pa.int64()))
+        g = pa.TableGroupBy(pa.table({"c_count": c}),
+                            ["c_count"]).aggregate([([], "count_all")])
+        return g.rename_columns(["c_count", "n"])
+
+    agg = (j.map_batches(dist_partial, batch_format="pyarrow")
+           .groupby("c_count").aggregate(Sum("n", alias_name="custdist"))
+           .to_pandas())
+    if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"c_count": "int64", "custdist": "int64"})
+    agg = agg[["c_count", "custdist"]].astype("int64")
+    return (agg.sort_values(["custdist", "c_count"],
+                            ascending=[False, False])
+            .reset_index(drop=True))
+
+
+SQL_TPCH_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 def q_tpch_q4(sf_dir: str):
     """TPC-H Q4 (order-priority checking) — the EXISTS-subquery shape,
     planned as aggregate-then-join: EXISTS(lineitem with l_shipdate >
@@ -6972,6 +7043,7 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
     "tpch_q4": q_tpch_q4,
+    "tpch_q13": q_tpch_q13,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q19": q_tpch_q19,
@@ -7082,6 +7154,7 @@ ORACLES = {
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q4": SQL_TPCH_Q4,
+    "tpch_q13": SQL_TPCH_Q13,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q8": SQL_TPCH_Q8,
     "tpch_q19": SQL_TPCH_Q19,
