@@ -1597,9 +1597,11 @@ def _hash_join(left, right, on, right_on=None, rows_hint=None, how="inner",
     schema-less and Acero fails with 'No match for key field reference'
     instead of returning the empty result (review finding — Ray 2.49);
     0-row blocks are dropped before the shuffle, so the seed must be a
-    real row. Inner-join only (the sentinels can never match each other
-    or the callers' non-negative keys, so they vanish in the join — under
-    an outer join a sentinel would emit)."""
+    real row. The sentinels can never match each other or the callers'
+    non-negative keys, so they vanish under "inner" (both sides) and
+    under "left_outer" for the RIGHT side only — an unmatched LEFT
+    sentinel would emit as a null-padded row, so left seeds stay
+    inner-join-only (enforced below)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -2293,6 +2295,12 @@ def q_neardup_dedup(sf_dir: str):
     docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id"])
 
     if pairs.num_rows == 0:
+        if docs.count() == 0:  # typed empty — a zero-block dataset would
+            return pa.table({  # reach to_pandas() as a column-less frame
+                "doc_id": pa.array([], pa.int64()),
+                "component": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.int64()),
+            })
         return docs.map_batches(
             lambda t: pa.table({
                 "doc_id": t["doc_id"], "component": t["doc_id"],
@@ -6348,6 +6356,10 @@ def q_tpch_q13(sf_dir: str):
               .groupby("k").aggregate(Sum("cnt", alias_name="cnt")))
 
     cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
+    if cust.count() == 0:  # metadata-only row count; the LEFT side of a
+        # left_outer join cannot be sentinel-seeded (an unmatched left
+        # row would emit), so guard the zero-block edge explicitly
+        return _empty_frame({"c_count": "int64", "custdist": "int64"})
     j = _hash_join(cust, counts, on=("c_custkey",), right_on=("k",),
                    how="left_outer",
                    right_schema=pa.schema([("k", pa.int64()),

@@ -16,17 +16,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-@pytest.fixture(scope="module")
-def empty_sf_dir(tmp_path_factory):
-    """sf0.001 with every lineitem dropped: all join queries yield zero
-    rows while every dimension table keeps its real shape."""
-    d = tmp_path_factory.mktemp("sf_empty_join")
+def _sf_dir_with_empty(tmp_path_factory, empty_table: str) -> str:
+    """sf0.001 with ONE table sliced to 0 rows — the zero-block edge for
+    whatever pipeline consumes that table."""
+    d = tmp_path_factory.mktemp(f"sf_empty_{empty_table}")
     for t in TABLES:
         tbl = pq.read_table(f"{SRC}/{t}.parquet")
-        if t == "lineitem":
+        if t == empty_table:
             tbl = tbl.slice(0, 0)
         pq.write_table(tbl, str(d / f"{t}.parquet"))
     return str(d)
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """Empty lineitem: all TPC-H join queries yield zero rows while every
+    dimension table keeps its real shape."""
+    return _sf_dir_with_empty(tmp_path_factory, "lineitem")
 
 
 @pytest.mark.parametrize("name", ["tpch_q3", "tpch_q4", "tpch_q5",
@@ -79,21 +85,44 @@ def test_verify_jaccard_all_candidates_fail_tau(ray_session, monkeypatch):
 
 @pytest.fixture(scope="module")
 def empty_docs_dir(tmp_path_factory):
-    """sf0.001 with an EMPTY documents table — the near-dup self-joins'
-    zero-block edge (schema-less Acero sides, column-less df frames)."""
-    d = tmp_path_factory.mktemp("sf_empty_docs")
-    for t in TABLES:
-        tbl = pq.read_table(f"{SRC}/{t}.parquet")
-        if t == "documents":
-            tbl = tbl.slice(0, 0)
-        pq.write_table(tbl, str(d / f"{t}.parquet"))
-    return str(d)
+    """Empty documents table — the near-dup self-joins' zero-block edge
+    (schema-less Acero sides, column-less df frames)."""
+    return _sf_dir_with_empty(tmp_path_factory, "documents")
 
 
-@pytest.mark.parametrize("name", ["minhash_neardup", "jaccard_neardup",
-                                  "simhash_neardup", "neardup_dedup"])
+_NEARDUP_EMPTY_COLS = {
+    "minhash_neardup": {"doc_a": "int64", "doc_b": "int64",
+                        "jaccard": "float64"},
+    "jaccard_neardup": {"doc_a": "int64", "doc_b": "int64",
+                        "jaccard": "float64"},
+    "simhash_neardup": {"doc_a": "int64", "doc_b": "int64",
+                        "hamming": "int64"},
+    "neardup_dedup": {"doc_id": "int64", "component": "int64",
+                      "keep": "int64"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_NEARDUP_EMPTY_COLS))
 def test_neardup_family_empty_corpus(name, empty_docs_dir, ray_session):
     got = QUERIES[name](empty_docs_dir)
     if not isinstance(got, pd.DataFrame):
         got = got.to_pandas() if hasattr(got, "to_pandas") else got
     assert len(got) == 0
+    # the typed-schema contract is the point of the guards, not just 0 rows
+    want = _NEARDUP_EMPTY_COLS[name]
+    assert list(got.columns) == list(want)
+    assert {c: str(got[c].dtype) for c in got.columns} == want
+
+
+def test_tpch_q13_empty_customer(tmp_path_factory, ray_session):
+    """Review finding: the LEFT side of a left_outer join cannot be
+    sentinel-seeded, so an empty customer table needs an explicit guard."""
+    d = _sf_dir_with_empty(tmp_path_factory, "customer")
+    got = QUERIES["tpch_q13"](d)
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.sql(ORACLES["tpch_q13"]).df()
+    assert len(got) == len(want) == 0
+    assert {c: str(got[c].dtype) for c in got.columns} == \
+        {c: str(want[c].dtype) for c in want.columns}
