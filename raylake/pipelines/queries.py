@@ -6395,6 +6395,114 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 (global sales opportunity) — the SCALAR-SUBQUERY +
+    ANTI-JOIN shape: the average-balance threshold computes as exact
+    integer partials (Σ cents, count — the comparison bal·n > Σ is
+    integer-exact, no float average crosses the driver gate); the
+    'customer has no recent orders' anti-join runs as a LEFT OUTER hash
+    join against per-batch-deduped order custkeys (null right ⇒ keep —
+    never a broadcast of the order-customer set, which is O(customers)
+    at scale); the final per-nation counts reduce via per-batch groupby
+    partials. Adapted predicates: c_nationkey < 10 replaces the
+    phone-prefix set (no c_phone in the synthetic schema), and the
+    anti-join window is o_orderdate ≥ 2000-01-01 — the synthetic order
+    stream covers every custkey over its full range, so Q22's literal
+    'no orders at all' would be vacuously empty."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    pool = (rd.read_parquet(
+        _pq(sf_dir, "customer"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        filter=pc.field("c_nationkey") < 10).materialize())
+    if pool.count() == 0:  # LEFT side of a left_outer join can't be seeded
+        return _empty_frame({"cntrycode": "int64", "numcust": "int64",
+                             "totacctbal_cents": "int64"})
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["c_acctbal"], 100.0), 0.5)), pa.int64())
+        pos = pc.filter(cents, pc.greater(cents, 0))
+        return pa.table({
+            "s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64()),
+        })
+
+    stats = (pool.map_batches(bal_partial, batch_format="pyarrow")
+             .aggregate(Sum("s", alias_name="s"),
+                        Sum("n", alias_name="n"))) or {}
+    s, n = int(stats.get("s") or 0), int(stats.get("n") or 0)
+    thresh = ray.put((s, n))
+
+    def p_side(t: pa.Table) -> pa.Table:
+        ts, tn = ray.get(thresh)
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["c_acctbal"], 100.0), 0.5)), pa.int64())
+        keep = pc.greater(pc.multiply(cents, tn), ts)  # bal·n > Σ ⇔ bal>avg
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "cntrycode": pc.cast(t["c_nationkey"], pa.int64()),
+            "bal_cents": cents,
+        }).filter(keep)
+
+    def o_side(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["o_custkey"])  # batch-local dedup before the join
+        return pa.table({"k": u,
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey"],
+        filter=pc.field("o_orderdate")
+        >= pa.scalar(pd.Timestamp("2000-01-01")))
+    j = _hash_join(
+        pool.map_batches(p_side, batch_format="pyarrow"),
+        orders.map_batches(o_side, batch_format="pyarrow"),
+        on=("c_custkey",), right_on=("k",), how="left_outer",
+        right_schema=pa.schema([("k", pa.int64()), ("one", pa.int64())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["one"]))  # anti-join: no matching order
+        g = pa.TableGroupBy(t.select(["cntrycode", "bal_cents"]),
+                            ["cntrycode"]).aggregate(
+            [("bal_cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["cntrycode", "tot", "cnt"])
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("cntrycode")
+           .aggregate(Sum("cnt", alias_name="numcust"),
+                      Sum("tot", alias_name="totacctbal_cents"))
+           .to_pandas())
+    if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"cntrycode": "int64", "numcust": "int64",
+                             "totacctbal_cents": "int64"})
+    agg = agg[["cntrycode", "numcust", "totacctbal_cents"]].astype("int64")
+    return agg.sort_values("cntrycode").reset_index(drop=True)
+
+
+SQL_TPCH_Q22 = """
+WITH pool AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_nationkey < 10),
+stats AS (
+  SELECT sum(bal_cents) AS s, count(*) AS n
+  FROM pool WHERE bal_cents > 0),
+qual AS (
+  SELECT p.c_nationkey, p.bal_cents
+  FROM pool p, stats
+  WHERE p.bal_cents * stats.n > stats.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = p.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT c_nationkey::BIGINT AS cntrycode, count(*) AS numcust,
+       sum(bal_cents)::BIGINT AS totacctbal_cents
+FROM qual GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_tpch_q4(sf_dir: str):
     """TPC-H Q4 (order-priority checking) — the EXISTS-subquery shape,
     planned as aggregate-then-join: EXISTS(lineitem with l_shipdate >
@@ -7056,6 +7164,7 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q4": q_tpch_q4,
     "tpch_q13": q_tpch_q13,
+    "tpch_q22": q_tpch_q22,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q19": q_tpch_q19,
@@ -7167,6 +7276,7 @@ ORACLES = {
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q22": SQL_TPCH_Q22,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q8": SQL_TPCH_Q8,
     "tpch_q19": SQL_TPCH_Q19,
