@@ -6409,8 +6409,6 @@ def q_tpch_q22(sf_dir: str):
     anti-join window is o_orderdate ≥ 2000-01-01 — the synthetic order
     stream covers every custkey over its full range, so Q22's literal
     'no orders at all' would be vacuously empty."""
-    import ray
-
     from ray.data.aggregate import Sum
 
     rd = _rd()
@@ -6435,10 +6433,10 @@ def q_tpch_q22(sf_dir: str):
              .aggregate(Sum("s", alias_name="s"),
                         Sum("n", alias_name="n"))) or {}
     s, n = int(stats.get("s") or 0), int(stats.get("n") or 0)
-    thresh = ray.put((s, n))
+    # two ints ride the map closure directly — ray.put is for payloads
+    # that would otherwise re-pickle per task, not a 16-byte tuple
 
-    def p_side(t: pa.Table) -> pa.Table:
-        ts, tn = ray.get(thresh)
+    def p_side(t: pa.Table, ts=s, tn=n) -> pa.Table:
         cents = pc.cast(pc.floor(pc.add(
             pc.multiply(t["c_acctbal"], 100.0), 0.5)), pa.int64())
         keep = pc.greater(pc.multiply(cents, tn), ts)  # bal·n > Σ ⇔ bal>avg
@@ -6447,6 +6445,13 @@ def q_tpch_q22(sf_dir: str):
             "cntrycode": pc.cast(t["c_nationkey"], pa.int64()),
             "bal_cents": cents,
         }).filter(keep)
+
+    qual = pool.map_batches(p_side, batch_format="pyarrow").materialize()
+    if qual.count() == 0:  # nobody beats the average (e.g. all balances
+        # equal): the unseedable LEFT side of the left_outer join would
+        # reach Acero schema-less, so guard explicitly
+        return _empty_frame({"cntrycode": "int64", "numcust": "int64",
+                             "totacctbal_cents": "int64"})
 
     def o_side(t: pa.Table) -> pa.Table:
         u = pc.unique(t["o_custkey"])  # batch-local dedup before the join
@@ -6458,8 +6463,7 @@ def q_tpch_q22(sf_dir: str):
         filter=pc.field("o_orderdate")
         >= pa.scalar(pd.Timestamp("2000-01-01")))
     j = _hash_join(
-        pool.map_batches(p_side, batch_format="pyarrow"),
-        orders.map_batches(o_side, batch_format="pyarrow"),
+        qual, orders.map_batches(o_side, batch_format="pyarrow"),
         on=("c_custkey",), right_on=("k",), how="left_outer",
         right_schema=pa.schema([("k", pa.int64()), ("one", pa.int64())]))
 

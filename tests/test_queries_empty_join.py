@@ -126,3 +126,35 @@ def test_tpch_q13_empty_customer(tmp_path_factory, ray_session):
     assert len(got) == len(want) == 0
     assert {c: str(got[c].dtype) for c in got.columns} == \
         {c: str(want[c].dtype) for c in want.columns}
+
+
+def _q22_oracle_compare(d: str, got: pd.DataFrame):
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.sql(ORACLES["tpch_q22"]).df()
+    assert len(got) == len(want) == 0
+    assert {c: str(got[c].dtype) for c in got.columns} == \
+        {c: str(want[c].dtype) for c in want.columns}
+
+
+def test_tpch_q22_empty_customer(tmp_path_factory, ray_session):
+    d = _sf_dir_with_empty(tmp_path_factory, "customer")
+    _q22_oracle_compare(d, QUERIES["tpch_q22"](d))
+
+
+def test_tpch_q22_no_customer_beats_average(tmp_path_factory, ray_session):
+    """Review finding: when every pooled balance is identical, nobody is
+    above average, the qualifying set is empty and the unseedable LEFT
+    side of the anti-join must be guarded — not crash in Acero."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_q22_flat")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        if t == "customer":
+            flat = pa.array([100.0] * len(tbl), pa.float64())
+            tbl = tbl.set_column(tbl.schema.get_field_index("c_acctbal"),
+                                 "c_acctbal", flat)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    _q22_oracle_compare(str(d), QUERIES["tpch_q22"](str(d)))
