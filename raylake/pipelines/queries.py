@@ -6507,6 +6507,154 @@ FROM qual GROUP BY 1 ORDER BY 1
 """
 
 
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue) — the CORRELATED
+    PER-GROUP-THRESHOLD shape: revenue from brand lineitems whose
+    quantity is below 20% of that part's average quantity. Two passes
+    over the brand-pruned lineitem stream: pass 1 reduces to per-partkey
+    (Σ qty, count) partials (bounded by |brand parts|, broadcast back via
+    ray.put — at sf1 that's ~80k parts ≈ 2 MB); pass 2 keeps rows where
+    5·qty·cnt < Σqty (the 0.2·avg comparison cross-multiplied into exact
+    integers — no float average) and sums integer revenue cents. The
+    brand partkey set prunes BOTH passes at the batch kernel, and nothing
+    shuffles except the tiny per-part aggregate."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    pk = np.sort(part[part["p_brand"] == "Brand#13"]["p_partkey"].to_numpy())
+    pk_ref = ray.put(pk)
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def q_partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        ok = _sorted_membership(keys, t["l_partkey"].to_numpy(
+            zero_copy_only=False))
+        t = t.filter(pa.array(ok))
+        qty = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64())
+        g = pa.TableGroupBy(pa.table({"k": t["l_partkey"], "q": qty}),
+                            ["k"]).aggregate([("q", "sum"),
+                                              ([], "count_all")])
+        return g.rename_columns(["k", "sq", "cnt"])
+
+    stats = (li.map_batches(q_partial, batch_format="pyarrow")
+             .groupby("k")
+             .aggregate(Sum("sq", alias_name="sq"),
+                        Sum("cnt", alias_name="cnt"))
+             .to_pandas())  # O(|brand parts|) — the broadcastable core
+    if stats.empty:
+        stats = _empty_frame({"k": "int64", "sq": "int64", "cnt": "int64"})
+    stats = stats.sort_values("k")
+    st_ref = ray.put((stats["k"].to_numpy(),
+                      stats["sq"].to_numpy().astype(np.int64),
+                      stats["cnt"].to_numpy().astype(np.int64)))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        keys, sq, cnt = ray.get(st_ref)
+        probe = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ok, sqv = _sorted_lookup(keys, sq, probe)
+        _, cntv = _sorted_lookup(keys, cnt, probe)
+        qty = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ok & (5 * qty * cntv < sqv)  # qty < 0.2·avg, cross-mult
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], 100.0), 0.5)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "revenue_cents": pa.array([int(cents[keep].sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    agg = (li.map_batches(rev_partial, batch_format="pyarrow")
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                      Sum("n_items", alias_name="n_items"))) or {}
+    return pa.table({
+        "revenue_cents": pa.array([int(agg.get("revenue_cents") or 0)],
+                                  pa.int64()),
+        "n_items": pa.array([int(agg.get("n_items") or 0)], pa.int64()),
+    })
+
+
+SQL_TPCH_Q17 = """
+WITH st AS (
+  SELECT l_partkey AS k,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sq,
+         count(*) AS cnt
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13'
+  GROUP BY l_partkey)
+SELECT coalesce(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)),
+                0)::BIGINT AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem JOIN st ON st.k = l_partkey
+WHERE 5 * CAST(floor(l_quantity + 0.5) AS BIGINT) * st.cnt < st.sq
+"""
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier) — the ARGMAX-BY-GROUP / view-equals-max
+    shape: per-supplier revenue in a 3-month window reduces via per-batch
+    partials to an O(|suppliers|) aggregate; the global max is a scalar
+    aggregate over that; the winners (ties included, per the spec) filter
+    by equality and enrich from a point read of the supplier dim. No
+    wide row shuffles; two small aggregations replace the correlated
+    HAVING = (SELECT max(...)) subquery."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate")
+                >= pa.scalar(pd.Timestamp("1996-01-01")))
+        & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1996-04-01"))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({
+            "k": t["l_suppkey"], "c": _revenue_cents(t)}),
+            ["k"]).aggregate([("c", "sum")])
+        return g.rename_columns(["k", "c"])
+
+    rev = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("c", alias_name="total_rev_cents"))
+           .to_pandas())
+    if rev.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"s_suppkey": "int64", "s_name": object,
+                             "total_rev_cents": "int64"})
+    top = rev[rev["total_rev_cents"] == rev["total_rev_cents"].max()]
+    supp = pq.read_table(
+        _pq(sf_dir, "supplier"), columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in",
+                  [int(k) for k in top["k"]])]).to_pandas()
+    out = supp.merge(top.rename(columns={"k": "s_suppkey"}), on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_rev_cents"] = out["total_rev_cents"].astype("int64")
+    return (out[["s_suppkey", "s_name", "total_rev_cents"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT))::BIGINT AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
 def q_tpch_q4(sf_dir: str):
     """TPC-H Q4 (order-priority checking) — the EXISTS-subquery shape,
     planned as aggregate-then-join: EXISTS(lineitem with l_shipdate >
@@ -7168,6 +7316,8 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q4": q_tpch_q4,
     "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
     "tpch_q22": q_tpch_q22,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -7280,6 +7430,8 @@ ORACLES = {
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q15": SQL_TPCH_Q15,
+    "tpch_q17": SQL_TPCH_Q17,
     "tpch_q22": SQL_TPCH_Q22,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q8": SQL_TPCH_Q8,

@@ -37,7 +37,7 @@ def empty_sf_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("name", ["tpch_q3", "tpch_q4", "tpch_q5",
                                   "tpch_q7", "tpch_q8", "tpch_q10",
-                                  "tpch_q18"])
+                                  "tpch_q15", "tpch_q18"])
 def test_empty_join_matches_oracle(name, empty_sf_dir, ray_session):
     got = QUERIES[name](empty_sf_dir)
     if not isinstance(got, pd.DataFrame):
@@ -158,3 +158,40 @@ def test_tpch_q22_no_customer_beats_average(tmp_path_factory, ray_session):
                                  "c_acctbal", flat)
         pq.write_table(tbl, str(d / f"{t}.parquet"))
     _q22_oracle_compare(str(d), QUERIES["tpch_q22"](str(d)))
+
+
+def test_tpch_q17_empty_lineitem_zero_row(empty_sf_dir, ray_session):
+    """Q17 is a scalar aggregate: an empty lineitem must yield the
+    oracle's single coalesced-zero row, value-exact, not an empty frame."""
+    got = QUERIES["tpch_q17"](empty_sf_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{empty_sf_dir}/{t}.parquet'")
+    want = con.sql(ORACLES["tpch_q17"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_tpch_q17_no_brand_parts(tmp_path_factory, ray_session):
+    """When no part carries the target brand the broadcast key set is
+    empty — both passes must survive the empty-keys searchsorted edge."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_q17_nobrand")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        if t == "part":
+            other = pa.array(["Brand#99"] * len(tbl), pa.string())
+            tbl = tbl.set_column(tbl.schema.get_field_index("p_brand"),
+                                 "p_brand", other)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    got = QUERIES["tpch_q17"](str(d))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.sql(ORACLES["tpch_q17"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
