@@ -6655,6 +6655,697 @@ ORDER BY s.s_suppkey
 """
 
 
+def _region_nation_keys(sf_dir: str, r_name: str) -> set:
+    """Nationkeys of one region — the shared driver-side prologue of the
+    region-filtered TPC-H queries (Q2/Q11/Q20/Q21)."""
+    nation = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    region = pq.read_table(_pq(sf_dir, "region")).to_pandas()
+    m = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    return set(m[m["r_name"] == r_name]["n_nationkey"])
+
+
+# The synthetic corpus has no partsupp table: Q2/Q16/Q20 re-derive the
+# part-supplier relation from lineitem (who actually shipped what), with
+# supply cost adapted to min line price cents (Q2), the "complaint"
+# exclusion to low account balances (Q16), and availqty to shipped
+# quantity (Q20). Each keeps the original query's PLAN SHAPE exactly.
+
+
+_Q16_SIZES = (1, 4, 9, 14, 19, 24, 29, 34)
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 (parts/supplier relationship) — the NOT-IN +
+    COUNT-DISTINCT shape: distinct supplier count per (brand, type,
+    size) over qualifying parts, excluding a blacklisted supplier set.
+    The part dimension compiles to a broadcast (sorted partkey → group
+    id); the blacklist (s_acctbal < 1500 stands in for complaint
+    suppliers) is a second sorted broadcast; lineitem reduces per batch
+    to unique (gid, suppkey) pairs, one count-distinct shuffle of int
+    pairs finishes it, and the group labels re-attach driver-side from
+    the O(|groups|) result."""
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"]).to_pandas()
+    part = part[(part["p_brand"] != "Brand#13")
+                & (part["p_type"] != "PROMO")
+                & (part["p_size"].isin(_Q16_SIZES))]
+    groups = (part[["p_brand", "p_type", "p_size"]]
+              .drop_duplicates().sort_values(["p_brand", "p_type", "p_size"])
+              .reset_index(drop=True))
+    part_gid = (part.groupby(["p_brand", "p_type", "p_size"], sort=True)
+                .ngroup().to_numpy().astype(np.int64))  # row i of `groups`
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(supp[supp["s_acctbal"] < 1500.0]["s_suppkey"].to_numpy())
+    bcast = ray.put((pk[order], part_gid[order], bad))
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keys, gids, badk = ray.get(bcast)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        ok, g = _sorted_lookup(keys, gids, p)
+        ok &= ~_sorted_membership(badk, s)
+        # per-batch distinct (gid, suppkey) — the combiner before the
+        # global count-distinct shuffle
+        return pa.TableGroupBy(pa.table({
+            "g": pa.array(g[ok], pa.int64()),
+            "s": pa.array(s[ok], pa.int64())}), ["g", "s"]).aggregate([])
+
+    uniq = (li.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["g", "s"]).aggregate(Count("s", alias_name="_n")))
+
+    def per_group(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["g"]), ["g"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["g", "n"])
+
+    cnt = (uniq.map_batches(per_group, batch_format="pyarrow")
+           .groupby("g").aggregate(Sum("n", alias_name="supplier_cnt"))
+           .to_pandas())  # O(|groups|)
+    if cnt.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"p_brand": object, "p_type": object,
+                             "p_size": "int32", "supplier_cnt": "int64"})
+    out = groups.iloc[cnt["g"].to_numpy()].reset_index(drop=True)
+    out["supplier_cnt"] = cnt["supplier_cnt"].astype("int64").to_numpy()
+    return (out.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                            ascending=[False, True, True, True])
+            .reset_index(drop=True))
+
+
+SQL_TPCH_Q16 = """
+WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM rel JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 1500.0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 (potential part promotion) — the NESTED-SEMI-JOIN +
+    CORRELATED-THRESHOLD shape: suppliers who shipped more of a
+    qualifying part in 1997 than half its all-time volume (availqty
+    adapted to shipped quantity; 'forest%' parts to 'cold%'). The part
+    name filter broadcasts; lineitem reduces per batch to (part, supp,
+    qty_1997, qty_total) partials; one int-pair shuffle aggregates them;
+    the integer cross-multiplied threshold (2·q1997 > qtotal) filters
+    distributed; only the O(|suppliers|) candidate set reaches the
+    driver for the region-filtered name output."""
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    pk = np.sort(part[part["p_name"].str.startswith("cold")]
+                 ["p_partkey"].to_numpy())
+    pk_ref = ray.put(pk)
+    y0 = pd.Timestamp("1997-01-01").value // 1000
+    y1 = pd.Timestamp("1998-01-01").value // 1000
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey", "l_quantity",
+                                  "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        ok = _sorted_membership(
+            keys, t["l_partkey"].to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(ok))
+        qty = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64())
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        in97 = pc.and_(pc.greater_equal(ship, pa.scalar(y0)),
+                       pc.less(ship, pa.scalar(y1)))
+        qy = pc.if_else(in97, qty, pa.scalar(0, pa.int64()))
+        g = pa.TableGroupBy(pa.table({
+            "p": t["l_partkey"], "s": t["l_suppkey"],
+            "qy": qy, "qt": qty}), ["p", "s"]).aggregate(
+            [("qy", "sum"), ("qt", "sum")])
+        return g.rename_columns(["p", "s", "qy", "qt"])
+
+    ps = (li.map_batches(partial, batch_format="pyarrow")
+          .groupby(["p", "s"])
+          .aggregate(Sum("qy", alias_name="qy"),
+                     Sum("qt", alias_name="qt")))
+
+    def cand(t: pa.Table) -> pa.Table:
+        # 2·qy > qt implies qy > 0 since 0 <= qy <= qt
+        keep = pc.greater(pc.multiply(t["qy"], 2), t["qt"])
+        return pa.TableGroupBy(
+            pa.table({"s": t["s"].filter(keep)}), ["s"]).aggregate([])
+
+    supps = (ps.map_batches(cand, batch_format="pyarrow")
+             .groupby("s").aggregate(Count("s", alias_name="_n"))
+             .to_pandas())  # O(|suppliers|)
+    if supps.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"s_suppkey": "int64", "s_name": object})
+    asia = _region_nation_keys(sf_dir, "ASIA")
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name",
+                                  "s_nationkey"]).to_pandas()
+    out = supp[supp["s_suppkey"].isin(set(supps["s"]))
+               & supp["s_nationkey"].isin(asia)]
+    out = out[["s_suppkey", "s_name"]].astype({"s_suppkey": "int64"})
+    return out.sort_values("s_name").reset_index(drop=True)
+
+
+SQL_TPCH_Q20 = """
+WITH ps AS (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+                  ELSE 0 END) AS qy,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qt
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'cold%'
+  GROUP BY 1, 2),
+cand AS (SELECT DISTINCT s FROM ps WHERE 2 * qy > qt)
+SELECT s_suppkey, s_name
+FROM cand
+JOIN supplier ON s_suppkey = s
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+ORDER BY s_name
+"""
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 (minimum-cost supplier) — the CORRELATED-MIN-SUBQUERY
+    shape: for each STANDARD part, the EUROPE suppliers achieving that
+    part's minimum supply cost (cost adapted to min line price cents
+    from lineitem — no partsupp). Both dimension filters broadcast as
+    sorted arrays into the lineitem scan; per-batch (part, supp) min
+    partials make the one shuffle an int-triple aggregate bounded by
+    qualifying (part, supplier) pairs; the argmin equality filter and
+    the 4-dim enrich run on that small frame driver-side."""
+    import ray
+
+    from ray.data.aggregate import Min
+
+    rd = _rd()
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_name",
+                                  "p_type"]).to_pandas()
+    part = part[part["p_type"] == "STANDARD"]
+    pk = np.sort(part["p_partkey"].to_numpy())
+    eur_keys = _region_nation_keys(sf_dir, "EUROPE")
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name", "s_acctbal",
+                                  "s_nationkey"]).to_pandas()
+    esupp = supp[supp["s_nationkey"].isin(eur_keys)]
+    sk = np.sort(esupp["s_suppkey"].to_numpy())
+    bcast = ray.put((pk, sk))
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pkeys, skeys = ray.get(bcast)
+        ok = _sorted_membership(
+            pkeys, t["l_partkey"].to_numpy(zero_copy_only=False))
+        ok &= _sorted_membership(
+            skeys, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(ok))
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        g = pa.TableGroupBy(pa.table({
+            "p": t["l_partkey"], "s": t["l_suppkey"], "c": cents}),
+            ["p", "s"]).aggregate([("c", "min")])
+        return g.rename_columns(["p", "s", "c"])
+
+    cost = (li.map_batches(partial, batch_format="pyarrow")
+            .groupby(["p", "s"]).aggregate(Min("c", alias_name="c"))
+            .to_pandas())  # bounded by qualifying (part, supplier) pairs
+    if cost.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"s_acctbal_cents": "int64", "s_name": object,
+                             "n_name": object, "p_partkey": "int64",
+                             "p_name": object})
+    pmin = cost.groupby("p")["c"].transform("min")
+    win = cost[cost["c"] == pmin]
+    nation = pq.read_table(_pq(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (win.rename(columns={"p": "p_partkey", "s": "s_suppkey"})
+           .merge(part[["p_partkey", "p_name"]], on="p_partkey")
+           .merge(esupp, on="s_suppkey")
+           .merge(nation, left_on="s_nationkey", right_on="n_nationkey"))
+    out["s_acctbal_cents"] = np.floor(
+        out["s_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return (out.sort_values(["s_acctbal_cents", "n_name", "s_name",
+                             "p_partkey"],
+                            ascending=[False, True, True, True])
+            .head(100)[["s_acctbal_cents", "s_name", "n_name",
+                        "p_partkey", "p_name"]].reset_index(drop=True))
+
+
+SQL_TPCH_Q2 = """
+WITH cost AS (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS c
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1, 2)
+SELECT CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS s_acctbal_cents,
+       s_name, n_name, p_partkey, p_name
+FROM cost
+JOIN part ON p_partkey = p
+JOIN supplier ON s_suppkey = s
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_type = 'STANDARD'
+  AND c = (SELECT min(c) FROM cost c2 WHERE c2.p = cost.p)
+ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 (product-type profit) — the MULTI-DIM-BROADCAST +
+    ONE-FACT-JOIN shape: profit per nation per year over name-matched
+    parts. Part cost adapted to floor(p_retailprice·50+0.5) cents/unit
+    (the synthetic schema has no partsupp/ps_supplycost); everything else
+    keeps Q9's plan: the part match (name LIKE) and supplier→nation map
+    ride as sorted broadcast arrays into the lineitem scan, profit
+    collapses to ONE int64 per row pre-join, and the single all-to-all is
+    the lineitem⋈orders hash join needed for the order year. The final
+    aggregate is |nations|·|years| rows."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"]).to_pandas()
+    part = part[part["p_name"].str.contains("widget", regex=False)]
+    p_keys = part["p_partkey"].to_numpy()
+    order = np.argsort(p_keys)
+    p_keys = p_keys[order]
+    p_cost = np.floor(part["p_retailprice"].to_numpy() * 50.0
+                      + 0.5).astype(np.int64)[order]
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_keys = supp["s_suppkey"].to_numpy()
+    s_order = np.argsort(s_keys)
+    s_keys = s_keys[s_order]
+    s_nat = supp["s_nationkey"].to_numpy().astype(np.int64)[s_order]
+    bcast = ray.put((p_keys, p_cost, s_keys, s_nat))
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def l_side(t: pa.Table) -> pa.Table:
+        pk, cost, sk, nat = ray.get(bcast)
+        probe = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ok, unit_cost = _sorted_lookup(pk, cost, probe)
+        t = t.filter(pa.array(ok))
+        unit_cost = unit_cost[ok]
+        s_ok, natkey = _sorted_lookup(
+            sk, nat, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        if not s_ok.all():  # mirror the oracle's inner JOIN supplier
+            t = t.filter(pa.array(s_ok))
+            unit_cost, natkey = unit_cost[s_ok], natkey[s_ok]
+        qty = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        rev = _revenue_cents(t).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": t["l_orderkey"],
+            "natkey": pa.array(natkey, pa.int64()),
+            "profit_cents": pa.array(rev - qty * unit_cost, pa.int64()),
+        })
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def o_side(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["o_orderkey"],
+                         "o_year": pc.year(t["o_orderdate"])})
+
+    j = _hash_join(
+        li.map_batches(l_side, batch_format="pyarrow"),
+        orders.map_batches(o_side, batch_format="pyarrow"), on=("k",),
+        left_schema=pa.schema([("k", pa.int64()), ("natkey", pa.int64()),
+                               ("profit_cents", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("o_year", pa.int64())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"natkey": t["natkey"], "o_year": t["o_year"],
+                      "c": t["profit_cents"]}),
+            ["natkey", "o_year"]).aggregate([("c", "sum")])
+        return g.rename_columns(["natkey", "o_year", "c"])
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["natkey", "o_year"])
+           .aggregate(Sum("c", alias_name="profit_cents"))
+           .to_pandas())  # |nations|·|years| rows
+    if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"nation": object, "o_year": "int64",
+                             "profit_cents": "int64"})
+    nation = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    names = dict(zip(nation["n_nationkey"].astype("int64"),
+                     nation["n_name"]))
+    agg["nation"] = agg["natkey"].map(names)
+    agg["o_year"] = agg["o_year"].astype("int64")
+    agg["profit_cents"] = agg["profit_cents"].astype("int64")
+    return (agg.sort_values(["nation", "o_year"],
+                            ascending=[True, False])
+            [["nation", "o_year", "profit_cents"]].reset_index(drop=True))
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                AS BIGINT)
+           - CAST(floor(l_quantity + 0.5) AS BIGINT)
+             * CAST(floor(p_retailprice * 50.0 + 0.5) AS BIGINT)
+           )::BIGINT AS profit_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 (important stock identification) — the
+    GROUP-VS-GLOBAL-FRACTION HAVING shape: per-part value from one
+    region's suppliers, keeping parts whose value exceeds a fraction of
+    the global total. Value adapted to Σ lineitem price cents from
+    EUROPE suppliers (no partsupp in the synthetic schema); the fraction
+    is 2/|parts| so the threshold scales with the catalog, and the
+    comparison cross-multiplies to exact integers (value·|parts| >
+    2·total). The region supplier set broadcasts into the scan; the
+    per-part aggregate (≤|parts| rows) stays a Dataset — the global
+    total is a second scalar aggregate over it and the filter runs
+    distributed, so the driver only ever sees the qualifying rows."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    eur_keys = _region_nation_keys(sf_dir, "EUROPE")
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp[supp["s_nationkey"].isin(eur_keys)]
+                 ["s_suppkey"].to_numpy())
+    sk_ref = ray.put(sk)
+    n_parts = pq.read_metadata(_pq(sf_dir, "part")).num_rows
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(sk_ref)
+        ok = _sorted_membership(
+            keys, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(ok))
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        g = pa.TableGroupBy(pa.table({"p": t["l_partkey"], "c": cents}),
+                            ["p"]).aggregate([("c", "sum")])
+        return g.rename_columns(["p", "c"])
+
+    value = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("p").aggregate(Sum("c", alias_name="value_cents"))
+             .materialize())  # ≤|parts| rows; read twice below
+    tot = (value.aggregate(Sum("value_cents", alias_name="t")) or {})
+    total = int(tot.get("t") or 0)
+
+    def keep(t: pa.Table) -> pa.Table:
+        flag = pc.greater(pc.multiply(t["value_cents"],
+                                      pa.scalar(int(n_parts))),
+                          pa.scalar(2 * total))
+        return t.filter(flag)
+
+    out = (value.map_batches(keep, batch_format="pyarrow")
+           .sort(["value_cents", "p"], descending=[True, False])
+           .to_pandas())
+    if out.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"l_partkey": "int64", "value_cents": "int64"})
+    return pd.DataFrame({"l_partkey": out["p"].astype("int64"),
+                         "value_cents": out["value_cents"].astype("int64")})
+
+
+SQL_TPCH_Q11 = """
+WITH v AS (
+  SELECT l_partkey AS p,
+         sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                  AS BIGINT))::BIGINT AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1)
+SELECT p AS l_partkey, value_cents
+FROM v
+WHERE value_cents * (SELECT count(*) FROM part)
+      > 2 * (SELECT coalesce(sum(value_cents), 0) FROM v)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+# Lateness stand-in shared by Q12/Q21: the synthetic lineitem has no
+# commit/receipt dates, so "late" = shipped more than 60 days after the
+# order date. Integer microseconds on both sides (CLAUDE.md float rule).
+_LATE_US = 60 * 86_400_000_000
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 (shipping modes and order priority) — the JOIN +
+    CONDITIONAL-AGGREGATION shape: classify each late shipment's order
+    priority into high/low and count per category. Adapted predicates
+    (no l_shipmode/l_commitdate/l_receiptdate in the synthetic schema):
+    category = l_linestatus, late = shipped >60 days after o_orderdate,
+    window = ship year 1997. The priority CASE collapses to an int8 ON
+    THE ORDERS SIDE so only (orderkey, date, flag) enters the one
+    hash-shuffle join; per-batch partials reduce the joined stream to a
+    2-row aggregate."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_shipdate", "l_linestatus"],
+        filter=(pc.field("l_shipdate")
+                >= pa.scalar(pd.Timestamp("1997-01-01")))
+        & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1998-01-01"))))
+
+    def l_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["l_orderkey"],
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            "l_linestatus": t["l_linestatus"],
+        })
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_side(t: pa.Table) -> pa.Table:
+        hi = pc.cast(pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64())
+        return pa.table({
+            "k": t["o_orderkey"],
+            "o_date_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "hi": hi,
+        })
+
+    j = _hash_join(
+        li.map_batches(l_side, batch_format="pyarrow"),
+        orders.map_batches(o_side, batch_format="pyarrow"), on=("k",),
+        left_schema=pa.schema([("k", pa.int64()), ("ship_us", pa.int64()),
+                               ("l_linestatus", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("o_date_us", pa.int64()),
+                                ("hi", pa.int64())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        late = pc.greater(t["ship_us"],
+                          pc.add(t["o_date_us"], pa.scalar(_LATE_US)))
+        tt = pa.table({"l_linestatus": t["l_linestatus"],
+                       "hi": t["hi"]}).filter(late)
+        g = pa.TableGroupBy(tt, ["l_linestatus"]).aggregate(
+            [("hi", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_linestatus", "hi", "n"])
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_linestatus")
+           .aggregate(Sum("hi", alias_name="high_line_count"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"l_linestatus": object,
+                             "high_line_count": "int64",
+                             "low_line_count": "int64"})
+    agg["low_line_count"] = (agg["n"] - agg["high_line_count"]).astype(
+        "int64")
+    agg["high_line_count"] = agg["high_line_count"].astype("int64")
+    return (agg[["l_linestatus", "high_line_count", "low_line_count"]]
+            .sort_values("l_linestatus").reset_index(drop=True))
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 (suppliers who kept orders waiting) — the
+    EXISTS/NOT-EXISTS SELF-JOIN shape, planned as staged aggregation:
+    the original correlated l2/l3 subqueries ("another supplier on the
+    same order" / "no other late supplier") reduce to per-order counts —
+    an order qualifies iff it has >1 distinct supplier and EXACTLY ONE
+    late one, and the offender is sum(late·suppkey). Three shuffles, all
+    over 3-int rows: the lineitem⋈orders('F') hash join, a (order,supp)
+    max-late groupby, a per-order count groupby. The offender histogram
+    is O(|suppliers|) and enriches driver-side from the supplier/nation/
+    region dims (region filter on the OUTPUT supplier, as in the spec).
+    Lateness adapted as shipped >60d after o_orderdate (no
+    commit/receipt dates in the synthetic schema)."""
+    from ray.data.aggregate import Max, Sum
+
+    rd = _rd()
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate"],
+        filter=pc.field("o_orderstatus") == pa.scalar("F"))
+
+    def o_side(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["o_orderkey"],
+                         "o_date_us": pc.cast(t["o_orderdate"], pa.int64())})
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def l_side(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["l_orderkey"], "s": t["l_suppkey"],
+                         "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
+
+    j = _hash_join(
+        li.map_batches(l_side, batch_format="pyarrow"),
+        orders.map_batches(o_side, batch_format="pyarrow"), on=("k",),
+        left_schema=pa.schema([("k", pa.int64()), ("s", pa.int64()),
+                               ("ship_us", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()),
+                                ("o_date_us", pa.int64())]))
+
+    def a_partial(t: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(
+            t["ship_us"], pc.add(t["o_date_us"], pa.scalar(_LATE_US))),
+            pa.int64())
+        g = pa.TableGroupBy(pa.table({"k": t["k"], "s": t["s"],
+                                      "late": late}),
+                            ["k", "s"]).aggregate([("late", "max")])
+        return g.rename_columns(["k", "s", "late"])
+
+    per_supp = (j.map_batches(a_partial, batch_format="pyarrow")
+                .groupby(["k", "s"])
+                .aggregate(Max("late", alias_name="late")))
+
+    def b_partial(t: pa.Table) -> pa.Table:
+        ls = pc.multiply(t["late"], t["s"])
+        g = pa.TableGroupBy(pa.table({"k": t["k"], "late": t["late"],
+                                      "ls": ls}),
+                            ["k"]).aggregate(
+            [([], "count_all"), ("late", "sum"), ("ls", "sum")])
+        return g.rename_columns(["k", "cnt", "nlate", "ls"])
+
+    per_order = (per_supp.map_batches(b_partial, batch_format="pyarrow")
+                 .groupby("k")
+                 .aggregate(Sum("cnt", alias_name="cnt"),
+                            Sum("nlate", alias_name="nlate"),
+                            Sum("ls", alias_name="ls")))
+
+    def c_partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(t["cnt"], 1), pc.equal(t["nlate"], 1))
+        g = pa.TableGroupBy(pa.table({"s": t["ls"].filter(keep)}),
+                            ["s"]).aggregate([([], "count_all")])
+        return g.rename_columns(["s", "n"])
+
+    wait = (per_order.map_batches(c_partial, batch_format="pyarrow")
+            .groupby("s").aggregate(Sum("n", alias_name="numwait"))
+            .to_pandas())  # O(|suppliers|)
+    if wait.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"s_name": object, "numwait": "int64"})
+
+    asia = _region_nation_keys(sf_dir, "ASIA")
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name",
+                                  "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(asia)]
+    out = supp.merge(wait.rename(columns={"s": "s_suppkey"}), on="s_suppkey")
+    out = (out.groupby("s_name", as_index=False)["numwait"].sum()
+           .astype({"numwait": "int64"}))
+    return (out.sort_values(["numwait", "s_name"],
+                            ascending=[False, True])
+            .head(100)[["s_name", "numwait"]].reset_index(drop=True))
+
+
+SQL_TPCH_Q21 = """
+WITH l AS (
+  SELECT l_orderkey AS k, l_suppkey AS s,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+q AS (
+  SELECT k, sum(late * s) AS offender
+  FROM l GROUP BY k HAVING count(*) > 1 AND sum(late) = 1)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM q
+JOIN supplier ON s_suppkey = offender
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def q_tpch_q4(sf_dir: str):
     """TPC-H Q4 (order-priority checking) — the EXISTS-subquery shape,
     planned as aggregate-then-join: EXISTS(lineitem with l_shipdate >
@@ -7316,8 +8007,15 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q4": q_tpch_q4,
     "tpch_q13": q_tpch_q13,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
+    "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -7430,8 +8128,15 @@ ORACLES = {
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q2": SQL_TPCH_Q2,
+    "tpch_q9": SQL_TPCH_Q9,
+    "tpch_q16": SQL_TPCH_Q16,
+    "tpch_q20": SQL_TPCH_Q20,
+    "tpch_q11": SQL_TPCH_Q11,
+    "tpch_q12": SQL_TPCH_Q12,
     "tpch_q15": SQL_TPCH_Q15,
     "tpch_q17": SQL_TPCH_Q17,
+    "tpch_q21": SQL_TPCH_Q21,
     "tpch_q22": SQL_TPCH_Q22,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q8": SQL_TPCH_Q8,

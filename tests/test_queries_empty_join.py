@@ -35,9 +35,11 @@ def empty_sf_dir(tmp_path_factory):
     return _sf_dir_with_empty(tmp_path_factory, "lineitem")
 
 
-@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q4", "tpch_q5",
-                                  "tpch_q7", "tpch_q8", "tpch_q10",
-                                  "tpch_q15", "tpch_q18"])
+@pytest.mark.parametrize("name", ["tpch_q2", "tpch_q3", "tpch_q4",
+                                  "tpch_q5", "tpch_q7", "tpch_q8",
+                                  "tpch_q9", "tpch_q10", "tpch_q11",
+                                  "tpch_q12", "tpch_q15", "tpch_q16",
+                                  "tpch_q18", "tpch_q20", "tpch_q21"])
 def test_empty_join_matches_oracle(name, empty_sf_dir, ray_session):
     got = QUERIES[name](empty_sf_dir)
     if not isinstance(got, pd.DataFrame):

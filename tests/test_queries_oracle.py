@@ -65,3 +65,19 @@ def test_rows_only_queries_run(name, ray_session):
     # determinism: second run must produce identical rows
     res2 = _to_pandas(QUERIES[name](SF_DIR))
     pd.testing.assert_frame_equal(_normalize(res), _normalize(res2))
+
+
+def test_tpch_q11_nonempty_path_sf001(ray_session):
+    """Review finding: at sf0.001 the 2/|parts| threshold filters every
+    part, so the parametrized sweep compares empty-vs-empty and Q11's
+    non-empty tail (distributed keep() filter, scalar total aggregate,
+    final frame dtypes) is never exercised. Run it at sf0.01 where the
+    oracle yields ~99 rows."""
+    d = "/root/testdata/sf0.01"
+    got = _normalize(_to_pandas(QUERIES["tpch_q11"](d)))
+    c = duckdb.connect()
+    for t in ("lineitem", "supplier", "nation", "region", "part"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = _normalize(c.sql(ORACLES["tpch_q11"]).df())
+    assert len(want) > 0  # the fixture must make the tail non-vacuous
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
