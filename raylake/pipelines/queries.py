@@ -899,6 +899,172 @@ FROM tok GROUP BY token ORDER BY token
 """
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """Adjacent-token-pair frequencies, top 20 — the merge-scoring step
+    of one BPE/WordPiece tokenizer-training iteration (the argmax pair is
+    the next merge). Scale shape: pair extraction is pure offset
+    arithmetic on the flattened token array (no Python loop — left ids
+    are every flat index except each document's last token, right ids are
+    left+1; documents never span batches so pairs never cross batch
+    boundaries), each batch pre-aggregates its own pair histogram via
+    Acero, and only (left, right, count) PARTIALS shuffle — O(batch
+    vocab²-observed), not O(tokens). Iterating BPE = re-running this with
+    the accepted merges applied by a broadcast replacement pass."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ws = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(ws)
+        n = pc.list_value_length(ws).to_numpy(zero_copy_only=False)
+        mask = np.ones(len(flat), bool)
+        ends = np.cumsum(n)
+        mask[ends[n > 0] - 1] = False  # drop each doc's last token
+        left_idx = np.flatnonzero(mask)
+        if len(left_idx) == 0:
+            return pa.table({"left_tok": pa.array([], pa.string()),
+                             "right_tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pairs = pa.table({
+            "left_tok": flat.take(pa.array(left_idx)),
+            "right_tok": flat.take(pa.array(left_idx + 1)),
+        })
+        g = pairs.group_by(["left_tok", "right_tok"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["left_tok", "right_tok", "n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["left_tok", "right_tok"])
+           .aggregate(Sum("n", alias_name="n")))
+    top = (agg.sort(["n", "left_tok", "right_tok"],
+                    descending=[True, False, False]).limit(20).to_pandas())
+    if top.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"left_tok": object, "right_tok": object,
+                             "n": "int64"})
+    top["n"] = top["n"].astype("int64")
+    return top[["left_tok", "right_tok", "n"]].reset_index(drop=True)
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS left_tok,
+               generate_subscripts(l, 1) AS pos FROM t),
+p AS (SELECT left_tok,
+             lead(left_tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS right_tok
+      FROM tok)
+SELECT left_tok, right_tok, count(*)::BIGINT AS n
+FROM p WHERE right_tok IS NOT NULL
+GROUP BY 1, 2
+ORDER BY n DESC, left_tok, right_tok
+LIMIT 20
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 distinctive terms — the TF-IDF keyword-
+    extraction shape with an INTEGER-EXACT ordering: rank by tf DESC,
+    df ASC, token ASC (the ordering a monotone idf induces, without the
+    float ln() whose last-ulp differences between numpy and the oracle
+    could flip floor-ties). Pass 1 is vocab_df's (token, df) aggregate,
+    broadcast back as sorted arrays (bounded by vocabulary; beyond
+    broadcast size the same plan becomes a token-keyed join). Pass 2 is
+    batch-local: documents never span batches, so per-doc tf + ranking
+    complete inside each batch via one lexsort — no second shuffle."""
+    import ray
+
+    rd = _rd()
+    docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        ws = pc.split_pattern(b["text"].combine_chunks(), " ")
+        n = pc.list_value_length(ws).to_numpy(zero_copy_only=False)
+        pairs = pa.table({
+            "token": pc.list_flatten(ws),
+            "doc_id": pa.array(np.repeat(
+                b["doc_id"].to_numpy(zero_copy_only=False), n)),
+        })
+        per_doc = pairs.group_by(["token", "doc_id"]).aggregate([])
+        g = per_doc.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "df"])
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (docs.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("df", alias_name="df"))
+              .to_pandas())  # O(vocab)
+    if df_tbl.empty:
+        return _empty_frame({"doc_id": "int64", "token": object,
+                             "tf": "int64", "df": "int64"})
+    df_tbl = df_tbl.sort_values("token")
+    bcast = ray.put((df_tbl["token"].to_numpy(),
+                     df_tbl["df"].to_numpy().astype(np.int64)))
+
+    def top3(b: pa.Table) -> pa.Table:
+        vocab, dfs = ray.get(bcast)
+        ws = pc.split_pattern(b["text"].combine_chunks(), " ")
+        n = pc.list_value_length(ws).to_numpy(zero_copy_only=False)
+        pairs = pa.table({
+            "token": pc.list_flatten(ws),
+            "doc_id": pa.array(np.repeat(
+                b["doc_id"].to_numpy(zero_copy_only=False), n)),
+        })
+        tf = (pairs.group_by(["doc_id", "token"])
+              .aggregate([([], "count_all")])
+              .rename_columns(["doc_id", "token", "tf"]))
+        tok = tf["token"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vocab, tok)  # every token is in vocab
+        dfv = dfs[idx]
+        doc = tf["doc_id"].to_numpy(zero_copy_only=False)
+        tfv = tf["tf"].to_numpy(zero_copy_only=False)
+        # one lexsort ranks every doc at once: (doc, -tf, df, token)
+        order = np.lexsort((tok, dfv, -tfv, doc))
+        doc_s = doc[order]
+        is_new = np.ones(len(doc_s), bool)
+        is_new[1:] = doc_s[1:] != doc_s[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(is_new, np.arange(len(doc_s)), 0))
+        rank = np.arange(len(doc_s)) - grp_start
+        keep = order[rank < 3]
+        return pa.table({
+            "doc_id": pa.array(doc[keep], pa.int64()),
+            "token": pa.array(tok[keep], pa.string()),
+            "tf": pa.array(tfv[keep].astype(np.int64), pa.int64()),
+            "df": pa.array(dfv[keep], pa.int64()),
+        })
+
+    out = (docs.map_batches(top3, batch_format="pyarrow")
+           .sort(["doc_id", "tf", "df", "token"],
+                 descending=[False, True, False, False]).to_pandas())
+    if out.empty:
+        return _empty_frame({"doc_id": "int64", "token": object,
+                             "tf": "int64", "df": "int64"})
+    return out.reset_index(drop=True)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM tok GROUP BY 1, 2),
+df AS (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+  FROM tok GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df, tf.token) AS rk
+  FROM tf JOIN df USING (token))
+SELECT doc_id, token, tf, df
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, tf DESC, df, token
+"""
+
+
 def q_heavy_hitters(sf_dir: str):
     """Top-10 most frequent tokens via Misra-Gries candidates + exact
     recount — the BOUNDED-MEMORY path to frequent items: each batch emits
@@ -7920,6 +8086,8 @@ QUERIES = {
     "dedup_docs_exact": q_dedup_docs_exact,
     "lang_stats": q_lang_stats,
     "vocab_df": q_vocab_df,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "heavy_hitters": q_heavy_hitters,
     "char_stats": q_char_stats,
     "rare_token": q_rare_token,
@@ -8051,6 +8219,8 @@ ORACLES = {
     "dedup_docs_exact": SQL_DEDUP_DOCS_EXACT,
     "lang_stats": SQL_LANG_STATS,
     "vocab_df": SQL_VOCAB_DF,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "char_stats": SQL_CHAR_STATS,
     "rare_token": SQL_RARE_TOKEN,

@@ -197,3 +197,26 @@ def test_tpch_q17_no_brand_parts(tmp_path_factory, ray_session):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
     want = con.sql(ORACLES["tpch_q17"]).df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+_TEXT_OPS_EMPTY_COLS = {
+    "bpe_pair_counts": {"left_tok": "object", "right_tok": "object",
+                        "n": "int64"},
+    "tfidf_top_terms": {"doc_id": "int64", "token": "object",
+                        "tf": "int64", "df": "int64"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_TEXT_OPS_EMPTY_COLS))
+def test_text_ops_empty_corpus(name, empty_docs_dir, ray_session):
+    """An empty documents table must yield the typed empty frame (the
+    zero-block to_pandas edge), matching the oracle's empty result."""
+    from raylake.pipelines.queries import QUERIES as Q
+
+    got = Q[name](empty_docs_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    assert len(got) == 0
+    want = _TEXT_OPS_EMPTY_COLS[name]
+    assert list(got.columns) == list(want)
+    assert {c: str(got[c].dtype) for c in got.columns} == want
