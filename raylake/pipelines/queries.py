@@ -853,6 +853,29 @@ FROM documents GROUP BY lang
 """
 
 
+def _tokens_and_counts(b: pa.Table) -> tuple:
+    """(flat whitespace tokens, per-doc token counts int64) from a
+    documents batch — the tokenization shared by vocab_df / bpe_pair_counts
+    / tfidf_top_terms so the df pass and tf pass can never diverge. NULL
+    text contributes ZERO tokens (list_flatten skips null lists; counts
+    fill to 0), mirroring the oracles' unnest(string_split(NULL, ' '))."""
+    ws = pc.split_pattern(b["text"].combine_chunks(), " ")
+    n = pc.fill_null(pc.list_value_length(ws), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return pc.list_flatten(ws), n
+
+
+def _token_doc_pairs(b: pa.Table) -> pa.Table:
+    """(token, doc_id) pair table from a documents batch (one row per
+    token occurrence) — see _tokens_and_counts for the null contract."""
+    flat, n = _tokens_and_counts(b)
+    return pa.table({
+        "token": flat,
+        "doc_id": pa.array(np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False), n)),
+    })
+
+
 def q_vocab_df(sf_dir: str):
     """Corpus vocabulary with term frequency + document frequency — the
     tf/df index behind stopword mining, tokenizer training and idf-weighted
@@ -867,13 +890,7 @@ def q_vocab_df(sf_dir: str):
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        ws = pc.split_pattern(b["text"].combine_chunks(), " ")
-        n = pc.list_value_length(ws).to_numpy(zero_copy_only=False)
-        pairs = pa.table({
-            "token": pc.list_flatten(ws),
-            "doc_id": pa.array(np.repeat(
-                b["doc_id"].to_numpy(zero_copy_only=False), n)),
-        })
+        pairs = _token_doc_pairs(b)
         per_doc = pairs.group_by(["token", "doc_id"]).aggregate(
             [("doc_id", "count")])
         out = per_doc.group_by("token").aggregate(
@@ -916,9 +933,7 @@ def q_bpe_pair_counts(sf_dir: str):
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        ws = pc.split_pattern(b["text"].combine_chunks(), " ")
-        flat = pc.list_flatten(ws)
-        n = pc.list_value_length(ws).to_numpy(zero_copy_only=False)
+        flat, n = _tokens_and_counts(b)
         mask = np.ones(len(flat), bool)
         ends = np.cumsum(n)
         mask[ends[n > 0] - 1] = False  # drop each doc's last token
@@ -980,14 +995,8 @@ def q_tfidf_top_terms(sf_dir: str):
                            columns=["doc_id", "text"])
 
     def df_partial(b: pa.Table) -> pa.Table:
-        ws = pc.split_pattern(b["text"].combine_chunks(), " ")
-        n = pc.list_value_length(ws).to_numpy(zero_copy_only=False)
-        pairs = pa.table({
-            "token": pc.list_flatten(ws),
-            "doc_id": pa.array(np.repeat(
-                b["doc_id"].to_numpy(zero_copy_only=False), n)),
-        })
-        per_doc = pairs.group_by(["token", "doc_id"]).aggregate([])
+        per_doc = _token_doc_pairs(b).group_by(
+            ["token", "doc_id"]).aggregate([])
         g = per_doc.group_by("token").aggregate([([], "count_all")])
         return g.rename_columns(["token", "df"])
 
@@ -1005,14 +1014,7 @@ def q_tfidf_top_terms(sf_dir: str):
 
     def top3(b: pa.Table) -> pa.Table:
         vocab, dfs = ray.get(bcast)
-        ws = pc.split_pattern(b["text"].combine_chunks(), " ")
-        n = pc.list_value_length(ws).to_numpy(zero_copy_only=False)
-        pairs = pa.table({
-            "token": pc.list_flatten(ws),
-            "doc_id": pa.array(np.repeat(
-                b["doc_id"].to_numpy(zero_copy_only=False), n)),
-        })
-        tf = (pairs.group_by(["doc_id", "token"])
+        tf = (_token_doc_pairs(b).group_by(["doc_id", "token"])
               .aggregate([([], "count_all")])
               .rename_columns(["doc_id", "token", "tf"]))
         tok = tf["token"].to_numpy(zero_copy_only=False)

@@ -211,12 +211,42 @@ _TEXT_OPS_EMPTY_COLS = {
 def test_text_ops_empty_corpus(name, empty_docs_dir, ray_session):
     """An empty documents table must yield the typed empty frame (the
     zero-block to_pandas edge), matching the oracle's empty result."""
-    from raylake.pipelines.queries import QUERIES as Q
-
-    got = Q[name](empty_docs_dir)
+    got = QUERIES[name](empty_docs_dir)
     if not isinstance(got, pd.DataFrame):
         got = got.to_pandas()
     assert len(got) == 0
     want = _TEXT_OPS_EMPTY_COLS[name]
     assert list(got.columns) == list(want)
     assert {c: str(got[c].dtype) for c in got.columns} == want
+
+
+def test_token_ops_null_text(tmp_path_factory, ray_session):
+    """Review finding: a NULL text row crashed the tokenize kernels
+    (NaN counts → float indices) where the oracles return valid results
+    (unnest(string_split(NULL)) yields zero tokens). The shared
+    _tokens_and_counts helper must give NULL text zero tokens."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_null_text")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        if t == "documents":
+            text = tbl["text"].to_pylist()
+            text[::7] = [None] * len(text[::7])
+            tbl = tbl.set_column(tbl.schema.get_field_index("text"),
+                                 "text", pa.array(text, pa.string()))
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    for name in ("vocab_df", "bpe_pair_counts", "tfidf_top_terms"):
+        got = QUERIES[name](str(d))
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        want = con.sql(ORACLES[name]).df()
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols, kind="mergesort"
+                                    ).reset_index(drop=True)
+        want = want[cols].sort_values(cols, kind="mergesort"
+                                      ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
