@@ -2146,7 +2146,7 @@ def q_jaccard_neardup(sf_dir: str):
         keys, vals = _ray.get(df_ref)
         flat, counts = _binary_u64_flat(t["hashes"])
         dids = t["doc_id"].to_numpy(zero_copy_only=False)
-        ids, hvs, lens = [], [], []
+        ids, hvs, lens, poss = [], [], [], []
         start = 0
         for d, ln in zip(dids, counts):
             hv = flat[start:start + ln]
@@ -2155,42 +2155,58 @@ def q_jaccard_neardup(sf_dir: str):
             hit, dfv = _sorted_lookup(keys, vals, hv)
             df = np.where(hit, dfv, 1)
             order = np.lexsort((hv, df))  # canonical: (df asc, hash asc)
-            p = n - (n + 1) // 2 + 1  # n − ⌈0.5·n⌉ + 1
-            hvs.append(hv[order[:p]])
-            ids.append(np.full(p, d, np.int64))
-            lens.append(np.full(p, n, np.int64))  # full set size, for the
-        if not ids:                               # length filter downstream
+            p = 0 if n == 0 else n - (n + 1) // 2 + 1  # n − ⌈0.5·n⌉ + 1
+            take = order[:p]
+            hvs.append(hv[take])
+            ids.append(np.full(len(take), d, np.int64))
+            lens.append(np.full(len(take), n, np.int64))  # full set size
+            poss.append(np.arange(len(take), dtype=np.int64))  # PPJoin pos
+        if not ids:
             return pa.table({"hv": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
+                             "n": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
         return pa.table({
             "hv": pa.array(np.concatenate(hvs).view(np.int64)),
             "doc_id": pa.array(np.concatenate(ids)),
             "n": pa.array(np.concatenate(lens)),
+            "pos": pa.array(np.concatenate(poss)),
         })
 
     pre = (hset.map_batches(prefix_rows, batch_format="pyarrow")
-           .materialize())  # (hv, doc_id, setsize) — reused by both sides
+           .materialize())  # (hv, doc_id, setsize, pos) — both join sides
 
-    def side(name, ncol):
+    def side(name, ncol, pcol):
         return pre.map_batches(
-            lambda t, name=name, ncol=ncol: pa.table(
-                {"hv": t["hv"], name: t["doc_id"], ncol: t["n"]}),
+            lambda t, name=name, ncol=ncol, pcol=pcol: pa.table(
+                {"hv": t["hv"], name: t["doc_id"], ncol: t["n"],
+                 pcol: t["pos"]}),
             batch_format="pyarrow")
 
     def pair_filter(t: pa.Table) -> pa.Table:
-        # ordered pairs + AllPairs LENGTH filter: J ≥ τ ⇒ i ≤ min(a,b) and
-        # union = max(a,b) at best ⇒ min/max ≥ τ — a 2× size gap can't
-        # reach Jaccard 0.5, prune before the expensive verify join
+        # ordered pairs + AllPairs LENGTH filter + PPJoin POSITIONAL
+        # filter. Length: J ≥ τ ⇒ min/max ≥ τ — a 2× size gap can't reach
+        # Jaccard 0.5. Positional: J ≥ τ ⇒ overlap α ≥ ⌈(na+nb)/3⌉ (from
+        # α/(na+nb−α) ≥ 1/2); a match at canonical positions (i, j) bounds
+        # α ≤ i' + 1 + min(na−i−1, nb−j−1) where i' = shared grams before
+        # it — at the pair's FIRST shared gram i' = 0, so keeping the pair
+        # iff ANY matched row passes 1 + min(...) ≥ α_req never loses a
+        # qualifying pair (its first shared row always passes) while
+        # pruning pairs that cannot reach τ before the verify join.
         na = t["na"].to_numpy(zero_copy_only=False)
         nb = t["nb_"].to_numpy(zero_copy_only=False)
+        pi = t["pa_"].to_numpy(zero_copy_only=False)
+        pj = t["pb_"].to_numpy(zero_copy_only=False)
         keep = (t["doc_a"].to_numpy(zero_copy_only=False)
                 < t["doc_b"].to_numpy(zero_copy_only=False))
         keep &= (np.maximum(na, nb) <= 2 * np.minimum(na, nb))
+        keep &= (1 + np.minimum(na - pi - 1, nb - pj - 1)
+                 >= (na + nb + 2) // 3)
         return t.filter(pa.array(keep)).select(["doc_a", "doc_b"])
 
     cand = (
-        _hash_join(side("doc_a", "na"), side("doc_b", "nb_"), on=("hv",))
+        _hash_join(side("doc_a", "na", "pa_"),
+                   side("doc_b", "nb_", "pb_"), on=("hv",))
         .map_batches(pair_filter, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])  # distributed pair dedup (see docstring)
         .aggregate(Count(alias_name="nb"))
