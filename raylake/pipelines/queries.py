@@ -1067,6 +1067,55 @@ ORDER BY doc_id, tf DESC, df, token
 """
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p50/p95 of document length per
+    language) via the HISTOGRAM method — the scale path to exact grouped
+    percentiles when the value domain is bounded: each batch emits
+    (lang, n_chars, count) partials, ONE tiny shuffle aggregates the
+    per-group histogram (|langs|·|distinct lengths| rows — independent of
+    corpus size), and the quantile index is picked off the cumulative
+    counts driver-side. Discrete-quantile indexing k = ⌈q·n⌉−1 is
+    computed in INTEGER arithmetic ((n+1)//2−1, (19n+19)//20−1) so it
+    can't drift from the oracle's quantile_disc (validated for n=1..300
+    in development); no averaging-of-middle-two (driver float rule)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["lang", "n_chars"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "c"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas())  # |langs| · |distinct lengths| rows
+    if hist.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+        return _empty_frame({"lang": object, "p50": "int64",
+                             "p95": "int64"})
+    out = []
+    for lang, g in hist.sort_values(["lang", "n_chars"]).groupby(
+            "lang", sort=True):
+        vals = g["n_chars"].to_numpy()
+        cum = g["c"].to_numpy().cumsum()
+        n = int(cum[-1])
+        k50, k95 = (n + 1) // 2 - 1, (19 * n + 19) // 20 - 1
+        out.append((lang, int(vals[np.searchsorted(cum, k50 + 1)]),
+                    int(vals[np.searchsorted(cum, k95 + 1)])))
+    return pd.DataFrame(out, columns=["lang", "p50", "p95"]).astype(
+        {"p50": "int64", "p95": "int64"})
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT lang, quantile_disc(n_chars, 0.5)::BIGINT AS p50,
+       quantile_disc(n_chars, 0.95)::BIGINT AS p95
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_heavy_hitters(sf_dir: str):
     """Top-10 most frequent tokens via Misra-Gries candidates + exact
     recount — the BOUNDED-MEMORY path to frequent items: each batch emits
@@ -8106,6 +8155,7 @@ QUERIES = {
     "vocab_df": q_vocab_df,
     "bpe_pair_counts": q_bpe_pair_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "grouped_quantiles": q_grouped_quantiles,
     "heavy_hitters": q_heavy_hitters,
     "char_stats": q_char_stats,
     "rare_token": q_rare_token,
@@ -8239,6 +8289,7 @@ ORACLES = {
     "vocab_df": SQL_VOCAB_DF,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "char_stats": SQL_CHAR_STATS,
     "rare_token": SQL_RARE_TOKEN,

@@ -204,6 +204,8 @@ _TEXT_OPS_EMPTY_COLS = {
                         "n": "int64"},
     "tfidf_top_terms": {"doc_id": "int64", "token": "object",
                         "tf": "int64", "df": "int64"},
+    "grouped_quantiles": {"lang": "object", "p50": "int64",
+                          "p95": "int64"},
 }
 
 
