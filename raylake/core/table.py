@@ -451,8 +451,9 @@ class Table:
           columns null (the equality delete never read the rows it killed);
         - delete-pos → full delete preimages, read back by position from
           the snapshot's still-reachable target files;
-        - compact / zorder / repartition / apply-deletes → physical only,
-          skipped (delete purges materialize events already emitted).
+        - compact / zorder / repartition / apply-deletes /
+          rewrite-manifests → physical/metadata only, skipped (delete
+          purges materialize events already emitted).
         Any other commit (overwrite, update, merge without cdc=True) raises
         ValueError, and so does a range containing EXPIRED snapshots — a
         silent gap would make the feed lie.
@@ -551,8 +552,9 @@ class Table:
                     t = take_positions_preimage(self, pos)
                     parts.append(stamp(t.select(names), seq, "delete"))
             elif snap.operation in ("compact", "zorder", "repartition",
-                                    "apply-deletes"):
-                # physical-only rewrites: no logical row change (the delete
+                                    "apply-deletes", "rewrite-manifests"):
+                # physical-only rewrites (rewrite-manifests is not even
+                # that — pure metadata): no logical row change (the delete
                 # EVENTS were already emitted by their own commits)
                 continue
             else:
@@ -1288,6 +1290,7 @@ class Table:
         added_deletes: list[dict] | None = None,
         removed_delete_paths: set[str] | frozenset[str] = frozenset(),
         branch: str | None = None,
+        manifests_override: list[list["md.ManifestEntry"]] | None = None,
     ) -> Snapshot:
         """Atomically commit a new snapshot: live' = live - replaced + added.
 
@@ -1300,7 +1303,15 @@ class Table:
         write as the snapshot pointer — used by partition-spec evolution so
         the data rewrite and the spec flip are one atomic transition (a torn
         pair would mis-bucket every point lookup).
-        """
+
+        `manifests_override`: METADATA-ONLY restructure (ops.rewrite_manifests
+        — Iceberg rewriteManifests): the new snapshot's manifest list is
+        written from these entry groups instead of carrying the parent's
+        forward. The entry multiset must be IDENTICAL to the parent's live
+        set (validated field-for-field — seq_added preservation is what
+        keeps incremental scans and append-CDC truthful), no data/delete
+        change may ride along, and a concurrent commit conflicts instead
+        of rebasing (re-planning is a metadata read — cheap)."""
         replaced = set(replaced_paths)
         with _CommitLock(self.root) as lk:
             self.refresh()
@@ -1359,6 +1370,24 @@ class Table:
                     f"partition-spec change planned at seq {expected_parent} "
                     f"but the table advanced to {cur}; re-plan the "
                     f"repartition")
+            if manifests_override is not None:
+                if (added or replaced or added_deletes or
+                        removed_delete_paths or meta_updates):
+                    raise ValueError(
+                        "manifests_override is metadata-only: no data, "
+                        "delete or meta change may ride the same commit")
+                if expected_parent is not None and cur != expected_parent:
+                    raise CommitConflictError(
+                        f"manifest rewrite planned at seq {expected_parent} "
+                        f"but the table advanced to {cur}; re-plan")
+                want = {e.path: e.to_json() for e in self.live_entries(cur)}
+                got = {e.path: e.to_json()
+                       for chunk in manifests_override for e in chunk}
+                if want != got:
+                    raise ValueError(
+                        "manifests_override must contain exactly the "
+                        "parent's live entries, unchanged (including "
+                        "seq_added/stats)")
             new_seq = self.meta["last_sequence"] + 1
             for e in added:
                 e.seq_added = new_seq
@@ -1368,7 +1397,10 @@ class Table:
             manifests: list[str] = []
             removed_rows = removed_files = 0
             parent_snap = self.snapshot(cur)
-            if parent_snap is not None:
+            if manifests_override is not None:
+                manifests = [md.write_manifest(self.root, chunk)
+                             for chunk in manifests_override if chunk]
+            elif parent_snap is not None:
                 for m in parent_snap.manifests:
                     lk.touch()  # keep a long manifest rewrite from going stale
                     entries = md.read_manifest(self.root, m)

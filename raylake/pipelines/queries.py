@@ -3150,7 +3150,7 @@ def q_maintained_scan(sf_dir: str):
 
     from raylake.core.schema import TRANSCRIPT_SCHEMA
     from raylake.core.table import Table
-    from raylake.ops import compact, merge_into, zorder
+    from raylake.ops import compact, merge_into, rewrite_manifests, zorder
     from raylake.ops.append import append
 
     rd = _rd()
@@ -3194,7 +3194,8 @@ def q_maintained_scan(sf_dir: str):
         compact(tbl, target_file_bytes=4 * 1024 * 1024)
         zorder(tbl, target_file_bytes=4 * 1024 * 1024)
         merge_into(tbl, turns.map_batches(late_proj, batch_format="pyarrow"))
-        tbl.refresh()
+        rewrite_manifests(tbl, min_manifests=1)  # metadata-only: the
+        tbl.refresh()                            # oracle hash proves it
         return tbl.scan_arrow(sort=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OPS = ("compact", "zorder", "merge", "apply-deletes", "repartition",
-       "expire", "rollback")
+       "rewrite-manifests", "expire", "rollback")
 
 
 def main() -> int:
@@ -108,6 +108,12 @@ def main() -> int:
                 raise SystemExit("--num-buckets required for repartition")
             snap = run(lambda tbl, **kw: repartition_table(
                 tbl, args.num_buckets, **kw), jid, target_file_bytes=tfb)
+        elif op == "rewrite-manifests":
+            from raylake.ops import rewrite_manifests
+
+            # metadata-only and conflict-cheap: plain retry loop, no
+            # partition ledger (a re-plan is one metadata read)
+            snap = run_with_retry(rewrite_manifests, t)
         elif op == "rollback":
             if args.to_seq is None:
                 raise SystemExit("--to-seq required for rollback")
