@@ -1380,14 +1380,21 @@ class Table:
                     raise CommitConflictError(
                         f"manifest rewrite planned at seq {expected_parent} "
                         f"but the table advanced to {cur}; re-plan")
+                lk.touch()  # validation reads every parent manifest
                 want = {e.path: e.to_json() for e in self.live_entries(cur)}
                 got = {e.path: e.to_json()
                        for chunk in manifests_override for e in chunk}
-                if want != got:
+                n_over = sum(len(c) for c in manifests_override)
+                # The path-keyed dicts collapse duplicates, so an equal
+                # dict does NOT prove an equal multiset: a caller that
+                # chunks with overlapping slices would pass `want == got`
+                # yet write an entry into two manifests (every scan then
+                # reads that file twice). The length check closes it.
+                if want != got or n_over != len(want):
                     raise ValueError(
                         "manifests_override must contain exactly the "
-                        "parent's live entries, unchanged (including "
-                        "seq_added/stats)")
+                        "parent's live entries, unchanged and exactly "
+                        "once (including seq_added/stats)")
             new_seq = self.meta["last_sequence"] + 1
             for e in added:
                 e.seq_added = new_seq
@@ -1398,8 +1405,10 @@ class Table:
             removed_rows = removed_files = 0
             parent_snap = self.snapshot(cur)
             if manifests_override is not None:
-                manifests = [md.write_manifest(self.root, chunk)
-                             for chunk in manifests_override if chunk]
+                for chunk in manifests_override:
+                    if chunk:
+                        lk.touch()  # keep a long rewrite from going stale
+                        manifests.append(md.write_manifest(self.root, chunk))
             elif parent_snap is not None:
                 for m in parent_snap.manifests:
                     lk.touch()  # keep a long manifest rewrite from going stale

@@ -35,13 +35,14 @@ from raylake.core.table import Snapshot, Table
 
 
 def rewrite_manifests(table: Table, target_entries: int = 8192,
-                      min_manifests: int = 2,
+                      min_manifests: int = 2, force: bool = False,
                       job_id: str | None = None) -> Snapshot | None:
     """Coalesce the current snapshot's manifests into
     ceil(entries/target_entries) partition-sorted manifests.
 
     Returns the new snapshot, or None when there is nothing to do (fewer
-    than `min_manifests` manifests already, or an empty table) — a no-op
+    than `min_manifests` manifests already, an empty table, or the
+    rewrite would not strictly shrink the manifest count) — a no-op
     must not burn a snapshot seq (merge no-op-skip convention).
 
     `job_id` is accepted for the maintenance-op calling convention
@@ -59,6 +60,14 @@ def rewrite_manifests(table: Table, target_entries: int = 8192,
         return None
     chunks = [ents[i:i + target_entries]
               for i in range(0, len(ents), target_entries)]
+    if len(chunks) >= len(snap.manifests) and not force:
+        # Coalescing must strictly shrink the tree. Without this guard a
+        # nightly run on an already-coalesced table burns a snapshot per
+        # run rewriting an identical tree — and a table of few
+        # slightly-overfull manifests would be "coalesced" into MORE
+        # manifests than it had. `force=True` rewrites anyway (regroup
+        # after a target_entries change, tests proving stats survive).
+        return None
     return table.commit(
         "rewrite-manifests", added=[], expected_parent=cur,
         summary={"manifests_before": len(snap.manifests),

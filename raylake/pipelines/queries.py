@@ -1084,7 +1084,16 @@ def q_grouped_quantiles(sf_dir: str):
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
                          columns=["lang", "n_chars"])
 
+    # Ray 2.49's sort-based groupby cannot sort NULL keys (searchsorted
+    # on object arrays raises), so nulls ride the shuffle as sentinels:
+    # NULL lang -> "\x00" (sorts before any real lang), NULL n_chars ->
+    # -1 (n_chars >= 0 for real rows). Decoded driver-side below.
     def partial(t: pa.Table) -> pa.Table:
+        t = t.set_column(0, "lang",
+                         pc.coalesce(t["lang"], pa.scalar("\x00")))
+        t = t.set_column(1, "n_chars",
+                         pc.coalesce(t["n_chars"],
+                                     pa.scalar(-1, pa.int64())))
         g = pa.TableGroupBy(t, ["lang", "n_chars"]).aggregate(
             [([], "count_all")])
         return g.rename_columns(["lang", "n_chars", "c"])
@@ -1097,16 +1106,28 @@ def q_grouped_quantiles(sf_dir: str):
         return _empty_frame({"lang": object, "p50": "int64",
                              "p95": "int64"})
     out = []
+    # SQL GROUP BY keeps a NULL lang as its own group; within a group
+    # quantile_disc IGNORES NULL n_chars (and a group whose values are
+    # all NULL yields NULL quantiles), so the null sentinel bin (-1) is
+    # excluded from the histogram but not from group membership.
     for lang, g in hist.sort_values(["lang", "n_chars"]).groupby(
             "lang", sort=True):
+        if lang == "\x00":
+            lang = None
+        g = g[g["n_chars"] >= 0]
+        if g.empty:
+            out.append((lang, None, None))
+            continue
         vals = g["n_chars"].to_numpy()
         cum = g["c"].to_numpy().cumsum()
         n = int(cum[-1])
         k50, k95 = (n + 1) // 2 - 1, (19 * n + 19) // 20 - 1
         out.append((lang, int(vals[np.searchsorted(cum, k50 + 1)]),
                     int(vals[np.searchsorted(cum, k95 + 1)])))
-    return pd.DataFrame(out, columns=["lang", "p50", "p95"]).astype(
-        {"p50": "int64", "p95": "int64"})
+    df = pd.DataFrame(out, columns=["lang", "p50", "p95"])
+    if df["p50"].notna().all():
+        df = df.astype({"p50": "int64", "p95": "int64"})
+    return df
 
 
 SQL_GROUPED_QUANTILES = """

@@ -252,3 +252,39 @@ def test_token_ops_null_text(tmp_path_factory, ray_session):
         want = want[cols].sort_values(cols, kind="mergesort"
                                       ).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_quantiles_null_lang_and_chars(tmp_path_factory,
+                                               ray_session):
+    """Review finding: quantile_disc IGNORES NULL n_chars and GROUP BY
+    keeps a NULL lang as its own group, but the histogram kernel counted
+    NULL n_chars as a bin (shifting k50/k95) and pandas groupby silently
+    dropped the NULL-lang group. Also covers the all-NULL group (SQL
+    yields NULL quantiles)."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_null_q")
+    tbl = pq.read_table(f"{SRC}/documents.parquet")
+    lang = tbl["lang"].to_pylist()
+    nch = tbl["n_chars"].to_pylist()
+    lang[::5] = [None] * len(lang[::5])       # NULL-lang group
+    nch[::3] = [None] * len(nch[::3])         # NULL values inside groups
+    for i, lg in enumerate(lang):             # one all-NULL-values group
+        if lg == "de":
+            nch[i] = None
+    tbl = (tbl.set_column(tbl.schema.get_field_index("lang"), "lang",
+                          pa.array(lang, pa.string()))
+           .set_column(tbl.schema.get_field_index("n_chars"), "n_chars",
+                       pa.array(nch, pa.int64())))
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    got = QUERIES["grouped_quantiles"](str(d))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    want = con.sql(ORACLES["grouped_quantiles"]).df()
+    assert want["lang"].isna().sum() == 1     # NULL-lang group present
+    assert want["p50"].isna().sum() == 1      # the all-NULL 'de' group
+    for df in (got, want):
+        df.sort_values("lang", na_position="last", inplace=True,
+                       ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

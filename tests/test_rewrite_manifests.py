@@ -142,8 +142,8 @@ def test_pruning_survives_rewrite(many_commit_table, ray_session):
     conv = pre["conv_id"][len(pre) // 2].as_py()
     pruned_before = {e.path for e in t.prune_point(conv)}
     # maintenance rewrites already coalesced the manifest list — force the
-    # regroup anyway (min_manifests=1) to prove stats survive re-chunking
-    snap = rewrite_manifests(t, min_manifests=1)
+    # regroup anyway to prove stats survive re-chunking
+    snap = rewrite_manifests(t, min_manifests=1, force=True)
     assert snap is not None
     assert {e.path for e in t.prune_point(conv)} == pruned_before
     assert t.scan_arrow(sort=True).equals(pre)
@@ -178,3 +178,36 @@ def test_cli_rewrite_manifests(tmp_path, ray_session):
     t.refresh()
     assert len(t.snapshot().manifests) == 1
     assert t.scan_arrow(sort=True).equals(pre)
+
+
+def test_override_rejects_duplicate_entry(many_commit_table, ray_session):
+    """Path-keyed dict validation alone would collapse a duplicated
+    entry; the multiset length check must reject it (a duplicate written
+    into two manifests makes every scan read that file twice)."""
+    t = many_commit_table
+    ents = sorted(t.live_entries(), key=lambda e: (e.partition, e.path))
+    with pytest.raises(ValueError):
+        t.commit("rewrite-manifests", added=[],
+                 expected_parent=t.current_seq,
+                 manifests_override=[ents, [ents[0]]])
+    with pytest.raises(ValueError):  # overlapping-slice chunking bug
+        t.commit("rewrite-manifests", added=[],
+                 expected_parent=t.current_seq,
+                 manifests_override=[ents[:3], ents[2:]])
+
+
+def test_noop_when_not_shrinking(many_commit_table, ray_session):
+    """A second run on an already-coalesced table must not burn a
+    snapshot seq, and a rewrite that would INCREASE the manifest count
+    must refuse (unless forced)."""
+    t = many_commit_table
+    assert rewrite_manifests(t) is not None
+    seq = t.current_seq
+    assert len(t.snapshot().manifests) == 1
+    assert rewrite_manifests(t, min_manifests=1) is None
+    # tiny target would EXPAND 1 manifest into many -> still a no-op
+    assert rewrite_manifests(t, min_manifests=1, target_entries=2) is None
+    assert t.current_seq == seq
+    forced = rewrite_manifests(t, min_manifests=1, target_entries=2,
+                               force=True)
+    assert forced is not None and len(forced.manifests) > 1
