@@ -8143,6 +8143,236 @@ SELECT (SELECT count(*) FROM s) AS n_signup,
 """
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention over the event stream — users grouped by their
+    first-seen day, distinct-user counts per (cohort, day-offset) cell:
+    the canonical product-analytics shape (and the per-source freshness
+    matrix of a training-data ingest ledger). Scale plan: per-batch
+    distinct (user, day) partials shrink the shuffle to O(users·days)
+    BEFORE the single user-keyed groupby; the per-user group dedups
+    globally and emits (cohort, offset) pairs, and the final aggregate
+    is over the tiny days×days cell grid. Day arithmetic is integer
+    epoch-days on both sides (driver float rule)."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack(
+            [t["user_id"].to_numpy(zero_copy_only=False),
+             us // 86_400_000_000], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(pairs[:, 0], pa.int64()),
+                         "d": pa.array(pairs[:, 1], pa.int64())})
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["d"].to_numpy())  # global dedup within the user
+        return pd.DataFrame({"cohort_day": d[0], "day_offset": d - d[0]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").map_groups(offsets, batch_format="pandas")
+           .groupby(["cohort_day", "day_offset"])
+           .aggregate(Count(alias_name="n_users"))
+           .to_pandas())  # days × days cells
+    if out.empty:
+        return _empty_frame({"cohort_day": "int64", "day_offset": "int64",
+                             "n_users": "int64"})
+    return (out.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True).astype("int64"))
+
+
+SQL_RETENTION_COHORTS = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), c AS (
+    SELECT user_id, min(d) AS cd FROM ud GROUP BY user_id
+)
+SELECT c.cd::BIGINT AS cohort_day, (ud.d - c.cd)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_top_ngram_frac(sf_dir: str):
+    """Gopher-style top-bigram repetition signal: per document, the most
+    frequent word bigram and the fraction of characters it covers
+    (MassiveText's 'fraction of characters in the most common n-gram'
+    filter; complements dup_spans' char-L-gram coverage). The fraction
+    ships as integer numerator/denominator (cov_chars = cnt·len(bigram),
+    n_chars) — no float division to drift from the oracle. Tie-break is
+    deterministic: highest count, then lexicographically smallest
+    bigram. Batch-local throughout (documents never span batches): the
+    bigram build is two shifted slices of the flattened token array +
+    one Acero hash-count, the per-doc argmax one numpy lexsort — the
+    only data movement is the pruned read itself."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    spec = {"doc_id": pa.int64(), "top_bigram": pa.string(),
+            "cnt": pa.int64(), "cov_chars": pa.int64(),
+            "n_chars": pa.int64()}
+
+    def fn(b: pa.Table) -> pa.Table:
+        flat, n = _tokens_and_counts(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, n)
+        empty = pa.table({c: pa.array([], t) for c, t in spec.items()})
+        if len(flat) < 2:
+            return empty
+        same = doc[1:] == doc[:-1]  # bigram = consecutive tokens, same doc
+        if not same.any():
+            return empty
+        big = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        cnt_tbl = pa.TableGroupBy(
+            pa.table({"doc_id": pa.array(doc[:-1][same]),
+                      "bigram": big.filter(pa.array(same))}),
+            ["doc_id", "bigram"]).aggregate([([], "count_all")]
+                                            ).rename_columns(
+            ["doc_id", "bigram", "cnt"])
+        docv = cnt_tbl["doc_id"].to_numpy(zero_copy_only=False)
+        bg = cnt_tbl["bigram"].to_numpy(zero_copy_only=False)
+        cv = cnt_tbl["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bg, -cv, docv))  # doc, cnt DESC, bigram ASC
+        d_s = docv[order]
+        first = np.ones(len(d_s), bool)
+        first[1:] = d_s[1:] != d_s[:-1]
+        keep = order[first]
+        top_bg = pa.array(bg[keep], pa.string())
+        # n_chars lookup: doc_id is unique per row in documents
+        sidx = np.argsort(ids)
+        pos = sidx[np.searchsorted(ids[sidx], docv[keep])]
+        nch = pc.utf8_length(b["text"].combine_chunks()).to_numpy(
+            zero_copy_only=False)[pos].astype(np.int64)
+        cnt_k = cv[keep].astype(np.int64)
+        cov = cnt_k * pc.utf8_length(top_bg).to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(docv[keep], pa.int64()),
+            "top_bigram": top_bg,
+            "cnt": pa.array(cnt_k, pa.int64()),
+            "cov_chars": pa.array(cov, pa.int64()),
+            "n_chars": pa.array(nch, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TOP_NGRAM_FRAC = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+), bg AS (
+    SELECT doc_id, bigram FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok) OVER (
+                   PARTITION BY doc_id ORDER BY i) AS bigram
+        FROM toks) WHERE bigram IS NOT NULL
+), cnts AS (
+    SELECT doc_id, bigram, count(*)::BIGINT AS cnt
+    FROM bg GROUP BY doc_id, bigram
+), top AS (
+    SELECT doc_id, bigram, cnt, row_number() OVER (
+        PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn
+    FROM cnts
+)
+SELECT t.doc_id, t.bigram AS top_bigram, t.cnt,
+       (t.cnt * length(t.bigram))::BIGINT AS cov_chars,
+       length(d.text)::BIGINT AS n_chars
+FROM top t JOIN documents d USING (doc_id)
+WHERE t.rn = 1 ORDER BY t.doc_id
+"""
+
+
+def q_outlier_mad(sf_dir: str):
+    """Robust per-group outlier detection via median absolute deviation
+    — |x − median| > 3·MAD per event_type, the outlier rule that
+    variance-based z-scores can't do exactly at scale (their cross-
+    multiplied integer form overflows int64 once n·x exceeds ~3e9).
+    Everything is integer cents over the HISTOGRAM method
+    (grouped_quantiles): batches emit (type, cents, count) partials, one
+    tiny shuffle builds the per-type histogram (bounded by the cents
+    domain, independent of row count), and median / MAD / the outlier
+    count all fold driver-side off cumulative counts. quantile_disc
+    indexing k = ⌈n/2⌉−1 matches the oracle exactly."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"event_type": t["event_type"], "cents": cents}),
+            ["event_type", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "c"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas())  # |types| · |distinct cents| rows
+    if hist.empty:
+        return _empty_frame({"event_type": object, "n": "int64",
+                             "med_cents": "int64", "mad_cents": "int64",
+                             "n_outliers": "int64"})
+
+    def disc_median(vals: np.ndarray, counts: np.ndarray) -> int:
+        cum = counts.cumsum()
+        k = (int(cum[-1]) + 1) // 2 - 1
+        return int(vals[np.searchsorted(cum, k + 1)])
+
+    out = []
+    for et, g in hist.sort_values(["event_type", "cents"]).groupby(
+            "event_type", sort=True):
+        vals = g["cents"].to_numpy()
+        counts = g["c"].to_numpy().astype(np.int64)
+        n = int(counts.sum())
+        med = disc_median(vals, counts)
+        dev = np.abs(vals - med)  # fold the histogram around the median
+        dev_u, inv = np.unique(dev, return_inverse=True)
+        dev_c = np.bincount(inv, weights=counts).astype(np.int64)
+        mad = disc_median(dev_u, dev_c)
+        out.append((et, n, med, mad,
+                    int(counts[dev > 3 * mad].sum())))
+    return pd.DataFrame(out, columns=[
+        "event_type", "n", "med_cents", "mad_cents", "n_outliers"]).astype(
+        {"n": "int64", "med_cents": "int64", "mad_cents": "int64",
+         "n_outliers": "int64"})
+
+
+SQL_OUTLIER_MAD = """
+WITH e AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), m AS (
+    SELECT event_type, quantile_disc(cents, 0.5) AS med
+    FROM e GROUP BY event_type
+), d AS (
+    SELECT e.event_type, abs(e.cents - m.med) AS dev, m.med AS med
+    FROM e JOIN m USING (event_type)
+), md AS (
+    SELECT event_type, quantile_disc(dev, 0.5) AS mad
+    FROM d GROUP BY event_type
+)
+SELECT d.event_type, count(*)::BIGINT AS n,
+       any_value(d.med)::BIGINT AS med_cents,
+       any_value(md.mad)::BIGINT AS mad_cents,
+       sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END)::BIGINT
+           AS n_outliers
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -8279,6 +8509,9 @@ QUERIES = {
     "tpch_q8": q_tpch_q8,
     "tpch_q19": q_tpch_q19,
     "bucket_join": q_bucket_join,
+    "retention_cohorts": q_retention_cohorts,
+    "top_ngram_frac": q_top_ngram_frac,
+    "outlier_mad": q_outlier_mad,
 }
 
 ORACLES = {
@@ -8403,4 +8636,7 @@ ORACLES = {
     "tpch_q8": SQL_TPCH_Q8,
     "tpch_q19": SQL_TPCH_Q19,
     "bucket_join": SQL_BUCKET_JOIN,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
+    "top_ngram_frac": SQL_TOP_NGRAM_FRAC,
+    "outlier_mad": SQL_OUTLIER_MAD,
 }

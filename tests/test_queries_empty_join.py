@@ -288,3 +288,145 @@ def test_grouped_quantiles_null_lang_and_chars(tmp_path_factory,
         df.sort_values("lang", na_position="last", inplace=True,
                        ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.fixture(scope="module")
+def empty_events_dir(tmp_path_factory):
+    return _sf_dir_with_empty(tmp_path_factory, "events")
+
+
+_EVENT_OPS_EMPTY_COLS = {
+    "retention_cohorts": {"cohort_day": "int64", "day_offset": "int64",
+                          "n_users": "int64"},
+    "outlier_mad": {"event_type": "object", "n": "int64",
+                    "med_cents": "int64", "mad_cents": "int64",
+                    "n_outliers": "int64"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EVENT_OPS_EMPTY_COLS))
+def test_event_ops_empty_table(name, empty_events_dir, ray_session):
+    got = QUERIES[name](empty_events_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    assert len(got) == 0
+    want = _EVENT_OPS_EMPTY_COLS[name]
+    assert list(got.columns) == list(want)
+    assert {c: str(got[c].dtype) for c in got.columns} == want
+
+
+def test_top_ngram_frac_edges(tmp_path_factory, ray_session):
+    """Tie-break (two bigrams at equal count → lexicographically
+    smallest), single-word and NULL-text docs (no bigram → absent), and
+    repeated-token runs, all checked against the oracle on a hand-built
+    corpus."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_ngram_edge")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        if t == "documents":
+            tbl = pa.table({
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array([
+                    "b a b a c z c z",   # "a b"x1,"b a"x2,"a c"... tie zone
+                    "x x x x x",          # run: "x x" x4
+                    "solo",               # single word -> absent
+                    None,                 # NULL text -> absent
+                    "p q p q",            # "p q"x2 beats "q p"x1
+                ], pa.string()),
+                "lang": pa.array(["en"] * 5),
+                "domain": pa.array(["t"] * 5),
+                "n_chars": pa.array([15, 9, 4, 0, 7], pa.int64()),
+                "embedding_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            })
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    got = QUERIES["top_ngram_frac"](str(d)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    want = con.sql(ORACLES["top_ngram_frac"]).df()
+    got = got.sort_values("doc_id", ignore_index=True)
+    assert set(got["doc_id"]) == {1, 2, 5}
+    assert got.loc[got["doc_id"] == 2, "top_bigram"].item() == "x x"
+    assert got.loc[got["doc_id"] == 2, "cnt"].item() == 4
+    pd.testing.assert_frame_equal(got, want.sort_values(
+        "doc_id", ignore_index=True), check_dtype=False)
+
+
+def test_outlier_mad_identical_and_spike(tmp_path_factory, ray_session):
+    """MAD = 0 when >half the group is one value — then ANY deviation is
+    an outlier (the robust-stats degenerate case variance methods
+    blur); checked against the oracle."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_mad_edge")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        if t == "events":
+            vals = [5.0] * 9 + [5.01] + [1.0, 1.0, 1.0, 100.0]
+            types = ["flat"] * 10 + ["spike"] * 4
+            tbl = pa.table({
+                "event_id": pa.array(range(len(vals)), pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000 + i * 1_000_000
+                                for i in range(len(vals))],
+                               pa.timestamp("us")),
+                "user_id": pa.array([1] * len(vals), pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * len(vals)),
+            })
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    got = QUERIES["outlier_mad"](str(d))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.sql(ORACLES["outlier_mad"]).df()
+    got = got.sort_values("event_type", ignore_index=True)
+    flat = got[got["event_type"] == "flat"].iloc[0]
+    assert flat["mad_cents"] == 0 and flat["n_outliers"] == 1
+    spike = got[got["event_type"] == "spike"].iloc[0]
+    assert spike["med_cents"] == 100 and spike["n_outliers"] == 1
+    pd.testing.assert_frame_equal(got, want.sort_values(
+        "event_type", ignore_index=True), check_dtype=False)
+
+
+def test_retention_cohorts_multiday(tmp_path_factory, ray_session):
+    """Users returning across days land in the right (cohort, offset)
+    cells; same-day duplicate events count once; checked vs oracle."""
+    import pyarrow as pa
+
+    day = 86_400_000_000
+    base = 1_700_006_400_000_000
+    d = tmp_path_factory.mktemp("sf_cohort_edge")
+    rows = [  # (user, day_offset from base)
+        (1, 0), (1, 0), (1, 1), (1, 3),
+        (2, 1), (2, 2),
+        (3, 3),
+    ]
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        if t == "events":
+            tbl = pa.table({
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([base + off * day + i
+                                for i, (_, off) in enumerate(rows)],
+                               pa.timestamp("us")),
+                "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                "event_type": pa.array(["e"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            })
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    got = QUERIES["retention_cohorts"](str(d))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.sql(ORACLES["retention_cohorts"]).df()
+    cells = {(r.cohort_day - want["cohort_day"].min(), r.day_offset):
+             r.n_users for r in got.itertuples()}
+    # user1 cohort day0 (offsets 0,1,3); user2 cohort day1 (0,1); user3
+    # cohort day3 (0) — day-0 offset-0 counts user1 ONCE despite dupes
+    assert cells == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+                     (1, 0): 1, (1, 1): 1, (3, 0): 1}
+    pd.testing.assert_frame_equal(
+        got, want.sort_values(["cohort_day", "day_offset"],
+                              ignore_index=True), check_dtype=False)
