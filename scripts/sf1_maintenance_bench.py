@@ -102,6 +102,18 @@ def main():
     queries = {k: v["sec"] for k, v in res["stages"].items()}
     for k, v in res["stages"].items():
         queries[f"{k}_task_cpu_s"] = v.get("task_cpu_s", 0)
+
+    # metadata-tree coalescing over the post-maintenance manifest list —
+    # driver-side O(entries) JSON; proves the op's cost at 10^5-entry scale
+    from raylake.ops import rewrite_manifests
+
+    n_manifests = len(table.snapshot().manifests)
+    t = time.monotonic()
+    snap = rewrite_manifests(table, min_manifests=2)
+    queries["rewrite_manifests"] = round(time.monotonic() - t, 3)
+    queries["manifests_before"] = n_manifests
+    queries["manifests_after"] = (len(snap.manifests) if snap is not None
+                                  else n_manifests)
     t = time.monotonic()
     n_scan = table.scan().count()
     queries["full_scan"] = round(time.monotonic() - t, 3)
