@@ -84,3 +84,63 @@ def mg_trim(tokens: pa.Array, counts: np.ndarray, k: int
     kept = counts - thresh
     mask = kept > 0
     return tokens.filter(pa.array(mask)), kept[mask]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (blocked double-hashing form)
+#
+# Sibling of `core/bloom.py` (per-FILE manifest stats: variable-size,
+# single-value probes for scan pruning); this one is the per-JOB form —
+# fixed-size so partials OR-merge across batches, with vectorized
+# whole-batch probes for the probe-side map filter.
+#
+# The map-side semi-join prefilter at 10^12 rows: the build side folds into
+# a FIXED-SIZE bit array (m bits, OR-mergeable across batches — one 128 KiB
+# partial per block regardless of build cardinality), the driver ORs the
+# partials, and every probe task tests membership with k vectorized hash
+# probes against the broadcast bits.  False positives only — a bloom PASS
+# still needs the exact join, but a bloom MISS is a guaranteed non-match,
+# so the expensive shuffle sees only (matches + fp_rate · non-matches)
+# rows.  Double hashing h_i = h1 + i·h2 (Kirsch & Mitzenmacher, ESA 2006)
+# gives k independent-enough probes from two splitmix64 evaluations.
+# ---------------------------------------------------------------------------
+
+_BLOOM_H2_SALT = 0x9E3779B97F4A7C15
+
+
+def bloom_bits(keys, m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Fold an int64 key array into an m_bits Bloom bit array (uint64 words).
+
+    Mergeable: np.bitwise_or of two results == the filter of the union.
+    m_bits must be a multiple of 64."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = keys.to_numpy(zero_copy_only=False)
+    keys = np.asarray(keys, np.int64)
+    words = np.zeros(m_bits // 64, np.uint64)
+    h1 = mix64(keys)
+    h2 = mix64(keys ^ np.int64(np.uint64(_BLOOM_H2_SALT).astype(np.int64))) | np.uint64(1)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def bloom_may_contain(words: np.ndarray, keys, k: int = 4) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present, False = DEFINITELY
+    absent (the no-false-negative guarantee the prefilter relies on)."""
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = keys.to_numpy(zero_copy_only=False)
+    keys = np.asarray(keys, np.int64)
+    m_bits = len(words) * 64
+    h1 = mix64(keys)
+    h2 = mix64(keys ^ np.int64(np.uint64(_BLOOM_H2_SALT).astype(np.int64))) | np.uint64(1)
+    mask = np.ones(len(keys), bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        mask &= bit.astype(bool)
+    return mask

@@ -8374,10 +8374,261 @@ GROUP BY d.event_type ORDER BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join (map-side filter before the shuffle)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M_BITS = 1 << 20  # 128 KiB broadcast regardless of build cardinality
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Semi join with a map-side Bloom prefilter: lineitem ⋉ urgent orders.
+
+    Scale shape (the 100 TB fact-⋉-fact path, where neither the build key
+    SET nor the probe side fits a broadcast dict): the build side folds into
+    a FIXED 128 KiB Bloom bit array via OR-mergeable per-batch partials
+    (`functions/sketch.py::bloom_bits` — driver state is O(m_bits), never
+    O(build keys)), the bit array broadcasts once via `ray.put`, and every
+    probe batch drops definite non-matches BEFORE the exact hash-join
+    shuffle. With ~20% build selectivity and ~0.1% false-positive rate the
+    all-to-all exchange sees ~5× fewer probe rows; correctness never
+    depends on the filter (no false negatives — property-tested in
+    tests/test_sketch.py), because survivors still pass through the exact
+    distributed join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from raylake.functions.sketch import bloom_bits
+    from raylake.stages.joins import BloomKeyFilter
+
+    rd = _rd()
+    build = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+
+    def partial_bits(t: pa.Table) -> pa.Table:
+        w = bloom_bits(t["o_orderkey"], m_bits=_BLOOM_M_BITS)
+        return pa.table({"bits": pa.array([w.tobytes()], pa.binary())})
+
+    # driver folds O(blocks) fixed-size partials — bounded, never key sets
+    words = np.zeros(_BLOOM_M_BITS // 64, np.uint64)
+    build = build.materialize()  # branched into bits + verify join below
+    for row in build.map_batches(
+            partial_bits, batch_format="pyarrow").iter_rows():
+        words |= np.frombuffer(row["bits"], np.uint64)
+    bits_ref = ray.put(words)
+
+    probe = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+    survivors = probe.map_batches(
+        BloomKeyFilter,
+        fn_constructor_kwargs={"bits_ref": bits_ref, "key_col": "l_orderkey"},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_returnflag": t["l_returnflag"], "cents": cents})
+
+    keys = build.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"]}),
+        batch_format="pyarrow")
+    j = _hash_join(survivors.map_batches(project, batch_format="pyarrow"),
+                   keys, on=("l_orderkey",), right_on=("o_orderkey",))
+    return j.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag, count(*) AS n,
+       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+           AS sum_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (token → posting list) with a df-band gate
+# ---------------------------------------------------------------------------
+
+def q_inverted_index(sf_dir: str):
+    """Posting-list build for tokens appearing in at most half the corpus —
+    the searchable-index op behind contamination lookups and rare-token
+    retrieval. Scale shape: document frequencies come from per-batch
+    (token, df) PARTIALS (O(vocab) per batch, docs never span batches), the
+    qualifying token set broadcasts once via `ray.put` (a df-banded vocab
+    is tiny relative to the corpus), and postings explode per batch with NO
+    shuffle at all — each (token, doc_id) pair is emitted exactly once
+    because a doc lives in exactly one batch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        pairs = _token_doc_pairs(b)
+        per_tok = pairs.group_by(["token", "doc_id"]).aggregate(
+            [("doc_id", "count")]).group_by("token").aggregate(
+            [("doc_id", "count")])
+        return pa.table({"token": per_tok["token"],
+                         "df": pc.cast(per_tok["doc_id_count"], pa.int64())})
+
+    df = (ds.map_batches(df_partial, batch_format="pyarrow")
+          .groupby("token").aggregate(Sum("df", alias_name="df")))
+    df_tbl = pa.Table.from_pandas(df.to_pandas(), preserve_index=False)
+    qualifying = df_tbl.filter(
+        pc.less_equal(pc.multiply(df_tbl["df"], 2), n_docs))["token"]
+    tok_ref = ray.put(set(qualifying.to_pylist()))
+
+    class Postings:
+        def __init__(self, keys_ref):
+            self.keys = pa.array(sorted(ray.get(keys_ref)))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pairs = _token_doc_pairs(b)
+            pairs = pairs.filter(pc.is_in(pairs["token"],
+                                          value_set=self.keys))
+            per = pairs.group_by(["token", "doc_id"]).aggregate(
+                [("doc_id", "count")])
+            return pa.table({"token": per["token"], "doc_id": per["doc_id"]})
+
+    return ds.map_batches(
+        Postings, fn_constructor_kwargs={"keys_ref": tok_ref},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+)
+SELECT DISTINCT t.token, t.doc_id
+FROM tok t JOIN df USING (token)
+WHERE 2 * df.df <= (SELECT count(*) FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank power-iteration step over the click-transition graph
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # rank contributions in integer micro-micros
+
+
+def q_pagerank_step(sf_dir: str):
+    """One PageRank power-iteration step over the page-transition graph
+    (nodes = the `k` page id in events.props, edges = consecutive events of
+    the same user ordered by (ts, event_id)). The iterative-graph pattern
+    complementing `neardup_components`' BSP label propagation: scatter
+    rank/out_weight along edges, gather by destination. Integer-exact:
+    contribution of edge (u,v,w) from a uniform unnormalized rank is
+    w · (SCALE // outw(u)) — floor division matches DuckDB `//` on
+    positives, so the oracle transcribes the identical arithmetic.
+
+    Scale shape: page ids extract via ONE vectorized RE2 pass; edge
+    extraction shuffles only (user_id, ts_us, event_id, k); per-user
+    map_groups emits (src, dst, w) PARTIALS so the global groupby moves
+    O(|node domain|²) rows per block, not O(events); the final
+    scatter/gather runs on the driver over the aggregated edge table,
+    which is bounded by the node-domain square (here ≤100²), independent
+    of event volume."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "k": pc.cast(pc.struct_field(ex, "k"), pa.int64()),
+        })
+
+    def edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["us", "event_id"], kind="mergesort")
+        k = g["k"].to_numpy()
+        if len(k) < 2:
+            return pd.DataFrame({"src": np.empty(0, np.int64),
+                                 "dst": np.empty(0, np.int64),
+                                 "w": np.empty(0, np.int64)})
+        e = pd.DataFrame({"src": k[:-1], "dst": k[1:]})
+        return (e.groupby(["src", "dst"], as_index=False).size()
+                .rename(columns={"size": "w"}).astype(np.int64))
+
+    ew = (ds.map_batches(extract, batch_format="pyarrow")
+          .groupby("user_id").map_groups(edges, batch_format="pandas")
+          .groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w")))
+    # bounded driver tail: the aggregated edge table is O(|node domain|²)
+    et = pa.Table.from_pandas(ew.to_pandas(), preserve_index=False)
+    src = et["src"].to_numpy(zero_copy_only=False)
+    dst = et["dst"].to_numpy(zero_copy_only=False)
+    w = et["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = np.array([idx[s] for s in src], np.int64)
+    di = np.array([idx[d] for d in dst], np.int64)
+    outw = np.zeros(len(nodes), np.int64)
+    np.add.at(outw, si, w)
+    inw = np.zeros(len(nodes), np.int64)
+    np.add.at(inw, di, w)
+    contrib = w * (_PR_SCALE // outw[si])
+    rank = np.zeros(len(nodes), np.int64)
+    np.add.at(rank, di, contrib)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "outw": pa.array(outw, pa.int64()),
+                     "inw": pa.array(inw, pa.int64()),
+                     "rank_scaled": pa.array(rank, pa.int64())})
+
+
+SQL_PAGERANK_STEP = f"""
+WITH kk AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events),
+e AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM kk),
+w AS (
+  SELECT src, dst, count(*)::BIGINT AS w
+  FROM e WHERE dst IS NOT NULL GROUP BY src, dst),
+o AS (SELECT src, sum(w)::BIGINT AS outw FROM w GROUP BY src),
+i AS (SELECT dst, sum(w)::BIGINT AS inw FROM w GROUP BY dst),
+r AS (
+  SELECT w.dst AS node,
+         sum(w.w * ({_PR_SCALE} // o.outw))::BIGINT AS rank_scaled
+  FROM w JOIN o USING (src) GROUP BY w.dst),
+n AS (SELECT src AS node FROM w UNION SELECT dst FROM w)
+SELECT n.node,
+       coalesce(o.outw, 0)::BIGINT AS outw,
+       coalesce(i.inw, 0)::BIGINT AS inw,
+       coalesce(r.rank_scaled, 0)::BIGINT AS rank_scaled
+FROM n LEFT JOIN o ON o.src = n.node
+       LEFT JOIN i ON i.dst = n.node
+       LEFT JOIN r ON r.node = n.node
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "bloom_semi_join": q_bloom_semi_join,
+    "inverted_index": q_inverted_index,
+    "pagerank_step": q_pagerank_step,
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
     "derived_chain": q_derived_chain,
@@ -8604,6 +8855,9 @@ ORACLES = {
     "group_sample": SQL_GROUP_SAMPLE,
     "cdc_feed": SQL_CDC_FEED,
     "adjacent_pairs": SQL_ADJACENT_PAIRS,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "pagerank_step": SQL_PAGERANK_STEP,
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
     "stream_dedup": SQL_STREAM_DEDUP,
     "funnel_counts": SQL_FUNNEL_COUNTS,

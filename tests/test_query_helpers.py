@@ -49,3 +49,44 @@ def test_mg_trim_guarantee_and_bound():
     # below-threshold input passes through untouched
     t2, c2 = mg_trim(tokens.slice(0, 10), freqs[:10], k)
     assert len(c2) == 10 and (c2 == freqs[:10]).all()
+
+
+def test_bloom_join_prefilter_contract():
+    """Bloom join-prefilter contract (q_bloom_semi_join's correctness
+    hinge): zero false negatives, OR-merge == filter-of-union, and the
+    false-positive rate stays far below the sizing bound (m=2^20, k=4,
+    n=50k -> ~0.24% expected)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raylake.functions.sketch import bloom_bits, bloom_may_contain
+
+    rng = np.random.default_rng(11)
+    build = rng.integers(-(1 << 62), 1 << 62, 50_000)
+    probe = rng.integers(-(1 << 62), 1 << 62, 100_000)
+    w1 = bloom_bits(build[:20_000])
+    w2 = bloom_bits(build[20_000:])
+    merged = np.bitwise_or(w1, w2)
+    np.testing.assert_array_equal(merged, bloom_bits(build))
+    assert bloom_may_contain(merged, build).all()  # never a false negative
+    outside = probe[~np.isin(probe, build)]
+    assert bloom_may_contain(merged, outside).mean() < 0.01
+
+    @given(st.lists(st.integers(-(1 << 63), (1 << 63) - 1),
+                    min_size=0, max_size=64))
+    @settings(max_examples=50, deadline=None)
+    def no_false_negative(keys):
+        arr = np.array(keys, np.int64) if keys else np.empty(0, np.int64)
+        w = bloom_bits(arr, m_bits=1 << 10)
+        assert bloom_may_contain(w, arr).all()
+
+    no_false_negative()
+
+
+def test_bloom_bits_rejects_bad_m():
+    import pytest as _pytest
+
+    from raylake.functions.sketch import bloom_bits
+
+    with _pytest.raises(ValueError):
+        bloom_bits(np.array([1], np.int64), m_bits=100)
