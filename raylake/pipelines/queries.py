@@ -8622,11 +8622,182 @@ FROM n LEFT JOIN o ON o.src = n.node
 
 
 # ---------------------------------------------------------------------------
+# Data-quality audit (dbt-test / Deequ-style constraint sweep)
+# ---------------------------------------------------------------------------
+
+def q_dq_audit(sf_dir: str):
+    """Constraint audit over the warehouse — one row per check with its
+    violation count and scanned-row count (the pre-promotion gate every
+    medallion pipeline runs before publishing a gold table; ref audit
+    metadata src/elt/silver/_silver_handler.py-style checks re-expressed
+    as engine ops). Check classes: referential integrity (distributed
+    LEFT-OUTER join, unmatched = orphan — NO key set ever sits on the
+    driver), primary-key uniqueness (per-batch (key, n) partials, dup
+    excess = Σ(n−1)), null-rate, and scan-side business rules (each a
+    per-batch counter folded by one tiny groupby). All checks stream; the
+    result is O(#checks)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def _counter(name):
+        def fn(t: pa.Table) -> pa.Table:
+            mask, n = _DQ_RULES[name]
+            viol = int(pc.sum(mask(t)).as_py() or 0)
+            return pa.table({"check": pa.array([name]),
+                             "n_violations": pa.array([viol], pa.int64()),
+                             "n_scanned": pa.array([len(t)], pa.int64())})
+        return fn
+
+    _DQ_RULES = {
+        "documents_short_text": (
+            lambda t: pc.less(t["n_chars"], 100), "documents"),
+        "orders_totalprice_lt_30000": (
+            lambda t: pc.less(t["o_totalprice"], 30000.0), "orders"),
+        "customer_null_acctbal": (
+            lambda t: pc.is_null(t["c_acctbal"]), "customer"),
+    }
+    _DQ_COLS = {"documents_short_text": ["n_chars"],
+                "orders_totalprice_lt_30000": ["o_totalprice"],
+                "customer_null_acctbal": ["c_acctbal"]}
+
+    parts = []
+    for name, (_, table) in _DQ_RULES.items():
+        parts.append(
+            rd.read_parquet(_pq(sf_dir, table), columns=_DQ_COLS[name])
+            .map_batches(_counter(name), batch_format="pyarrow"))
+
+    # PK uniqueness: per-batch (key, n) partials -> dup excess Σ(n-1)
+    def pk_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "o_orderkey").aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderkey", "n"])
+
+    def pk_fold(t: pa.Table) -> pa.Table:
+        dup = pc.sum(pc.subtract(t["sum(n)"], 1))
+        return pa.table({
+            "check": pa.array(["orders_pk_dup"]),
+            "n_violations": pa.array([int(dup.as_py() or 0)], pa.int64()),
+            "n_scanned": pa.array([int(pc.sum(t["sum(n)"]).as_py() or 0)],
+                                  pa.int64())})
+
+    pk = (rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"])
+          .map_batches(pk_partial, batch_format="pyarrow")
+          .groupby("o_orderkey").aggregate(Sum("n"))
+          .map_batches(pk_fold, batch_format="pyarrow"))
+    parts.append(pk)
+
+    # FK integrity: lineitem ⟕ orders, orphan = unmatched left row
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey"])
+    ok = (rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"])
+          .map_batches(lambda t: pa.table(
+              {"o_orderkey": t["o_orderkey"],
+               "m": pa.array(np.ones(len(t), np.int8))}),
+              batch_format="pyarrow"))
+    j = _hash_join(li, ok, on=("l_orderkey",), right_on=("o_orderkey",),
+                   how="left_outer",
+                   right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                           ("m", pa.int8())]))
+
+    def fk_fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "check": pa.array(["lineitem_fk_orphan"]),
+            "n_violations": pa.array(
+                [int(pc.sum(pc.cast(pc.is_null(t["m"]), pa.int64()))
+                     .as_py() or 0)], pa.int64()),
+            "n_scanned": pa.array([len(t)], pa.int64())})
+
+    parts.append(j.map_batches(fk_fold, batch_format="pyarrow"))
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.union(p)
+    return (union.groupby("check")
+            .aggregate(Sum("n_violations", alias_name="n_violations"),
+                       Sum("n_scanned", alias_name="n_scanned")))
+
+
+SQL_DQ_AUDIT = """
+SELECT 'documents_short_text' AS check, count(*) FILTER (n_chars < 100)
+       AS n_violations, count(*) AS n_scanned FROM documents
+UNION ALL
+SELECT 'orders_totalprice_lt_30000', count(*) FILTER (o_totalprice < 30000),
+       count(*) FROM orders
+UNION ALL
+SELECT 'customer_null_acctbal', count(*) FILTER (c_acctbal IS NULL),
+       count(*) FROM customer
+UNION ALL
+SELECT 'orders_pk_dup', (count(*) - count(DISTINCT o_orderkey))::BIGINT,
+       count(*) FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orphan', count(*) FILTER (o.o_orderkey IS NULL),
+       count(*)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global-percentile band filter (two-pass: thresholds, then stream filter)
+# ---------------------------------------------------------------------------
+
+def q_percentile_filter(sf_dir: str):
+    """Keep documents whose length lies inside the corpus's [p5, p95] band
+    — the data-driven outlier trim every training-data pipeline runs
+    before tokenization. Two passes, both streaming: pass 1 folds a
+    (value, count) HISTOGRAM via per-batch partials (bounded by the
+    distinct-length domain, independent of corpus size) and picks the
+    exact discrete-quantile thresholds off the cumulative counts
+    driver-side (integer index arithmetic, same contract as
+    `grouped_quantiles`); pass 2 re-streams the corpus through a
+    vectorized between-filter. No full materialization anywhere."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "n_chars").aggregate([([], "count_all")])
+        return g.rename_columns(["n_chars", "c"])
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("n_chars").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return _empty_frame({"doc_id": "int64", "lang": object,
+                             "n_chars": "int64"})
+    hist = hist.sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy()
+    cum = hist["c"].to_numpy().cumsum()
+    n = int(cum[-1])
+    # quantile_disc indices: k = ceil(q*n) - 1, in integer arithmetic
+    k05, k95 = (n + 19) // 20 - 1, (19 * n + 19) // 20 - 1
+    lo = int(vals[np.searchsorted(cum, k05 + 1)])
+    hi = int(vals[np.searchsorted(cum, k95 + 1)])
+
+    def band(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["n_chars"], lo),
+                       pc.less_equal(t["n_chars"], hi))
+        return t.filter(keep)
+
+    return ds.map_batches(band, batch_format="pyarrow")
+
+
+SQL_PERCENTILE_FILTER = """
+WITH b AS (SELECT quantile_disc(n_chars, 0.05) AS lo,
+                  quantile_disc(n_chars, 0.95) AS hi FROM documents)
+SELECT doc_id, lang, n_chars
+FROM documents, b WHERE n_chars BETWEEN b.lo AND b.hi
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
+    "dq_audit": q_dq_audit,
+    "percentile_filter": q_percentile_filter,
     "inverted_index": q_inverted_index,
     "pagerank_step": q_pagerank_step,
     "pricing_summary": q_pricing_summary,
@@ -8856,6 +9027,8 @@ ORACLES = {
     "cdc_feed": SQL_CDC_FEED,
     "adjacent_pairs": SQL_ADJACENT_PAIRS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "dq_audit": SQL_DQ_AUDIT,
+    "percentile_filter": SQL_PERCENTILE_FILTER,
     "inverted_index": SQL_INVERTED_INDEX,
     "pagerank_step": SQL_PAGERANK_STEP,
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
