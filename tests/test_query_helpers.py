@@ -90,3 +90,19 @@ def test_bloom_bits_rejects_bad_m():
 
     with _pytest.raises(ValueError):
         bloom_bits(np.array([1], np.int64), m_bits=100)
+
+
+def test_quantile_disc_index_formula():
+    """percentile_filter's integer threshold indices k = ceil(q*n)-1 must
+    match DuckDB quantile_disc for every corpus size (regression: the
+    grouped_quantiles development validated p50/p95; p5 is asserted here
+    for n = 1..300 against the oracle engine itself)."""
+    import duckdb
+
+    c = duckdb.connect()
+    for n in range(1, 301):
+        want = c.sql(
+            f"SELECT quantile_disc(x, 0.05), quantile_disc(x, 0.95) "
+            f"FROM (SELECT unnest(range({n})) AS x)").fetchone()
+        got = ((n + 19) // 20 - 1, (19 * n + 19) // 20 - 1)
+        assert want == got, (n, want, got)
