@@ -8435,10 +8435,22 @@ def q_bloom_semi_join(sf_dir: str):
     keys = build.map_batches(
         lambda t: pa.table({"o_orderkey": t["o_orderkey"]}),
         batch_format="pyarrow")
+    # seed both sides: either side can reach the join with zero blocks
+    # (no urgent orders / everything bloom-filtered) and Acero crashes on
+    # a schema-less input; the sentinels vanish under inner join
     j = _hash_join(survivors.map_batches(project, batch_format="pyarrow"),
-                   keys, on=("l_orderkey",), right_on=("o_orderkey",))
-    return j.groupby("l_returnflag").aggregate(
-        Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+                   keys, on=("l_orderkey",), right_on=("o_orderkey",),
+                   left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                          ("l_returnflag", pa.string()),
+                                          ("cents", pa.int64())]),
+                   right_schema=pa.schema([("o_orderkey", pa.int64())]))
+    out = j.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"),
+        Sum("cents", alias_name="sum_cents")).to_pandas()  # ≤ |flags| rows
+    if out.empty:  # zero survivors -> column-less frame (Ray 2.49)
+        return _empty_frame({"l_returnflag": object, "n": "int64",
+                             "sum_cents": "int64"})
+    return out
 
 
 SQL_BLOOM_SEMI_JOIN = """
@@ -8482,7 +8494,10 @@ def q_inverted_index(sf_dir: str):
 
     df = (ds.map_batches(df_partial, batch_format="pyarrow")
           .groupby("token").aggregate(Sum("df", alias_name="df")))
-    df_tbl = pa.Table.from_pandas(df.to_pandas(), preserve_index=False)
+    df_pd = df.to_pandas()
+    if df_pd.empty:  # empty corpus reaches here column-less (Ray 2.49)
+        return _empty_frame({"token": object, "doc_id": "int64"})
+    df_tbl = pa.Table.from_pandas(df_pd, preserve_index=False)
     qualifying = df_tbl.filter(
         pc.less_equal(pc.multiply(df_tbl["df"], 2), n_docs))["token"]
     tok_ref = ray.put(set(qualifying.to_pylist()))
@@ -8570,15 +8585,18 @@ def q_pagerank_step(sf_dir: str):
           .groupby("user_id").map_groups(edges, batch_format="pandas")
           .groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w")))
     # bounded driver tail: the aggregated edge table is O(|node domain|²)
-    et = pa.Table.from_pandas(ew.to_pandas(), preserve_index=False)
+    ew_pd = ew.to_pandas()
+    if ew_pd.empty:  # no user has 2+ events -> column-less frame (Ray 2.49)
+        return _empty_frame({"node": "int64", "outw": "int64",
+                             "inw": "int64", "rank_scaled": "int64"})
+    et = pa.Table.from_pandas(ew_pd, preserve_index=False)
     src = et["src"].to_numpy(zero_copy_only=False)
     dst = et["dst"].to_numpy(zero_copy_only=False)
     w = et["w"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     nodes = np.unique(np.concatenate([src, dst]))
-    idx = {n: i for i, n in enumerate(nodes)}
-    si = np.array([idx[s] for s in src], np.int64)
-    di = np.array([idx[d] for d in dst], np.int64)
+    si = np.searchsorted(nodes, src)  # nodes sorted-unique -> exact index
+    di = np.searchsorted(nodes, dst)
     outw = np.zeros(len(nodes), np.int64)
     np.add.at(outw, si, w)
     inw = np.zeros(len(nodes), np.int64)
@@ -8642,7 +8660,7 @@ def q_dq_audit(sf_dir: str):
 
     def _counter(name):
         def fn(t: pa.Table) -> pa.Table:
-            mask, n = _DQ_RULES[name]
+            mask, _table = _DQ_RULES[name]
             viol = int(pc.sum(mask(t)).as_py() or 0)
             return pa.table({"check": pa.array([name]),
                              "n_violations": pa.array([viol], pa.int64()),
@@ -8661,7 +8679,14 @@ def q_dq_audit(sf_dir: str):
                 "orders_totalprice_lt_30000": ["o_totalprice"],
                 "customer_null_acctbal": ["c_acctbal"]}
 
-    parts = []
+    all_checks = list(_DQ_RULES) + ["orders_pk_dup", "lineitem_fk_orphan"]
+    # zero-row seed per check: an EMPTY table read yields zero batches
+    # (0-row blocks are dropped), which would silently omit that check
+    # from the audit instead of reporting 0/0 — the seed sums away
+    parts = [rd.from_arrow(pa.table({
+        "check": pa.array(all_checks),
+        "n_violations": pa.array([0] * len(all_checks), pa.int64()),
+        "n_scanned": pa.array([0] * len(all_checks), pa.int64())}))]
     for name, (_, table) in _DQ_RULES.items():
         parts.append(
             rd.read_parquet(_pq(sf_dir, table), columns=_DQ_COLS[name])
@@ -8686,27 +8711,31 @@ def q_dq_audit(sf_dir: str):
           .map_batches(pk_fold, batch_format="pyarrow"))
     parts.append(pk)
 
-    # FK integrity: lineitem ⟕ orders, orphan = unmatched left row
+    # FK integrity: lineitem ⟕ orders, orphan = unmatched left row. The
+    # LEFT side of a left_outer join cannot take a seed sentinel (an
+    # unmatched seed would count as an orphan), so an empty probe side
+    # needs the explicit count()==0 guard instead (12x review lesson).
     li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey"])
-    ok = (rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"])
-          .map_batches(lambda t: pa.table(
-              {"o_orderkey": t["o_orderkey"],
-               "m": pa.array(np.ones(len(t), np.int8))}),
-              batch_format="pyarrow"))
-    j = _hash_join(li, ok, on=("l_orderkey",), right_on=("o_orderkey",),
-                   how="left_outer",
-                   right_schema=pa.schema([("o_orderkey", pa.int64()),
-                                           ("m", pa.int8())]))
+    if li.count() > 0:  # empty probe side: the zero seed already reports it
+        ok = (rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"])
+              .map_batches(lambda t: pa.table(
+                  {"o_orderkey": t["o_orderkey"],
+                   "m": pa.array(np.ones(len(t), np.int8))}),
+                  batch_format="pyarrow"))
+        j = _hash_join(li, ok, on=("l_orderkey",), right_on=("o_orderkey",),
+                       how="left_outer",
+                       right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                               ("m", pa.int8())]))
 
-    def fk_fold(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "check": pa.array(["lineitem_fk_orphan"]),
-            "n_violations": pa.array(
-                [int(pc.sum(pc.cast(pc.is_null(t["m"]), pa.int64()))
-                     .as_py() or 0)], pa.int64()),
-            "n_scanned": pa.array([len(t)], pa.int64())})
+        def fk_fold(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "check": pa.array(["lineitem_fk_orphan"]),
+                "n_violations": pa.array(
+                    [int(pc.sum(pc.cast(pc.is_null(t["m"]), pa.int64()))
+                         .as_py() or 0)], pa.int64()),
+                "n_scanned": pa.array([len(t)], pa.int64())})
 
-    parts.append(j.map_batches(fk_fold, batch_format="pyarrow"))
+        parts.append(j.map_batches(fk_fold, batch_format="pyarrow"))
 
     union = parts[0]
     for p in parts[1:]:

@@ -430,3 +430,40 @@ def test_retention_cohorts_multiday(tmp_path_factory, ray_session):
     pd.testing.assert_frame_equal(
         got, want.sort_values(["cohort_day", "day_offset"],
                               ignore_index=True), check_dtype=False)
+
+
+@pytest.mark.parametrize("name,empty_table", [
+    ("bloom_semi_join", "lineitem"),
+    ("bloom_semi_join", "orders"),
+    ("dq_audit", "lineitem"),
+    ("dq_audit", "orders"),
+    ("inverted_index", "documents"),
+    ("percentile_filter", "documents"),
+    ("pagerank_step", "events"),
+])
+def test_round4_additions_empty_inputs(name, empty_table,
+                                       tmp_path_factory, ray_session):
+    """The round-4 late additions on a zero-row input table: value-exact
+    vs the oracle (dq_audit still reports every check as 0/0 rows-scanned
+    via the zero seed; the others return typed empties)."""
+    d = _sf_dir_with_empty(tmp_path_factory, empty_table)
+    got = QUERIES[name](d)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.sql(ORACLES[name]).df()
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns),
+                              kind="mergesort").reset_index(drop=True)
+
+    got, want = norm(got), norm(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    assert {c: str(got[c].dtype) for c in got.columns} \
+        == {c: str(want[c].dtype) for c in want.columns}
+    for c in got.columns:
+        assert got[c].equals(want[c]), (c, got[c], want[c])
