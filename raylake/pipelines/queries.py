@@ -8392,8 +8392,8 @@ def q_bloom_semi_join(sf_dir: str):
     shuffle. With ~20% build selectivity and ~0.1% false-positive rate the
     all-to-all exchange sees ~5× fewer probe rows; correctness never
     depends on the filter (no false negatives — property-tested in
-    tests/test_sketch.py), because survivors still pass through the exact
-    distributed join."""
+    tests/test_query_helpers.py), because survivors still pass through the
+    exact distributed join."""
     import ray
     from ray.data.aggregate import Count, Sum
 
