@@ -109,38 +109,56 @@ _BLOOM_H2_SALT = 0x9E3779B97F4A7C15
 
 
 def bloom_bits(keys, m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
-    """Fold an int64 key array into an m_bits Bloom bit array (uint64 words).
+    """Fold an int64 key array into a Bloom filter payload: uint64 word 0
+    is a header carrying k, words 1.. are the m_bits bit array.
 
-    Mergeable: np.bitwise_or of two results == the filter of the union.
-    m_bits must be a multiple of 64."""
+    The header makes the probe self-describing — `bloom_may_contain` reads
+    k from the payload, so a probe can never test MORE hash positions than
+    the build set (which would silently drop true matches and void the
+    no-false-negative guarantee — review finding). Mergeable:
+    np.bitwise_or of two payloads built with the SAME (m_bits, k) == the
+    filter of the key union (equal headers OR to themselves); payloads
+    with different parameters must never be merged. m_bits must be a
+    multiple of 64; k in 1..64."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
+    if not 1 <= k <= 64:
+        raise ValueError("k must be in 1..64")
     if isinstance(keys, (pa.Array, pa.ChunkedArray)):
         keys = keys.to_numpy(zero_copy_only=False)
     keys = np.asarray(keys, np.int64)
-    words = np.zeros(m_bits // 64, np.uint64)
+    words = np.zeros(m_bits // 64 + 1, np.uint64)
+    words[0] = np.uint64(k)
+    bits = words[1:]
     h1 = mix64(keys)
     h2 = mix64(keys ^ np.int64(np.uint64(_BLOOM_H2_SALT).astype(np.int64))) | np.uint64(1)
     for i in range(k):
         pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
-        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
                          np.uint64(1) << (pos & np.uint64(63)))
     return words
 
 
-def bloom_may_contain(words: np.ndarray, keys, k: int = 4) -> np.ndarray:
+def bloom_may_contain(words: np.ndarray, keys) -> np.ndarray:
     """Vectorized membership probe: True = maybe present, False = DEFINITELY
-    absent (the no-false-negative guarantee the prefilter relies on)."""
+    absent (the no-false-negative guarantee the prefilter relies on).
+    k comes from the payload header written by `bloom_bits`; a zero header
+    (no partials ever merged in — empty build side) passes everything,
+    which is safe because the exact join still runs downstream."""
     if isinstance(keys, (pa.Array, pa.ChunkedArray)):
         keys = keys.to_numpy(zero_copy_only=False)
     keys = np.asarray(keys, np.int64)
-    m_bits = len(words) * 64
+    k = int(words[0])
+    if k > 64:
+        raise ValueError(f"corrupt bloom payload header k={k}")
+    bits = words[1:]
+    m_bits = len(bits) * 64
     h1 = mix64(keys)
     h2 = mix64(keys ^ np.int64(np.uint64(_BLOOM_H2_SALT).astype(np.int64))) | np.uint64(1)
     mask = np.ones(len(keys), bool)
     for i in range(k):
         pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
-        bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+        bit = (bits[(pos >> np.uint64(6)).astype(np.int64)]
                >> (pos & np.uint64(63))) & np.uint64(1)
         mask &= bit.astype(bool)
     return mask

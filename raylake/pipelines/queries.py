@@ -8410,7 +8410,7 @@ def q_bloom_semi_join(sf_dir: str):
         return pa.table({"bits": pa.array([w.tobytes()], pa.binary())})
 
     # driver folds O(blocks) fixed-size partials — bounded, never key sets
-    words = np.zeros(_BLOOM_M_BITS // 64, np.uint64)
+    words = np.zeros(_BLOOM_M_BITS // 64 + 1, np.uint64)  # +1: k header
     build = build.materialize()  # branched into bits + verify join below
     for row in build.map_batches(
             partial_bits, batch_format="pyarrow").iter_rows():
@@ -8500,11 +8500,15 @@ def q_inverted_index(sf_dir: str):
     df_tbl = pa.Table.from_pandas(df_pd, preserve_index=False)
     qualifying = df_tbl.filter(
         pc.less_equal(pc.multiply(df_tbl["df"], 2), n_docs))["token"]
+    if len(qualifying) == 0:  # every token too frequent (e.g. 1-doc corpus)
+        return _empty_frame({"token": object, "doc_id": "int64"})
     tok_ref = ray.put(set(qualifying.to_pylist()))
 
     class Postings:
         def __init__(self, keys_ref):
-            self.keys = pa.array(sorted(ray.get(keys_ref)))
+            # explicit string type: pa.array([]) infers null and is_in
+            # raises on a null-typed value_set (review finding)
+            self.keys = pa.array(sorted(ray.get(keys_ref)), pa.string())
 
         def __call__(self, b: pa.Table) -> pa.Table:
             pairs = _token_doc_pairs(b)
@@ -8563,11 +8567,17 @@ def q_pagerank_step(sf_dir: str):
 
     def extract(t: pa.Table) -> pa.Table:
         ex = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        # rows lacking "k" map to the sentinel node -1 ON BOTH SIDES (the
+        # oracle coalesces identically): pandas groupby would silently
+        # DROP NaN-keyed edges while SQL keeps NULL groups, so a null
+        # here would diverge from the oracle (review finding)
+        k = pc.coalesce(pc.cast(pc.struct_field(ex, "k"), pa.int64()),
+                        pa.scalar(-1, pa.int64()))
         return pa.table({
             "user_id": t["user_id"],
             "us": pc.cast(t["ts"], pa.int64()),
             "event_id": t["event_id"],
-            "k": pc.cast(pc.struct_field(ex, "k"), pa.int64()),
+            "k": k,
         })
 
     def edges(g: pd.DataFrame) -> pd.DataFrame:
@@ -8613,7 +8623,7 @@ def q_pagerank_step(sf_dir: str):
 SQL_PAGERANK_STEP = f"""
 WITH kk AS (
   SELECT user_id, ts, event_id,
-         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+         coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k
   FROM events),
 e AS (
   SELECT k AS src,

@@ -48,21 +48,21 @@ class BloomKeyFilter:
     int64 key is DEFINITELY absent from the broadcast bit array (built via
     `functions.sketch.bloom_bits` partials). False positives pass through —
     the caller must follow with an exact join; false negatives cannot occur,
-    so no true match is ever lost. The bits fetch once per actor (128 KiB
-    default), never per batch."""
+    so no true match is ever lost — k comes from the payload header written
+    at build time, so probe-time parameters can't diverge from the build
+    set. The bits fetch once per actor (128 KiB default), never per batch."""
 
-    def __init__(self, bits_ref, key_col: str, k: int = 4):
+    def __init__(self, bits_ref, key_col: str):
         import ray
 
         self.bits = (ray.get(bits_ref)
                      if not isinstance(bits_ref, np.ndarray) else bits_ref)
         self.key_col = key_col
-        self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from raylake.functions.sketch import bloom_may_contain
 
-        mask = bloom_may_contain(self.bits, batch[self.key_col], k=self.k)
+        mask = bloom_may_contain(self.bits, batch[self.key_col])
         return batch.filter(pa.array(mask))
 
 

@@ -467,3 +467,39 @@ def test_round4_additions_empty_inputs(name, empty_table,
         == {c: str(want[c].dtype) for c in want.columns}
     for c in got.columns:
         assert got[c].equals(want[c]), (c, got[c], want[c])
+
+
+def test_pagerank_step_missing_k_matches_oracle(tmp_path_factory,
+                                                ray_session):
+    """Review finding: a props row without "k" became a NaN edge key that
+    pandas groupby silently DROPPED while the SQL oracle kept the NULL
+    group — both sides now coalesce missing k to the sentinel node -1."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_missing_k")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        if t == "events":
+            props = tbl["props"].to_pylist()
+            for i in range(0, len(props), 7):  # sprinkle missing-k rows
+                props[i] = "{}"
+            tbl = tbl.set_column(tbl.schema.get_field_index("props"),
+                                 "props", pa.array(props, pa.string()))
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+
+    got = QUERIES["pagerank_step"](str(d))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.sql(ORACLES["pagerank_step"]).df()
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns),
+                              kind="mergesort").reset_index(drop=True)
+
+    got, want = norm(got), norm(want)
+    assert len(got) == len(want) and (got["node"] == -1).any()
+    for c in got.columns:
+        assert (got[c] == want[c]).all(), c

@@ -106,3 +106,24 @@ def test_quantile_disc_index_formula():
             f"FROM (SELECT unnest(range({n})) AS x)").fetchone()
         got = ((n + 19) // 20 - 1, (19 * n + 19) // 20 - 1)
         assert want == got, (n, want, got)
+
+
+def test_bloom_header_carries_k():
+    """The payload header pins probe-time k to build-time k (review
+    finding: an independently-chosen larger probe k would silently drop
+    true matches). Zero header (empty build side, no partials merged)
+    passes everything — safe because the exact join runs downstream."""
+    from raylake.functions.sketch import bloom_bits, bloom_may_contain
+
+    keys = np.arange(100, dtype=np.int64)
+    w = bloom_bits(keys, m_bits=1 << 12, k=7)
+    assert int(w[0]) == 7
+    assert bloom_may_contain(w, keys).all()
+    empty = np.zeros_like(w)
+    assert bloom_may_contain(empty, keys).all()  # k=0 -> pass-through
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_bits(keys, k=0)
+    with _pytest.raises(ValueError):
+        bloom_may_contain(np.full(9, 99, np.uint64), keys)
