@@ -8650,6 +8650,47 @@ FROM n LEFT JOIN o ON o.src = n.node
 
 
 # ---------------------------------------------------------------------------
+# Weight-proportional deterministic sampling
+# ---------------------------------------------------------------------------
+
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional deterministic sampling — keep each document with
+    probability min(n_chars, 4095)/4096, i.e. inclusion ∝ document length,
+    so the sampled TOKEN MASS (not doc count) tracks the corpus: the
+    importance-sampling primitive for token-budget mixture building. The
+    per-ROW value-derived probability distinguishes it from `domain_mix`
+    (per-domain constant rates) and `sample_hash` (uniform). keep iff
+    mix64(doc_id) < clip(n_chars, 0, 4095)·2⁵² — pure u64 integer compare,
+    no seed state, so a re-run of a failed shard selects identical rows
+    (resumability at 100 TB). Embarrassingly parallel — no shuffle."""
+    from raylake.core.hashing import mix64
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        h = mix64(b["doc_id"].combine_chunks())
+        w = pc.coalesce(b["n_chars"], pa.scalar(0, pa.int64())).to_numpy(
+            zero_copy_only=False)
+        # clip BEFORE the uint64 cast: a negative weight would wrap to a
+        # huge threshold (keep-everything) while SQL drops it
+        thr = np.clip(w, 0, 4095).astype(np.uint64) * np.uint64(1 << 52)
+        return b.filter(pa.array(h < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH {_sql_mix64_cte("SELECT doc_id, lang, n_chars FROM documents",
+                     "doc_id", carry=("doc_id", "lang", "n_chars"))}
+SELECT doc_id, lang, n_chars FROM mx
+WHERE h < greatest(least(coalesce(n_chars, 0), 4095), 0)::HUGEINT
+          * {1 << 52}::HUGEINT
+"""
+
+
+# ---------------------------------------------------------------------------
 # Data-quality audit (dbt-test / Deequ-style constraint sweep)
 # ---------------------------------------------------------------------------
 
@@ -8837,6 +8878,7 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "dq_audit": q_dq_audit,
     "percentile_filter": q_percentile_filter,
+    "weighted_sample": q_weighted_sample,
     "inverted_index": q_inverted_index,
     "pagerank_step": q_pagerank_step,
     "pricing_summary": q_pricing_summary,
@@ -9068,6 +9110,7 @@ ORACLES = {
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "dq_audit": SQL_DQ_AUDIT,
     "percentile_filter": SQL_PERCENTILE_FILTER,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "inverted_index": SQL_INVERTED_INDEX,
     "pagerank_step": SQL_PAGERANK_STEP,
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
