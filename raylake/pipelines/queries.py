@@ -8691,6 +8691,68 @@ WHERE h < greatest(least(coalesce(n_chars, 0), 4095), 0)::HUGEINT
 
 
 # ---------------------------------------------------------------------------
+# Single-pass distributed correlation statistics (moment partials)
+# ---------------------------------------------------------------------------
+
+def q_corr_stats(sf_dir: str):
+    """Per-group correlation INPUTS for (l_quantity, l_discount) in one
+    streaming pass — the distributed-statistics pattern: each batch emits
+    the six algebraic moments (n, Σx, Σy, Σxy, Σx², Σy²) per group, the
+    groupby folds O(groups) rows, and Pearson r / covariance / variance
+    are a driver-side O(groups) division the CALLER performs (the engine
+    returns exact integers per the float rule: quantity as units,
+    discount as basis points — products bounded by 500·10⁶·rows, far from
+    int64 at any realistic group size). One pass, no shuffle of raw rows,
+    no second centering pass needed."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.add(pc.multiply(
+            t["l_quantity"], 1.0), 0.5)), pa.int64())
+        y = pc.cast(pc.floor(pc.add(pc.multiply(
+            t["l_discount"], 10000.0), 0.5)), pa.int64())
+        tt = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(len(t), np.int64)),
+            "sum_x": x, "sum_y": y,
+            "sum_xy": pc.multiply(x, y),
+            "sum_x2": pc.multiply(x, x),
+            "sum_y2": pc.multiply(y, y),
+        })
+        return pa.TableGroupBy(tt, "l_returnflag").aggregate(
+            [("n", "sum"), ("sum_x", "sum"), ("sum_y", "sum"),
+             ("sum_xy", "sum"), ("sum_x2", "sum"), ("sum_y2", "sum")])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n_sum", alias_name="n"),
+                       Sum("sum_x_sum", alias_name="sum_x"),
+                       Sum("sum_y_sum", alias_name="sum_y"),
+                       Sum("sum_xy_sum", alias_name="sum_xy"),
+                       Sum("sum_x2_sum", alias_name="sum_x2"),
+                       Sum("sum_y2_sum", alias_name="sum_y2")))
+
+
+SQL_CORR_STATS = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS y
+  FROM lineitem)
+SELECT l_returnflag, count(*) AS n,
+       sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+       sum(x * y)::BIGINT AS sum_xy,
+       sum(x * x)::BIGINT AS sum_x2, sum(y * y)::BIGINT AS sum_y2
+FROM b GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Data-quality audit (dbt-test / Deequ-style constraint sweep)
 # ---------------------------------------------------------------------------
 
@@ -8879,6 +8941,7 @@ QUERIES = {
     "dq_audit": q_dq_audit,
     "percentile_filter": q_percentile_filter,
     "weighted_sample": q_weighted_sample,
+    "corr_stats": q_corr_stats,
     "inverted_index": q_inverted_index,
     "pagerank_step": q_pagerank_step,
     "pricing_summary": q_pricing_summary,
@@ -9111,6 +9174,7 @@ ORACLES = {
     "dq_audit": SQL_DQ_AUDIT,
     "percentile_filter": SQL_PERCENTILE_FILTER,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "corr_stats": SQL_CORR_STATS,
     "inverted_index": SQL_INVERTED_INDEX,
     "pagerank_step": SQL_PAGERANK_STEP,
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
