@@ -8712,8 +8712,7 @@ def q_corr_stats(sf_dir: str):
         columns=["l_returnflag", "l_quantity", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
-        x = pc.cast(pc.floor(pc.add(pc.multiply(
-            t["l_quantity"], 1.0), 0.5)), pa.int64())
+        x = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64())
         y = pc.cast(pc.floor(pc.add(pc.multiply(
             t["l_discount"], 10000.0), 0.5)), pa.int64())
         tt = pa.table({
@@ -8741,7 +8740,7 @@ def q_corr_stats(sf_dir: str):
 SQL_CORR_STATS = """
 WITH b AS (
   SELECT l_returnflag,
-         CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
          CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS y
   FROM lineitem)
 SELECT l_returnflag, count(*) AS n,
