@@ -8678,6 +8678,9 @@ def q_weighted_sample(sf_dir: str):
         thr = np.clip(w, 0, 4095).astype(np.uint64) * np.uint64(1 << 52)
         return b.filter(pa.array(h < thr))
 
+    if ds.count() == 0:  # zero blocks reach to_pandas column-less
+        return _empty_frame({"doc_id": "int64", "lang": object,
+                             "n_chars": "int64"})
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
@@ -8688,6 +8691,142 @@ SELECT doc_id, lang, n_chars FROM mx
 WHERE h < greatest(least(coalesce(n_chars, 0), 4095), 0)::HUGEINT
           * {1 << 52}::HUGEINT
 """
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (ANALYZE TABLE / data-profiling sweep)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "user_id", "value", "event_type", "ts", "props")
+_PROFILE_STRING_SENTINEL = -1  # min/max of string cols, both sides
+
+
+def q_column_profile(sf_dir: str):
+    """Per-column profile of events — n, nulls, EXACT distinct count, and
+    integer-encoded min/max (ANALYZE TABLE / Deequ-profile parity; the
+    stats every cost-based planner and data-quality gate starts from).
+
+    Exactness without hash collisions: every column profiles over an
+    INJECTIVE integer encoding (ints as-is, value→cents, ts→epoch_us;
+    string columns keep the string itself as the distinct key and take
+    sentinel min/max), and the oracle counts DISTINCT over the identical
+    encoding. Scale shape: min/max/null partials fold per batch (one tiny
+    row per column per batch); the NDV path shuffles only per-batch
+    DISTINCT (col, key) pairs — the digest-only-dedup discipline, never
+    raw rows — then two small groupbys. Driver tail is O(#columns)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=list(_PROFILE_COLS))
+
+    def _encoded(t: pa.Table) -> dict:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        return {
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "value": cents, "ts": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"], "props": t["props"],
+        }
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        enc = _encoded(t)
+        rows = {"col": [], "n": [], "n_null": [], "mn": [], "mx": []}
+        for c in _PROFILE_COLS:
+            a = enc[c]
+            rows["col"].append(c)
+            rows["n"].append(len(a))
+            rows["n_null"].append(a.null_count)
+            if pa.types.is_integer(a.type):
+                mm = pc.min_max(a).as_py()
+                rows["mn"].append(mm["min"] if mm["min"] is not None
+                                  else np.iinfo(np.int64).max)
+                rows["mx"].append(mm["max"] if mm["max"] is not None
+                                  else np.iinfo(np.int64).min)
+            else:
+                rows["mn"].append(_PROFILE_STRING_SENTINEL)
+                rows["mx"].append(_PROFILE_STRING_SENTINEL)
+        return pa.table({"col": pa.array(rows["col"]),
+                         "n": pa.array(rows["n"], pa.int64()),
+                         "n_null": pa.array(rows["n_null"], pa.int64()),
+                         "mn": pa.array(rows["mn"], pa.int64()),
+                         "mx": pa.array(rows["mx"], pa.int64())})
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        enc = _encoded(t)
+        cols, keys = [], []
+        for c in _PROFILE_COLS:
+            a = enc[c]
+            u = pc.unique(pc.drop_null(a))
+            if pa.types.is_integer(u.type):
+                u = pc.cast(u, pa.string())  # injective on int64
+            cols.extend([c] * len(u))
+            keys.append(u)
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "key": (pa.concat_arrays([k.combine_chunks() if isinstance(
+                k, pa.ChunkedArray) else k for k in keys])
+                if keys else pa.array([], pa.string())),
+        })
+
+    stats = (ds.map_batches(stat_partial, batch_format="pyarrow")
+             .groupby("col")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("n_null", alias_name="n_null"),
+                        Min("mn", alias_name="min_enc"),
+                        Max("mx", alias_name="max_enc"))
+             .to_pandas())
+    ndv = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+           .groupby(["col", "key"]).aggregate(Count(alias_name="c"))
+           .map_batches(lambda t: pa.table(
+               {"col": t["col"],
+                "one": pa.array(np.ones(len(t), np.int64))}),
+               batch_format="pyarrow")
+           .groupby("col").aggregate(Sum("one", alias_name="n_distinct"))
+           .to_pandas())
+    if stats.empty:
+        # empty events reach here column-less (Ray 2.49) — but the oracle's
+        # UNION ALL still yields one row per column (n=0, empty-aggregate
+        # coalesce sentinels), so rebuild those six rows exactly
+        strings = {"event_type", "props"}
+        return pd.DataFrame({
+            "col": list(_PROFILE_COLS),
+            "n": np.zeros(len(_PROFILE_COLS), np.int64),
+            "n_null": np.zeros(len(_PROFILE_COLS), np.int64),
+            "n_distinct": np.zeros(len(_PROFILE_COLS), np.int64),
+            "min_enc": np.array(
+                [_PROFILE_STRING_SENTINEL if c in strings
+                 else np.iinfo(np.int64).max for c in _PROFILE_COLS],
+                np.int64),
+            "max_enc": np.array(
+                [_PROFILE_STRING_SENTINEL if c in strings
+                 else np.iinfo(np.int64).min for c in _PROFILE_COLS],
+                np.int64),
+        })
+    out = stats.merge(ndv, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    return out[["col", "n", "n_null", "n_distinct", "min_enc", "max_enc"]]
+
+
+def _sql_profile_col(col: str, enc: str, is_string: bool) -> str:
+    mn = (f"{_PROFILE_STRING_SENTINEL}" if is_string
+          else f"coalesce(min({enc}), {np.iinfo(np.int64).max})")
+    mx = (f"{_PROFILE_STRING_SENTINEL}" if is_string
+          else f"coalesce(max({enc}), {np.iinfo(np.int64).min})")
+    return (f"SELECT '{col}' AS col, count(*) AS n, "
+            f"(count(*) - count({enc}))::BIGINT AS n_null, "
+            f"count(DISTINCT {enc})::BIGINT AS n_distinct, "
+            f"{mn}::BIGINT AS min_enc, {mx}::BIGINT AS max_enc FROM events")
+
+
+SQL_COLUMN_PROFILE = " UNION ALL ".join([
+    _sql_profile_col("event_id", "event_id", False),
+    _sql_profile_col("user_id", "user_id", False),
+    _sql_profile_col("value",
+                     "CAST(floor(value * 100.0 + 0.5) AS BIGINT)", False),
+    _sql_profile_col("event_type", "event_type", True),
+    _sql_profile_col("ts", "epoch_us(ts)", False),
+    _sql_profile_col("props", "props", True),
+])
 
 
 # ---------------------------------------------------------------------------
@@ -8727,14 +8866,21 @@ def q_corr_stats(sf_dir: str):
             [("n", "sum"), ("sum_x", "sum"), ("sum_y", "sum"),
              ("sum_xy", "sum"), ("sum_x2", "sum"), ("sum_y2", "sum")])
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("l_returnflag")
-            .aggregate(Sum("n_sum", alias_name="n"),
-                       Sum("sum_x_sum", alias_name="sum_x"),
-                       Sum("sum_y_sum", alias_name="sum_y"),
-                       Sum("sum_xy_sum", alias_name="sum_xy"),
-                       Sum("sum_x2_sum", alias_name="sum_x2"),
-                       Sum("sum_y2_sum", alias_name="sum_y2")))
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n_sum", alias_name="n"),
+                      Sum("sum_x_sum", alias_name="sum_x"),
+                      Sum("sum_y_sum", alias_name="sum_y"),
+                      Sum("sum_xy_sum", alias_name="sum_xy"),
+                      Sum("sum_x2_sum", alias_name="sum_x2"),
+                      Sum("sum_y2_sum", alias_name="sum_y2"))
+           .to_pandas())  # ≤ |returnflags| rows
+    if out.empty:  # empty lineitem -> column-less frame (Ray 2.49)
+        return _empty_frame({"l_returnflag": object, "n": "int64",
+                             "sum_x": "int64", "sum_y": "int64",
+                             "sum_xy": "int64", "sum_x2": "int64",
+                             "sum_y2": "int64"})
+    return out
 
 
 SQL_CORR_STATS = """
@@ -8941,6 +9087,7 @@ QUERIES = {
     "percentile_filter": q_percentile_filter,
     "weighted_sample": q_weighted_sample,
     "corr_stats": q_corr_stats,
+    "column_profile": q_column_profile,
     "inverted_index": q_inverted_index,
     "pagerank_step": q_pagerank_step,
     "pricing_summary": q_pricing_summary,
@@ -9174,6 +9321,7 @@ ORACLES = {
     "percentile_filter": SQL_PERCENTILE_FILTER,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "corr_stats": SQL_CORR_STATS,
+    "column_profile": SQL_COLUMN_PROFILE,
     "inverted_index": SQL_INVERTED_INDEX,
     "pagerank_step": SQL_PAGERANK_STEP,
     "unpivot_measures": SQL_UNPIVOT_MEASURES,

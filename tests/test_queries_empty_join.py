@@ -440,6 +440,9 @@ def test_retention_cohorts_multiday(tmp_path_factory, ray_session):
     ("inverted_index", "documents"),
     ("percentile_filter", "documents"),
     ("pagerank_step", "events"),
+    ("column_profile", "events"),
+    ("corr_stats", "lineitem"),
+    ("weighted_sample", "documents"),
 ])
 def test_round4_additions_empty_inputs(name, empty_table,
                                        tmp_path_factory, ray_session):
