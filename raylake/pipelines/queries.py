@@ -8678,10 +8678,15 @@ def q_weighted_sample(sf_dir: str):
         thr = np.clip(w, 0, 4095).astype(np.uint64) * np.uint64(1 << 52)
         return b.filter(pa.array(h < thr))
 
-    if ds.count() == 0:  # zero blocks reach to_pandas column-less
+    out = ds.map_batches(fn, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # guard the OUTPUT, not the input: a short-doc corpus can lose
+        # every per-row coin flip (keep prob is n_chars/4096), and Ray
+        # 2.49 drops the empty blocks -> column-less frame downstream
+        # (review finding). count() on the materialized result is O(1).
         return _empty_frame({"doc_id": "int64", "lang": object,
                              "n_chars": "int64"})
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return out
 
 
 SQL_WEIGHTED_SAMPLE = f"""
@@ -8752,20 +8757,33 @@ def q_column_profile(sf_dir: str):
                          "mx": pa.array(rows["mx"], pa.int64())})
 
     def distinct_partial(t: pa.Table) -> pa.Table:
+        # two TYPED key columns instead of casting ints to strings (review
+        # finding: decimal strings inflate the NDV shuffle 2-3x for
+        # high-cardinality int columns). Sentinels instead of nulls — Ray
+        # 2.49's sort-based groupby cannot sort NULL keys. Injective per
+        # col: int cols vary key_int with key_str pinned "", string cols
+        # the reverse.
         enc = _encoded(t)
-        cols, keys = [], []
+        cols, kints, kstrs = [], [], []
         for c in _PROFILE_COLS:
-            a = enc[c]
-            u = pc.unique(pc.drop_null(a))
-            if pa.types.is_integer(u.type):
-                u = pc.cast(u, pa.string())  # injective on int64
+            u = pc.unique(pc.drop_null(enc[c]))
             cols.extend([c] * len(u))
-            keys.append(u)
+            if pa.types.is_integer(u.type):
+                kints.append(u)
+                kstrs.append(pa.array([""] * len(u), pa.string()))
+            else:
+                kints.append(pa.array(np.zeros(len(u), np.int64)))
+                kstrs.append(u)
+
+        def _cat(arrs, typ):
+            parts = [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in arrs]
+            return pa.concat_arrays(parts) if parts else pa.array([], typ)
+
         return pa.table({
             "col": pa.array(cols, pa.string()),
-            "key": (pa.concat_arrays([k.combine_chunks() if isinstance(
-                k, pa.ChunkedArray) else k for k in keys])
-                if keys else pa.array([], pa.string())),
+            "key_int": _cat(kints, pa.int64()),
+            "key_str": _cat(kstrs, pa.string()),
         })
 
     stats = (ds.map_batches(stat_partial, batch_format="pyarrow")
@@ -8776,13 +8794,12 @@ def q_column_profile(sf_dir: str):
                         Max("mx", alias_name="max_enc"))
              .to_pandas())
     ndv = (ds.map_batches(distinct_partial, batch_format="pyarrow")
-           .groupby(["col", "key"]).aggregate(Count(alias_name="c"))
-           .map_batches(lambda t: pa.table(
-               {"col": t["col"],
-                "one": pa.array(np.ones(len(t), np.int64))}),
-               batch_format="pyarrow")
-           .groupby("col").aggregate(Sum("one", alias_name="n_distinct"))
+           .groupby(["col", "key_int", "key_str"])
+           .aggregate(Count(alias_name="c"))
+           .groupby("col").aggregate(Count(alias_name="n_distinct"))
            .to_pandas())
+    if ndv.empty:  # all profiled columns entirely null (review finding)
+        ndv = _empty_frame({"col": object, "n_distinct": "int64"})
     if stats.empty:
         # empty events reach here column-less (Ray 2.49) — but the oracle's
         # UNION ALL still yields one row per column (n=0, empty-aggregate

@@ -506,3 +506,62 @@ def test_pagerank_step_missing_k_matches_oracle(tmp_path_factory,
     assert len(got) == len(want) and (got["node"] == -1).any()
     for c in got.columns:
         assert (got[c] == want[c]).all(), c
+
+
+def test_column_profile_all_null_columns(tmp_path_factory, ray_session):
+    """Review finding: rows present but every profiled column null -> the
+    NDV dataset has zero rows and its column-less frame crashed the merge,
+    while the oracle returns 6 rows (n>0, n_null=n, ndv=0, sentinels)."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_null_events")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        if t == "events":
+            n = 25
+            tbl = pa.table({
+                "event_id": pa.array([None] * n, pa.int64()),
+                "ts": pa.array([None] * n, pa.timestamp("us")),
+                "user_id": pa.array([None] * n, pa.int64()),
+                "event_type": pa.array([None] * n, pa.string()),
+                "value": pa.array([None] * n, pa.float64()),
+                "props": pa.array([None] * n, pa.string()),
+            })
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    got = QUERIES["column_profile"](str(d))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.sql(ORACLES["column_profile"]).df()
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns),
+                              kind="mergesort").reset_index(drop=True)
+
+    got, want = norm(got), norm(want)
+    assert len(got) == len(want) == 6
+    for c in got.columns:
+        assert (got[c] == want[c]).all(), (c, got[c], want[c])
+
+
+def test_weighted_sample_all_rows_filtered(tmp_path_factory, ray_session):
+    """Review finding: a corpus whose every row loses the length-weighted
+    coin flip must return the TYPED empty frame, not a column-less one."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_zero_chars")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        if t == "documents":
+            zeros = pa.array([0] * len(tbl), pa.int64())
+            tbl = tbl.set_column(tbl.schema.get_field_index("n_chars"),
+                                 "n_chars", zeros)  # keep prob 0 for all
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    got = QUERIES["weighted_sample"](str(d))
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    assert len(got) == 0
+    assert sorted(got.columns) == ["doc_id", "lang", "n_chars"]
+    assert str(got["doc_id"].dtype) == "int64"
