@@ -158,7 +158,8 @@ def run_bench() -> dict:
     for qname in ("pricing_summary", "dedup_events", "window_agg",
                   "ann_topk", "minhash_neardup", "jaccard_neardup",
                   "neardup_dedup", "text_stats", "funnel_counts",
-                  "normalize_text", "tpch_q10"):
+                  "normalize_text", "tpch_q10", "bloom_semi_join",
+                  "pagerank_step", "column_profile"):
         t = time.monotonic()
         try:
             qres = QUERIES[qname](SF_DIR)

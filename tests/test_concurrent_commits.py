@@ -65,7 +65,7 @@ def _maint_worker(args):
     import numpy as np
     import ray
 
-    from raylake.ops import compact, merge_into, zorder
+    from raylake.ops import compact, merge_into, rewrite_manifests, zorder
     from raylake.ops.maintain import run_with_retry
 
     # worker processes own their Ray connection (test scaffolding, not
@@ -87,6 +87,17 @@ def _maint_worker(args):
         elif kind == "zorder":
             snap = run_with_retry(zorder, t, retries=20,
                                   target_file_bytes=256 * 1024)
+            outcomes.append(snap.seq if snap else None)
+        elif kind == "manifests":
+            # metadata-only commits racing the data rewrites: alternate
+            # force-fragment / coalesce so the op always has work; the
+            # conflict-not-rebase path re-plans from fresh state each try
+            if i % 2 == 0:
+                snap = run_with_retry(rewrite_manifests, t, retries=20,
+                                      target_entries=4, force=True,
+                                      min_manifests=1)
+            else:
+                snap = run_with_retry(rewrite_manifests, t, retries=20)
             outcomes.append(snap.seq if snap else None)
         else:  # merge: distinct upsert batch per round (LWW keys)
             n = 40
@@ -122,11 +133,12 @@ def test_concurrent_maintenance_stress_no_lost_updates(tmp_path,
     pre = t.scan_arrow(sort=True)
     rounds = 4
     ctx = mp.get_context("spawn")
-    with ctx.Pool(3) as pool:
+    with ctx.Pool(4) as pool:
         results = pool.map(_maint_worker, [
             (root, "compact", rounds),
             (root, "zorder", rounds),
             (root, "merge", rounds),
+            (root, "manifests", rounds),
         ])
     by_kind = dict((k, o) for k, o in results)
     # every merge round committed (snapshots may be None only for
