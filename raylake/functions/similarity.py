@@ -33,6 +33,39 @@ def cosine_scores(mat: np.ndarray, query: np.ndarray) -> np.ndarray:
     return (mat @ qn) / norms
 
 
+_RHP_SIGN_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def rhp_signs(dim: int, nbits: int = 32) -> np.ndarray:
+    """Deterministic ±1 random-hyperplane matrix (nbits, dim) for cosine
+    LSH (Charikar 2002 sign-random-projection): entry (p, d) is the low
+    bit of mix64(p·dim + d) mapped to {−1, +1}. mix64 (not np.random) so
+    the DuckDB oracle reproduces every hyperplane bit-for-bit via
+    `sql_mix64_cte`. Cached per (dim, nbits) — built once per worker."""
+    key = (dim, nbits)
+    if key not in _RHP_SIGN_CACHE:
+        from raylake.core.hashing import mix64
+
+        ks = (np.arange(nbits, dtype=np.int64)[:, None] * dim
+              + np.arange(dim, dtype=np.int64)[None, :])
+        _RHP_SIGN_CACHE[key] = (
+            (mix64(ks.reshape(-1)) & np.uint64(1)).astype(np.int64)
+            .reshape(nbits, dim) * 2 - 1)
+    return _RHP_SIGN_CACHE[key]
+
+
+def rhp_signature(mat: np.ndarray, nbits: int = 32) -> np.ndarray:
+    """32-bit sign-random-projection signatures of an (n, dim) float
+    matrix, integer-exact: vectors quantize to milli-units
+    (floor(x·1000 + 0.5), the repo's oracle-exact embedding convention)
+    and bit p is 1 iff the integer dot with hyperplane p is strictly
+    positive (ties → 0). One int64 matmul per batch, no Python rows."""
+    milli = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+    dots = milli @ rhp_signs(milli.shape[1], nbits).T  # (n, nbits)
+    bits = (dots > 0).astype(np.uint64)
+    return bits @ (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+
+
 class BruteForceTopK:
     """map_batches actor: emits each batch's local top-k (vec_id, cosine).
     The query vector arrives via ray.put object ref → fetched once per actor."""

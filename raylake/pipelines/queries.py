@@ -2662,6 +2662,136 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: 32-bit RHP band layout — six uneven bands (6,6,5,5,5,5 bits).
+#: Pigeonhole: 5 differing bits touch ≤5 bands, so any Hamming ≤ 5 pair
+#: agrees exactly on at least one band — banding is EXACT for τ = 5.
+_RHP_BANDS = ((0, 6), (6, 6), (12, 5), (17, 5), (22, 5), (27, 5))
+_RHP_TAU = 5
+
+
+def q_rhp_neardup(sf_dir: str):
+    """Embedding near-dup via COSINE LSH (Charikar sign-random-projection):
+    32-bit signatures from deterministic mix64 hyperplanes → 6-band
+    explode (`_RHP_BANDS`) → bucket-pair self-join → Hamming ≤ 5 verify.
+    The pigeonhole band guarantee makes the banding EXACT — the scale
+    path for embedding dedup that `embed_neardup`'s bounded block-pair
+    join can't give once the corpus outgrows block tiling: only (band,
+    bucket, vec_id) and (pair, sig) rows shuffle, signatures are
+    4 B/vector, and angular similarity never needs the float vectors
+    after the one signature pass. (Production corpora would raise nbits
+    and τ jointly — wider bands keep bucket entropy up; the 32-bit/τ=5
+    setting matches this fixture's near-dup rate.) Hyperplane entries
+    are the low bit of mix64(p·D+d) and dots are integer milli-units, so
+    the oracle rebuilds every signature bit-for-bit (`sql_mix64_cte`)."""
+    from raylake.functions.dedup import hamming64_batch
+    from raylake.functions.similarity import embedding_matrix, rhp_signature
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def sig_batch(b: pa.Table) -> pa.Table:
+        sg = rhp_signature(embedding_matrix(b))
+        return pa.table({"doc_id": b["vec_id"],
+                         "sig": pa.array(sg.astype(np.int64))})
+
+    sigs = (ds.map_batches(sig_batch, batch_format="pyarrow",
+                           batch_size=4096)
+            .materialize())  # 12 B/vector; band + two join sides reuse it
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sg = t["sig"].to_numpy().astype(np.uint64)
+        n = len(sg)
+        nb = len(_RHP_BANDS)
+        return pa.table({
+            "band_id": pa.array(np.repeat(np.arange(nb, dtype=np.int32), n)),
+            "band_val": pa.array(np.concatenate([
+                ((sg >> np.uint64(off)) & np.uint64((1 << w) - 1))
+                .astype(np.int64) for off, w in _RHP_BANDS])),
+            "doc_id": pa.array(np.tile(t["doc_id"].to_numpy(), nb)),
+        })
+
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if sigs.count() == 0:  # zero-block side crashes the Acero self-join
+        return empty
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
+    cand = (_bucket_pairs_join(bands, ["band_id", "band_val"],
+                               carry_band=True)
+            .materialize())
+    if cand.count() == 0:
+        return empty
+
+    def side(id_name, suffix):
+        return sigs.map_batches(
+            lambda t, id_name=id_name, suffix=suffix: pa.table({
+                id_name: t["doc_id"],
+                f"sig{suffix}": t["sig"],
+            }), batch_format="pyarrow")
+
+    joined = _join_pair_sides(cand, side, rows_hint=sigs.count())
+
+    def verify(t: pa.Table) -> pa.Table:
+        sa = t["sig_a"].to_numpy().astype(np.uint64)
+        sb = t["sig_b"].to_numpy().astype(np.uint64)
+        band = t["band_id"].to_numpy()
+        hd = hamming64_batch(sa, sb)
+        x = sa ^ sb  # keep each pair from its FIRST agreeing band only
+        first_band = np.full(len(x), len(_RHP_BANDS), np.int32)
+        for b, (off, w) in reversed(list(enumerate(_RHP_BANDS))):
+            agree = ((x >> np.uint64(off)) & np.uint64((1 << w) - 1)) == 0
+            first_band[agree] = b
+        keep = (hd <= _RHP_TAU) & (first_band == band)
+        return pa.table({
+            "vec_a": t["doc_a"].filter(pa.array(keep)),
+            "vec_b": t["doc_b"].filter(pa.array(keep)),
+            "hamming": pa.array(hd[keep]),
+        })
+
+    out = (joined.map_batches(verify, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    return pa.table({
+        "vec_a": pa.array(out["vec_a"], pa.int64()),
+        "vec_b": pa.array(out["vec_b"], pa.int64()),
+        "hamming": pa.array(out["hamming"], pa.int64()),
+    })
+
+
+def _sql_rhp_neardup() -> str:
+    """Exact transcription of the cosine-LSH signature: mix64 hyperplane
+    bits via `sql_mix64_cte`, integer-milli dots, strict-positive sign
+    rule, then the all-pairs Hamming ≤ 5 set (pigeonhole over
+    `_RHP_BANDS` ≡ the banded Ray pipeline's output)."""
+    from raylake.core.hashing import sql_mix64_cte
+
+    dim = "(SELECT max(len(embedding)) FROM embeddings)"
+    keys = (f"SELECT p, d, (p * {dim} + d)::BIGINT AS k "
+            "FROM (SELECT unnest(range(0, 32)) AS p), "
+            f"(SELECT unnest(range(0, {dim})) AS d)")
+    return f"""
+WITH {sql_mix64_cte(keys, "k", carry=("p", "d"))},
+sgn AS (SELECT p, d, CASE WHEN (h & 1) = 1 THEN 1 ELSE -1 END AS s FROM mx),
+vm AS (SELECT vec_id,
+              unnest(list_transform(embedding::DOUBLE[],
+                     x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))) AS m,
+              generate_subscripts(embedding, 1) - 1 AS d
+       FROM embeddings),
+dot AS (SELECT vec_id, p, sum(m * s)::BIGINT AS dp
+        FROM vm JOIN sgn USING (d) GROUP BY vec_id, p),
+sig AS (SELECT vec_id,
+               sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END
+                   )::UBIGINT AS sg
+        FROM dot GROUP BY vec_id)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       bit_count(xor(a.sg, b.sg))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.sg, b.sg)) <= {_RHP_TAU}
+ORDER BY vec_a, vec_b
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-profile language ID vs the labeled lang column (rows-only)."""
     from raylake.functions.text import LangId
@@ -9184,6 +9314,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
+    "rhp_neardup": q_rhp_neardup,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_pq": q_ann_ivf_pq,
     "logreg_train": q_logreg_train,
@@ -9316,6 +9447,7 @@ ORACLES = {
     "dup_spans": SQL_DUP_SPANS,
     "simhash": SQL_SIMHASH,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
+    "rhp_neardup": _sql_rhp_neardup(),
     "catalog_medallion": SQL_CATALOG_MEDALLION,
     "dag_medallion": SQL_DAG_MEDALLION,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -140,3 +140,39 @@ def test_kmv_hash_vectorized_int_path():
     ids = pa.array(np.arange(20_000), pa.int64())
     est = kmv_estimate(kmv_partial(ids, k), k)
     assert abs(est - 20_000) / 20_000 < 2 / np.sqrt(k) * 2
+
+
+def test_rhp_banding_is_exact_for_tau():
+    """Pigeonhole guarantee of the 6-band RHP layout: the banded candidate
+    set contains EVERY pair within Hamming ≤ τ (brute-force check over the
+    real fixture signatures), and the signature kernel is deterministic
+    across calls / batch splits."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raylake.functions.similarity import embedding_matrix, rhp_signature
+    from raylake.pipelines.queries import _RHP_BANDS, _RHP_TAU
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mat = embedding_matrix(t)
+    sg = rhp_signature(mat)
+    # batching-invariance: two half-batches concatenate to the full result
+    half = len(mat) // 2
+    again = np.concatenate([rhp_signature(mat[:half]),
+                            rhp_signature(mat[half:])])
+    assert (sg == again).all()
+
+    x = sg[:, None] ^ sg[None, :]
+    ham = np.unpackbits(
+        x.view(np.uint8).reshape(len(sg), len(sg), 8), axis=2).sum(2)
+    ia, ib = np.triu_indices(len(sg), 1)
+    close = ham[ia, ib] <= _RHP_TAU
+    assert close.sum() > 0  # fixture has near-dups; test is non-vacuous
+    shares_band = np.zeros(len(ia), bool)
+    for off, w in _RHP_BANDS:
+        mask = np.uint64((1 << w) - 1)
+        band = (sg >> np.uint64(off)) & mask
+        shares_band |= band[ia] == band[ib]
+    assert (shares_band | ~close).all()  # no false negatives below τ
+    assert sum(w for _, w in _RHP_BANDS) == 32
