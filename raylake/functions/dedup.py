@@ -197,3 +197,29 @@ class SimHasher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch["simhash"] = simhash64_batch(batch[self.text_col].tolist())
         return batch
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Exact Levenshtein distance with the DP inner loop vectorized over
+    the second string (O(len(a)) numpy ops instead of O(len(a)·len(b))
+    Python steps). The sequential insertion recurrence cur[j] =
+    min(tmp[j], cur[j-1]+1) is solved in closed form via the
+    f[j] = cur[j] − j transform: f is a running minimum, so one
+    np.minimum.accumulate per row. Matches DuckDB's levenshtein()
+    character-for-character — the oracle contract of
+    `levenshtein_neardup`."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bs = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    js = np.arange(len(bs) + 1, dtype=np.int64)
+    prev = js.copy()
+    for i, ca in enumerate(a, 1):
+        sub = prev[:-1] + (bs != ord(ca))          # substitution/match
+        tmp = np.minimum(prev[1:] + 1, sub)        # deletion vs sub
+        vals = np.concatenate(([i], tmp)) - js     # fold sequential insert
+        prev = np.minimum.accumulate(vals) + js
+    return int(prev[-1])

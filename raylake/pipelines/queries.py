@@ -2792,6 +2792,112 @@ ORDER BY vec_a, vec_b
 """
 
 
+_LEV_TAU = 16  # edit-distance threshold; |Δlen| ≤ τ is a necessary condition
+
+
+def q_levenshtein_neardup(sf_dir: str):
+    """Blocked EDIT-DISTANCE near-dup join — the record-linkage modality
+    (Fellegi-Sunter blocking) that set-similarity misses: token-order
+    swaps and small in-place edits. Block key = the document's first two
+    tokens (vectorized Arrow split/slice/join, no Python rows);
+    candidates = same block ∧ |Δchars| ≤ τ (a necessary condition for
+    dist ≤ τ, so the filter is lossless); verify = exact Levenshtein ≤ τ
+    via the numpy row-DP kernel (`functions.dedup.levenshtein`, fuzzed
+    against DuckDB's implementation). Only (block, len, id) rows enter
+    the self-join; texts reach the verify stage solely for the blocked
+    candidate pairs via two hash joins — at corpus scale the candidate
+    count is the blocking selectivity, never all-pairs. The oracle is
+    the literal same plan in SQL: string_split blocking + length filter
+    + levenshtein ≤ τ."""
+    from raylake.functions.dedup import levenshtein
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def keyrows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        blk = pc.binary_join(pc.list_slice(toks, 0, 2), " ")
+        return pa.table({"blk": blk,
+                         "L": pc.utf8_length(t["text"]),
+                         "doc_id": t["doc_id"]})
+
+    keys = ds.map_batches(keyrows, batch_format="pyarrow").materialize()
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "edit_dist": pa.array([], pa.int64())})
+    if keys.count() == 0:  # zero-block side crashes the Acero self-join
+        return empty
+
+    def side(name):
+        return keys.map_batches(
+            lambda t, name=name: pa.table({
+                "blk": t["blk"], name: t["doc_id"],
+                f"L_{name}": t["L"]}),
+            batch_format="pyarrow")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(t["doc_a"], t["doc_b"]),
+            pc.less_equal(pc.abs(pc.subtract(t["L_doc_a"], t["L_doc_b"])),
+                          pa.scalar(_LEV_TAU, pa.int32())))
+        return t.filter(keep).select(["doc_a", "doc_b"])
+
+    cand = (_hash_join(side("doc_a"), side("doc_b"), on=("blk",))
+            .map_batches(pairs, batch_format="pyarrow")
+            .materialize())
+    if cand.count() == 0:
+        return empty
+
+    def texts(id_name, suffix):
+        return ds.map_batches(
+            lambda t, id_name=id_name, suffix=suffix: pa.table({
+                id_name: t["doc_id"], f"text{suffix}": t["text"]}),
+            batch_format="pyarrow")
+
+    joined = _join_pair_sides(cand, texts, rows_hint=keys.count())
+
+    def verify(t: pa.Table) -> pa.Table:
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        # per-pair kernel call: the pair count here is the BLOCKED
+        # candidate set (hundreds), not the corpus — each call is O(|a|)
+        # numpy ops, see functions/dedup.levenshtein
+        dist = np.fromiter((levenshtein(a, b) for a, b in zip(ta, tb)),
+                           np.int64, len(ta))
+        keep = dist <= _LEV_TAU
+        return pa.table({
+            "doc_a": t["doc_a"].filter(pa.array(keep)),
+            "doc_b": t["doc_b"].filter(pa.array(keep)),
+            "edit_dist": pa.array(dist[keep]),
+        })
+
+    out = (joined.map_batches(verify, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    return pa.table({
+        "doc_a": pa.array(out["doc_a"], pa.int64()),
+        "doc_b": pa.array(out["doc_b"], pa.int64()),
+        "edit_dist": pa.array(out["edit_dist"], pa.int64()),
+    })
+
+
+SQL_LEVENSHTEIN_NEARDUP = f"""
+WITH t AS (
+    SELECT doc_id, text, length(text) AS L,
+           array_to_string((string_split(text, ' '))[1:2], ' ') AS blk
+    FROM documents
+), cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+    FROM t a JOIN t b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+     AND abs(a.L - b.L) <= {_LEV_TAU}
+)
+SELECT doc_a, doc_b, levenshtein(ta, tb)::BIGINT AS edit_dist
+FROM cand WHERE levenshtein(ta, tb) <= {_LEV_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-profile language ID vs the labeled lang column (rows-only)."""
     from raylake.functions.text import LangId
@@ -8328,6 +8434,69 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_islands_gaps(sf_dir: str):
+    """Gaps-and-islands over the event stream: per user, the runs of
+    CONSECUTIVE active days — n_days (distinct active days), n_islands
+    (maximal consecutive runs), longest_streak (longest run, in days).
+    The engagement-streak shape SQL solves with the day − row_number()
+    trick; here it's one user-keyed shuffle: per-batch distinct
+    (user, day) partials (O(users·days) rows, never the event stream)
+    → groupby(user).map_groups where a np.unique + one diff finds the
+    island boundaries. Day arithmetic is integer epoch-days on both
+    sides (driver float rule)."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack(
+            [t["user_id"].to_numpy(zero_copy_only=False),
+             us // 86_400_000_000], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(pairs[:, 0], pa.int64()),
+                         "d": pa.array(pairs[:, 1], pa.int64())})
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["d"].to_numpy())  # global dedup within the user
+        starts = np.flatnonzero(np.diff(d) != 1) + 1  # island boundaries
+        bounds = np.concatenate([[0], starts, [len(d)]])
+        runs = np.diff(bounds)
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_days": [len(d)],
+            "n_islands": [len(runs)],
+            "longest_streak": [int(runs.max())],
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").map_groups(islands, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return _empty_frame({"user_id": "int64", "n_days": "int64",
+                             "n_islands": "int64",
+                             "longest_streak": "int64"})
+    return (out.sort_values("user_id").reset_index(drop=True)
+            .astype("int64"))
+
+
+SQL_ISLANDS_GAPS = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), r AS (
+    SELECT user_id, d,
+           d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+    FROM ud
+), i AS (
+    SELECT user_id, count(*) AS len FROM r GROUP BY user_id, grp
+)
+SELECT user_id, sum(len)::BIGINT AS n_days, count(*)::BIGINT AS n_islands,
+       max(len)::BIGINT AS longest_streak
+FROM i GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_top_ngram_frac(sf_dir: str):
     """Gopher-style top-bigram repetition signal: per document, the most
     frequent word bigram and the fraction of characters it covers
@@ -9315,6 +9484,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "rhp_neardup": q_rhp_neardup,
+    "levenshtein_neardup": q_levenshtein_neardup,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_pq": q_ann_ivf_pq,
     "logreg_train": q_logreg_train,
@@ -9370,6 +9540,7 @@ QUERIES = {
     "tpch_q19": q_tpch_q19,
     "bucket_join": q_bucket_join,
     "retention_cohorts": q_retention_cohorts,
+    "islands_gaps": q_islands_gaps,
     "top_ngram_frac": q_top_ngram_frac,
     "outlier_mad": q_outlier_mad,
 }
@@ -9448,6 +9619,7 @@ ORACLES = {
     "simhash": SQL_SIMHASH,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "rhp_neardup": _sql_rhp_neardup(),
+    "levenshtein_neardup": SQL_LEVENSHTEIN_NEARDUP,
     "catalog_medallion": SQL_CATALOG_MEDALLION,
     "dag_medallion": SQL_DAG_MEDALLION,
     "pack_sequences": SQL_PACK_SEQUENCES,
@@ -9506,6 +9678,7 @@ ORACLES = {
     "tpch_q19": SQL_TPCH_Q19,
     "bucket_join": SQL_BUCKET_JOIN,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "islands_gaps": SQL_ISLANDS_GAPS,
     "top_ngram_frac": SQL_TOP_NGRAM_FRAC,
     "outlier_mad": SQL_OUTLIER_MAD,
 }

@@ -176,3 +176,26 @@ def test_rhp_banding_is_exact_for_tau():
         shares_band |= band[ia] == band[ib]
     assert (shares_band | ~close).all()  # no false negatives below τ
     assert sum(w for _, w in _RHP_BANDS) == 32
+
+
+def test_levenshtein_kernel_matches_duckdb():
+    """The numpy row-DP kernel is character-exact vs DuckDB's levenshtein
+    (the levenshtein_neardup oracle contract), including empty strings
+    and the |Δlen| lower bound used by the blocking filter."""
+    import duckdb
+    import random
+
+    from raylake.functions.dedup import levenshtein
+
+    rng = random.Random(11)
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same", "same")]
+    for _ in range(200):
+        a = "".join(rng.choices("ab cd", k=rng.randint(0, 40)))
+        b = "".join(rng.choices("ab cd", k=rng.randint(0, 40)))
+        cases.append((a, b))
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        got = levenshtein(a, b)
+        assert got == want, (a, b, got, want)
+        assert got >= abs(len(a) - len(b))  # blocking filter is lossless

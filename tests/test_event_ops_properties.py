@@ -76,3 +76,11 @@ def test_retention_cohorts_matches_oracle(rows, tmp_path_factory,
 def test_outlier_mad_matches_oracle(rows, tmp_path_factory, ray_session):
     d = _write_events(tmp_path_factory.mktemp("ev_prop"), rows)
     _assert_match(QUERIES["outlier_mad"](d), _oracle(d, "outlier_mad"))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(_row, min_size=1, max_size=60))
+def test_islands_gaps_matches_oracle(rows, tmp_path_factory, ray_session):
+    d = _write_events(tmp_path_factory.mktemp("ev_prop"), rows)
+    _assert_match(QUERIES["islands_gaps"](d), _oracle(d, "islands_gaps"))
