@@ -10,3 +10,4 @@ from raylake.ops.delete_where import delete_where  # noqa: F401
 from raylake.ops.clone import clone_table  # noqa: F401
 from raylake.ops.maintain import run_with_retry  # noqa: F401
 from raylake.ops.manifests import rewrite_manifests  # noqa: F401
+from raylake.ops.add_files import add_files  # noqa: F401

@@ -67,6 +67,11 @@ def clone_table(src_root: str, dst_root: str,
         linked = copied = 0
         for rel in sorted(data_files):
             lk.touch()
+            if os.path.isabs(rel):
+                # external file adopted via ops.add_files: both tables
+                # reference the same absolute path; GC never deletes it
+                # (expire sweeps only <root>/data), so sharing is safe
+                continue
             dst = os.path.join(dst_root, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             try:

@@ -4065,6 +4065,76 @@ FROM r WHERE conv_id LIKE '%7'
 """
 
 
+#: deterministic managed rows appended next to the adopted external file —
+#: the single source of truth for both the Ray pipeline and the SQL oracle
+_ADD_FILES_EXTRA = [(1_000_000_000 + i, f"external adoption row {i}",
+                     "xx", "adopted") for i in range(3)]
+
+
+def q_add_files_scan(sf_dir: str):
+    """Zero-copy external-file adoption (ops/add_files.py — Iceberg
+    `add_files` / Delta CONVERT parity): the testdata documents parquet is
+    registered INTO a fresh unpartitioned table by absolute reference (no
+    bytes copied, footer row counts, stats read column-pruned), three
+    managed rows are appended beside it, and the mixed managed+external
+    scan aggregates per (lang, source). The oracle is documents UNION the
+    same literal rows — proving the adopted file scans exactly as if it
+    had been written by the table."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from raylake.core.table import Table
+    from raylake.ops.add_files import add_files
+    from raylake.ops.append import append
+
+    src = _pq(sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="raylake_addfiles_")
+    try:
+        tbl = Table.create(
+            os.path.join(root, "t"), pq.read_schema(src),
+            partition_column=None, sort_order=("doc_id",),
+            stats_columns=("doc_id", "lang", "source"))
+        snap = add_files(tbl, [src])
+        assert snap.summary["added_external_files"] == 1
+        extra = pa.table({
+            "doc_id": pa.array([r[0] for r in _ADD_FILES_EXTRA], pa.int64()),
+            "text": pa.array([r[1] for r in _ADD_FILES_EXTRA], pa.string()),
+            "lang": pa.array([r[2] for r in _ADD_FILES_EXTRA], pa.string()),
+            "source": pa.array([r[3] for r in _ADD_FILES_EXTRA],
+                               pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in _ADD_FILES_EXTRA],
+                                pa.int64()),
+        })
+        append(tbl, extra)
+        tbl.refresh()
+        out = (tbl.scan(columns=["lang", "source", "n_chars"])
+               .groupby(["lang", "source"])
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="sum_chars"))
+               .to_pandas())
+        return (out.sort_values(["lang", "source"]).reset_index(drop=True)
+                .astype({"n_docs": "int64", "sum_chars": "int64"}))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _sql_add_files_scan() -> str:
+    vals = ", ".join(f"('{lg}', '{srcname}', {len(tx)})"
+                     for _, tx, lg, srcname in _ADD_FILES_EXTRA)
+    return f"""
+WITH all_docs AS (
+    SELECT lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {vals}) t(lang, source, n_chars)
+)
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM all_docs GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 def _two_commit_table(sf_dir: str, second_on_branch: bool = False):
     """Shared fixture for incremental/time-travel/WAP oracles: the
     events-derived transcript table loaded as two commits split at the
@@ -9541,6 +9611,7 @@ QUERIES = {
     "bucket_join": q_bucket_join,
     "retention_cohorts": q_retention_cohorts,
     "islands_gaps": q_islands_gaps,
+    "add_files_scan": q_add_files_scan,
     "top_ngram_frac": q_top_ngram_frac,
     "outlier_mad": q_outlier_mad,
 }
@@ -9679,6 +9750,7 @@ ORACLES = {
     "bucket_join": SQL_BUCKET_JOIN,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "islands_gaps": SQL_ISLANDS_GAPS,
+    "add_files_scan": _sql_add_files_scan(),
     "top_ngram_frac": SQL_TOP_NGRAM_FRAC,
     "outlier_mad": SQL_OUTLIER_MAD,
 }
