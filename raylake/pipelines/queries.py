@@ -8567,6 +8567,147 @@ FROM i GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_daily_new_users(sf_dir: str):
+    """Daily active / new / cumulative user counts — the growth-accounting
+    shape (and a data-ingest freshness ledger per landing day). Per-batch
+    distinct (user, day) partials → one user-keyed map_groups marks each
+    user-day with is-first-ever-day → a day-keyed aggregate counts actives
+    and firsts; the cumulative sum folds driver-side over the bounded
+    day table (days, not events). Integer epoch-days both sides."""
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack(
+            [t["user_id"].to_numpy(zero_copy_only=False),
+             us // 86_400_000_000], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(pairs[:, 0], pa.int64()),
+                         "d": pa.array(pairs[:, 1], pa.int64())})
+
+    def mark_first(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["d"].to_numpy())
+        return pd.DataFrame({"day": d,
+                             "is_new": (d == d[0]).astype(np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").map_groups(mark_first, batch_format="pandas")
+           .groupby("day")
+           .aggregate(Count(alias_name="n_active"),
+                      Sum("is_new", alias_name="n_new"))
+           .to_pandas())
+    if out.empty:
+        return _empty_frame({"day": "int64", "n_active": "int64",
+                             "n_new": "int64", "cum_users": "int64"})
+    out = out.sort_values("day").reset_index(drop=True).astype("int64")
+    out["cum_users"] = out["n_new"].cumsum()
+    return out
+
+
+SQL_DAILY_NEW_USERS = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), f AS (
+    SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id
+), per AS (
+    SELECT ud.d, count(*) AS n_active,
+           sum(CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END) AS n_new
+    FROM ud JOIN f USING (user_id) GROUP BY ud.d
+)
+SELECT d AS day, n_active::BIGINT AS n_active, n_new::BIGINT AS n_new,
+       (sum(n_new) OVER (ORDER BY d))::BIGINT AS cum_users
+FROM per ORDER BY day
+"""
+
+
+def q_interval_coalesce(sf_dir: str):
+    """Per-user merge of overlapping time intervals — the availability /
+    coverage shape (union of session spans; dual of gaps-and-islands for
+    continuous time). Each event opens an interval [ts, ts + value·100 s)
+    in integer microseconds (cents rule keeps the end exact); overlapping
+    or touching spans coalesce per user and the output is (n_merged,
+    covered_us, max_span_us). The shuffle moves only (user, start, end)
+    triples; the sweep is one sorted pass per user group — the same
+    running-max trick the SQL oracle runs as a window."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        s = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "s": pa.array(s),
+            "e": pa.array(s + np.maximum(cents, 0) * 1_000_000),
+        })
+
+    def coalesce_user(g: pd.DataFrame) -> pd.DataFrame:
+        se = g[["s", "e"]].to_numpy()
+        se = se[np.lexsort((se[:, 1], se[:, 0]))]
+        s, e = se[:, 0], se[:, 1]
+        # running max of prior ends; a strict gap (s > pmax) opens a group
+        pmax = np.concatenate([[np.iinfo(np.int64).min],
+                               np.maximum.accumulate(e)[:-1]])
+        starts = np.flatnonzero(s > pmax)
+        ms = s[starts]
+        bounds = np.concatenate([starts[1:], [len(s)]])
+        me = np.array([e[a:b].max() for a, b in zip(starts, bounds)])
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_merged": [len(ms)],
+            "covered_us": [int((me - ms).sum())],
+            "max_span_us": [int((me - ms).max())],
+        })
+
+    out = (ds.map_batches(spans, batch_format="pyarrow")
+           .groupby("user_id").map_groups(coalesce_user,
+                                          batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return _empty_frame({"user_id": "int64", "n_merged": "int64",
+                             "covered_us": "int64", "max_span_us": "int64"})
+    return (out.sort_values("user_id").reset_index(drop=True)
+            .astype("int64"))
+
+
+SQL_INTERVAL_COALESCE = """
+WITH iv AS (
+    SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + greatest(
+               CAST(floor(value * 100 + 0.5) AS BIGINT), 0) * 1000000 AS e
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+), m AS (
+    SELECT user_id, s, e,
+           max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pmax
+    FROM iv
+), g AS (
+    SELECT user_id, s, e,
+           sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e) AS grp
+    FROM m
+), mg AS (
+    SELECT user_id, min(s) AS ms, max(e) AS me
+    FROM g GROUP BY user_id, grp
+)
+SELECT user_id, count(*)::BIGINT AS n_merged,
+       sum(me - ms)::BIGINT AS covered_us,
+       max(me - ms)::BIGINT AS max_span_us
+FROM mg GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_top_ngram_frac(sf_dir: str):
     """Gopher-style top-bigram repetition signal: per document, the most
     frequent word bigram and the fraction of characters it covers
@@ -9021,6 +9162,94 @@ FROM n LEFT JOIN o ON o.src = n.node
 # ---------------------------------------------------------------------------
 # Weight-proportional deterministic sampling
 # ---------------------------------------------------------------------------
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count over the page-transition graph (same nodes /
+    edges as `pagerank_step`: `k` page ids in events.props, edges between
+    consecutive events of a user) — the clustering-coefficient primitive
+    of graph analytics. Undirected simple graph: distinct unordered pairs,
+    self-loops dropped. The distributed part is edge DERIVATION (vectorized
+    extract → per-user map_groups partials → one (src,dst) groupby whose
+    volume is bounded by the node-domain square, never events); the count
+    itself runs on the aggregated edge table via the a<b<c wedge-closure
+    join (each triangle counted once), same as the SQL three-way join."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.coalesce(pc.cast(pc.struct_field(ex, "k"), pa.int64()),
+                        pa.scalar(-1, pa.int64()))
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "k": k,
+        })
+
+    def upairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["us", "event_id"], kind="mergesort")
+        k = g["k"].to_numpy()
+        if len(k) < 2:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        a = np.minimum(k[:-1], k[1:])
+        b = np.maximum(k[:-1], k[1:])
+        keep = a != b  # drop self-loops
+        pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+        return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+    e = (ds.map_batches(extract, batch_format="pyarrow")
+         .groupby("user_id").map_groups(upairs, batch_format="pandas")
+         .groupby(["a", "b"]).aggregate(Count(alias_name="c"))
+         .to_pandas())  # bounded by node-domain², independent of events
+    if e.empty:
+        return pa.table({"n_nodes": pa.array([0], pa.int64()),
+                         "n_edges": pa.array([0], pa.int64()),
+                         "n_triangles": pa.array([0], pa.int64())})
+    a = e["a"].to_numpy().astype(np.int64)
+    b = e["b"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))  # sorted-unique → index map
+    n = len(nodes)
+    adj = np.zeros((n, n), bool)
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    adj[ai, bi] = True
+    adj[bi, ai] = True
+    # trace(A³)/6 over the boolean adjacency = exact triangle count
+    tri = int((adj.astype(np.int64) @ adj.astype(np.int64) * adj).sum()) // 6
+    return pa.table({"n_nodes": pa.array([n], pa.int64()),
+                     "n_edges": pa.array([len(e)], pa.int64()),
+                     "n_triangles": pa.array([tri], pa.int64())})
+
+
+SQL_TRIANGLE_COUNT = """
+WITH kk AS (
+  SELECT user_id, ts, event_id,
+         coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k
+  FROM events),
+e0 AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM kk),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE dst IS NOT NULL AND src != dst),
+nodes AS (
+  SELECT count(DISTINCT v) AS n FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+    ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT n FROM nodes)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT t FROM tri)::BIGINT AS n_triangles
+"""
+
 
 def q_weighted_sample(sf_dir: str):
     """Weight-proportional deterministic sampling — keep each document with
@@ -9612,6 +9841,9 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "islands_gaps": q_islands_gaps,
     "add_files_scan": q_add_files_scan,
+    "daily_new_users": q_daily_new_users,
+    "interval_coalesce": q_interval_coalesce,
+    "triangle_count": q_triangle_count,
     "top_ngram_frac": q_top_ngram_frac,
     "outlier_mad": q_outlier_mad,
 }
@@ -9751,6 +9983,9 @@ ORACLES = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "islands_gaps": SQL_ISLANDS_GAPS,
     "add_files_scan": _sql_add_files_scan(),
+    "daily_new_users": SQL_DAILY_NEW_USERS,
+    "interval_coalesce": SQL_INTERVAL_COALESCE,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "top_ngram_frac": SQL_TOP_NGRAM_FRAC,
     "outlier_mad": SQL_OUTLIER_MAD,
 }

@@ -84,3 +84,53 @@ def test_outlier_mad_matches_oracle(rows, tmp_path_factory, ray_session):
 def test_islands_gaps_matches_oracle(rows, tmp_path_factory, ray_session):
     d = _write_events(tmp_path_factory.mktemp("ev_prop"), rows)
     _assert_match(QUERIES["islands_gaps"](d), _oracle(d, "islands_gaps"))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(_row, min_size=1, max_size=60))
+def test_daily_new_users_matches_oracle(rows, tmp_path_factory,
+                                        ray_session):
+    d = _write_events(tmp_path_factory.mktemp("ev_prop"), rows)
+    _assert_match(QUERIES["daily_new_users"](d),
+                  _oracle(d, "daily_new_users"))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(_row, min_size=1, max_size=60))
+def test_interval_coalesce_matches_oracle(rows, tmp_path_factory,
+                                          ray_session):
+    d = _write_events(tmp_path_factory.mktemp("ev_prop"), rows)
+    _assert_match(QUERIES["interval_coalesce"](d),
+                  _oracle(d, "interval_coalesce"))
+
+
+# triangle_count consumes props.k — a dedicated strategy with page ids
+# (including rows lacking "k", which map to the -1 sentinel on both sides)
+_graph_row = st.tuples(
+    st.integers(0, 4),            # user
+    st.integers(0, 86_399),       # sec
+    st.integers(-1, 5),           # page id; -1 = no "k" in props
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(_graph_row, min_size=1, max_size=60))
+def test_triangle_count_matches_oracle(rows, tmp_path_factory,
+                                       ray_session):
+    tmpdir = tmp_path_factory.mktemp("ev_prop")
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([_BASE_US + s * 1_000_000 for _, s, _ in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, *_ in rows], pa.int64()),
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}" if k < 0 else '{"k": %d}' % k
+                           for *_, k in rows], pa.string()),
+    })
+    pq.write_table(t, f"{tmpdir}/events.parquet")
+    _assert_match(QUERIES["triangle_count"](str(tmpdir)),
+                  _oracle(str(tmpdir), "triangle_count"))
