@@ -159,7 +159,8 @@ def run_bench() -> dict:
                   "ann_topk", "minhash_neardup", "jaccard_neardup",
                   "neardup_dedup", "text_stats", "funnel_counts",
                   "normalize_text", "tpch_q10", "bloom_semi_join",
-                  "pagerank_step", "column_profile"):
+                  "pagerank_step", "column_profile", "rhp_neardup",
+                  "levenshtein_neardup", "triangle_count"):
         t = time.monotonic()
         try:
             qres = QUERIES[qname](SF_DIR)

@@ -521,7 +521,10 @@ class Table:
                 parts.append(stamp(
                     pa.concat_tables(tabs).select(
                         names + ["_change_type"]), seq))
-            elif snap.operation == "append":
+            elif snap.operation in ("append", "add_files"):
+                # add_files is logically an insert: the adopted entries are
+                # stamped seq_added == seq like any append, and scan_arrow
+                # reads their absolute paths untouched
                 ents = [fe for m in snap.manifests
                         for fe in md.read_manifest(self.root, m)
                         if fe.seq_added == seq]

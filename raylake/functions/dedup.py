@@ -200,25 +200,28 @@ class SimHasher:
 
 
 def levenshtein(a: str, b: str) -> int:
-    """Exact Levenshtein distance with the DP inner loop vectorized over
-    the second string (O(len(a)) numpy ops instead of O(len(a)·len(b))
-    Python steps). The sequential insertion recurrence cur[j] =
-    min(tmp[j], cur[j-1]+1) is solved in closed form via the
-    f[j] = cur[j] − j transform: f is a running minimum, so one
-    np.minimum.accumulate per row. Matches DuckDB's levenshtein()
-    character-for-character — the oracle contract of
-    `levenshtein_neardup`."""
+    """Exact Levenshtein distance over UTF-8 BYTES — DuckDB's
+    levenshtein() operates on bytes, not codepoints (verified:
+    levenshtein('é','a') = 2), and matching it byte-for-byte is the
+    oracle contract of `levenshtein_neardup`; on ASCII corpora bytes and
+    characters coincide. The DP inner loop is vectorized over the second
+    string (O(len(a)) numpy ops instead of O(len(a)·len(b)) Python
+    steps): the sequential insertion recurrence cur[j] = min(tmp[j],
+    cur[j-1]+1) is solved in closed form via the f[j] = cur[j] − j
+    transform — f is a running minimum, so one np.minimum.accumulate
+    per row."""
     if a == b:
         return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    bs = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    if not ab:
+        return len(bb)
+    if not bb:
+        return len(ab)
+    bs = np.frombuffer(bb, dtype=np.uint8)
     js = np.arange(len(bs) + 1, dtype=np.int64)
     prev = js.copy()
-    for i, ca in enumerate(a, 1):
-        sub = prev[:-1] + (bs != ord(ca))          # substitution/match
+    for i, ca in enumerate(ab, 1):                 # ca: int byte value
+        sub = prev[:-1] + (bs != ca)               # substitution/match
         tmp = np.minimum(prev[1:] + 1, sub)        # deletion vs sub
         vals = np.concatenate(([i], tmp)) - js     # fold sequential insert
         prev = np.minimum.accumulate(vals) + js

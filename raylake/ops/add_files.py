@@ -47,12 +47,15 @@ def _entry_for_file(path: str, table_root: str) -> ManifestEntry:
     t = Table.load(table_root)
     f = pq.ParquetFile(path)
     file_schema = f.schema_arrow
-    want = {fl.name: fl.type for fl in t.schema}
-    got = {fl.name: fl.type for fl in file_schema}
-    if got != want:
+    # ORDERED schema equality (metadata-insensitive): scan_arrow concatenates
+    # raw file tables, and pa.concat_tables rejects reordered fields — a
+    # {name: type} dict compare would adopt a reordered file and leave the
+    # table unreadable (review finding)
+    if file_schema.remove_metadata() != t.schema.remove_metadata():
         raise ValueError(
-            f"add_files: schema mismatch for {path}: file has {got}, "
-            f"table requires {want}")
+            f"add_files: schema mismatch for {path}: file has "
+            f"{file_schema.remove_metadata()}, table requires "
+            f"{t.schema.remove_metadata()} (field order matters)")
     bloom_cols = t.meta.get("properties", {}).get("write.bloom_columns", [])
     read_cols = [c for c in dict.fromkeys([*t.stats_columns, *bloom_cols])
                  if c in file_schema.names]
@@ -96,10 +99,11 @@ def add_files(table: Table, paths: list[str], summary: dict | None = None):
     paths = [os.path.abspath(p) for p in paths]
     if len(set(paths)) != len(paths):
         raise ValueError("add_files: duplicate paths in request")
+    root_abs = os.path.abspath(table.root)  # table.root may be relative
     for p in paths:
         if not os.path.isfile(p):
             raise FileNotFoundError(p)
-        if p.startswith(table.root + os.sep):
+        if p.startswith(root_abs + os.sep):
             raise ValueError(
                 f"add_files: {p} is inside the table root — already-managed "
                 "files cannot be re-adopted")
@@ -120,6 +124,7 @@ def add_files(table: Table, paths: list[str], summary: dict | None = None):
     entries = [ManifestEntry.from_json(json.loads(r["entry_json"]))
                for r in entry_rows]
     s = dict(summary or {})
+    # commit() already stamps added_files/added_rows; only the external
+    # marker is new information
     s.setdefault("added_external_files", len(entries))
-    s.setdefault("added_rows", sum(e.rows for e in entries))
     return table.commit("add_files", entries, summary=s)

@@ -2749,9 +2749,10 @@ def q_rhp_neardup(sf_dir: str):
             "hamming": pa.array(hd[keep]),
         })
 
-    out = (joined.map_batches(verify, batch_format="pyarrow")
-           .to_pandas()
-           .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:  # all-0-row verify blocks → column-less frame (Ray 2.49)
+        return empty
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.table({
         "vec_a": pa.array(out["vec_a"], pa.int64()),
         "vec_b": pa.array(out["vec_b"], pa.int64()),
@@ -2800,10 +2801,12 @@ def q_levenshtein_neardup(sf_dir: str):
     (Fellegi-Sunter blocking) that set-similarity misses: token-order
     swaps and small in-place edits. Block key = the document's first two
     tokens (vectorized Arrow split/slice/join, no Python rows);
-    candidates = same block ∧ |Δchars| ≤ τ (a necessary condition for
-    dist ≤ τ, so the filter is lossless); verify = exact Levenshtein ≤ τ
-    via the numpy row-DP kernel (`functions.dedup.levenshtein`, fuzzed
-    against DuckDB's implementation). Only (block, len, id) rows enter
+    candidates = same block ∧ |Δchars| ≤ τ (on ASCII corpora a necessary
+    condition for dist ≤ τ, i.e. lossless; for multi-byte text it is
+    simply part of the blocking definition, applied IDENTICALLY in the
+    oracle); verify = exact byte-level Levenshtein ≤ τ via the numpy
+    row-DP kernel (`functions.dedup.levenshtein`, fuzzed against
+    DuckDB's byte-semantics implementation). Only (block, len, id) rows enter
     the self-join; texts reach the verify stage solely for the blocked
     candidate pairs via two hash joins — at corpus scale the candidate
     count is the blocking selectivity, never all-pairs. The oracle is
@@ -2871,9 +2874,10 @@ def q_levenshtein_neardup(sf_dir: str):
             "edit_dist": pa.array(dist[keep]),
         })
 
-    out = (joined.map_batches(verify, batch_format="pyarrow")
-           .to_pandas()
-           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:  # all-0-row verify blocks → column-less frame (Ray 2.49)
+        return empty
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.table({
         "doc_a": pa.array(out["doc_a"], pa.int64()),
         "doc_b": pa.array(out["doc_b"], pa.int64()),
@@ -8449,6 +8453,20 @@ SELECT (SELECT count(*) FROM s) AS n_signup,
 """
 
 
+def _distinct_user_days(t: pa.Table) -> pa.Table:
+    """Per-batch distinct (user_id, epoch-day) partial — the shared
+    pre-shuffle reducer of retention_cohorts / islands_gaps /
+    daily_new_users: the user-keyed groupby moves O(users·days) rows,
+    never the event stream. Integer epoch-days (driver float rule)."""
+    t = t.drop_null()
+    us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    pairs = np.unique(np.stack(
+        [t["user_id"].to_numpy(zero_copy_only=False),
+         us // 86_400_000_000], axis=1), axis=0)
+    return pa.table({"user_id": pa.array(pairs[:, 0], pa.int64()),
+                     "d": pa.array(pairs[:, 1], pa.int64())})
+
+
 def q_retention_cohorts(sf_dir: str):
     """Cohort retention over the event stream — users grouped by their
     first-seen day, distinct-user counts per (cohort, day-offset) cell:
@@ -8464,20 +8482,11 @@ def q_retention_cohorts(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.drop_null()
-        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        pairs = np.unique(np.stack(
-            [t["user_id"].to_numpy(zero_copy_only=False),
-             us // 86_400_000_000], axis=1), axis=0)
-        return pa.table({"user_id": pa.array(pairs[:, 0], pa.int64()),
-                         "d": pa.array(pairs[:, 1], pa.int64())})
-
     def offsets(g: pd.DataFrame) -> pd.DataFrame:
         d = np.unique(g["d"].to_numpy())  # global dedup within the user
         return pd.DataFrame({"cohort_day": d[0], "day_offset": d - d[0]})
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
+    out = (ds.map_batches(_distinct_user_days, batch_format="pyarrow")
            .groupby("user_id").map_groups(offsets, batch_format="pandas")
            .groupby(["cohort_day", "day_offset"])
            .aggregate(Count(alias_name="n_users"))
@@ -8517,15 +8526,6 @@ def q_islands_gaps(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.drop_null()
-        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        pairs = np.unique(np.stack(
-            [t["user_id"].to_numpy(zero_copy_only=False),
-             us // 86_400_000_000], axis=1), axis=0)
-        return pa.table({"user_id": pa.array(pairs[:, 0], pa.int64()),
-                         "d": pa.array(pairs[:, 1], pa.int64())})
-
     def islands(g: pd.DataFrame) -> pd.DataFrame:
         d = np.unique(g["d"].to_numpy())  # global dedup within the user
         starts = np.flatnonzero(np.diff(d) != 1) + 1  # island boundaries
@@ -8538,7 +8538,7 @@ def q_islands_gaps(sf_dir: str):
             "longest_streak": [int(runs.max())],
         })
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
+    out = (ds.map_batches(_distinct_user_days, batch_format="pyarrow")
            .groupby("user_id").map_groups(islands, batch_format="pandas")
            .to_pandas())
     if out.empty:
@@ -8579,21 +8579,12 @@ def q_daily_new_users(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.drop_null()
-        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        pairs = np.unique(np.stack(
-            [t["user_id"].to_numpy(zero_copy_only=False),
-             us // 86_400_000_000], axis=1), axis=0)
-        return pa.table({"user_id": pa.array(pairs[:, 0], pa.int64()),
-                         "d": pa.array(pairs[:, 1], pa.int64())})
-
     def mark_first(g: pd.DataFrame) -> pd.DataFrame:
         d = np.unique(g["d"].to_numpy())
         return pd.DataFrame({"day": d,
                              "is_new": (d == d[0]).astype(np.int64)})
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
+    out = (ds.map_batches(_distinct_user_days, batch_format="pyarrow")
            .groupby("user_id").map_groups(mark_first, batch_format="pandas")
            .groupby("day")
            .aggregate(Count(alias_name="n_active"),

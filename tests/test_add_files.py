@@ -100,8 +100,9 @@ def test_expire_never_deletes_external(table, tmp_path, ray_session):
     assert table.scan_arrow(sort=True).equals(pre)
     assert not any(os.path.isabs(e.path) for e in table.live_entries())
     rep = expire_snapshots(table, keep_last=1, grace_period_s=0.0)
-    assert p not in rep["deleted_data"] if "deleted_data" in rep else True
-    assert all(not os.path.isabs(d) for d in rep.get("deleted", []))
+    assert rep["deleted_files"], "expire should sweep the pre-compact files"
+    assert all(not os.path.isabs(d) for d in rep["deleted_files"])
+    assert p not in rep["deleted_files"]
     assert os.path.isfile(p)  # the external file is untouched
     assert table.scan_arrow(sort=True).equals(pre)
 
@@ -114,3 +115,43 @@ def test_clone_shares_external_files(table, tmp_path, ray_session):
     # the external file was not copied into the clone — shared by reference
     assert not os.path.exists(os.path.join(str(tmp_path / "cl"),
                                            p.lstrip(os.sep)))
+
+
+def test_add_files_rejects_reordered_schema(table, tmp_path, ray_session):
+    """Same column set, different field ORDER must be rejected: concat of
+    raw file tables is order-sensitive, so adopting a reordered file
+    would leave the table unreadable (review finding)."""
+    bad = str(tmp_path / "reordered.parquet")
+    t = _tbl(range(500, 510))
+    pq.write_table(t.select(["v", "id", "k"]), bad)
+    with pytest.raises(Exception, match="schema mismatch"):
+        add_files(table, [bad])
+    table.refresh()
+    assert table.scan_arrow(sort=True).num_rows == 100  # nothing adopted
+
+
+def test_add_files_feeds_change_feed(table, tmp_path, ray_session):
+    """Table.changes() across an add_files commit emits the adopted rows
+    as inserts (add_files is logically an append — review finding: it
+    previously raised 'records no change log' and broke every
+    incremental consumer spanning the commit)."""
+    p = _ext(tmp_path, "ext.parquet", range(600, 620))
+    before = table.current_seq
+    snap = add_files(table, [p])
+    ch = table.changes(before, snap.seq)
+    assert ch.num_rows == 20
+    assert set(ch["_change_type"].to_pylist()) == {"insert"}
+    assert sorted(ch["id"].to_pylist()) == list(range(600, 620))
+
+
+def test_add_files_relative_root_guard(tmp_path, ray_session, monkeypatch):
+    """A table loaded via a RELATIVE root still rejects re-adopting its
+    own managed files (the inside-root check absolutizes both sides)."""
+    monkeypatch.chdir(tmp_path)
+    t = Table.create("rel_t", SCHEMA, partition_column=None,
+                     sort_order=("id",))
+    t.commit("append", [t.write_file(_tbl(range(10)), -1)])
+    managed_abs = os.path.abspath(os.path.join(
+        "rel_t", next(e.path for e in t.live_entries())))
+    with pytest.raises(ValueError, match="inside the table root"):
+        add_files(t, [managed_abs])

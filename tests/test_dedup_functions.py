@@ -179,23 +179,25 @@ def test_rhp_banding_is_exact_for_tau():
 
 
 def test_levenshtein_kernel_matches_duckdb():
-    """The numpy row-DP kernel is character-exact vs DuckDB's levenshtein
-    (the levenshtein_neardup oracle contract), including empty strings
-    and the |Δlen| lower bound used by the blocking filter."""
+    """The numpy row-DP kernel is BYTE-exact vs DuckDB's levenshtein
+    (the levenshtein_neardup oracle contract) — DuckDB counts UTF-8
+    bytes, so non-ASCII cases are fuzzed too — including empty strings
+    and the |Δbytes| lower bound."""
     import duckdb
     import random
 
     from raylake.functions.dedup import levenshtein
 
     rng = random.Random(11)
-    cases = [("", ""), ("", "abc"), ("abc", ""), ("same", "same")]
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+             ("é", "a"), ("héllo wörld", "hello world"), ("日本", "日木")]
     for _ in range(200):
-        a = "".join(rng.choices("ab cd", k=rng.randint(0, 40)))
-        b = "".join(rng.choices("ab cd", k=rng.randint(0, 40)))
+        a = "".join(rng.choices("ab cdé日", k=rng.randint(0, 40)))
+        b = "".join(rng.choices("ab cdé日", k=rng.randint(0, 40)))
         cases.append((a, b))
     con = duckdb.connect()
     for a, b in cases:
         want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         got = levenshtein(a, b)
         assert got == want, (a, b, got, want)
-        assert got >= abs(len(a) - len(b))  # blocking filter is lossless
+        assert got >= abs(len(a.encode()) - len(b.encode()))
