@@ -1588,18 +1588,23 @@ FROM u GROUP BY cid, dim
 EMBED_BLOCK_ROWS = 1024  # hard per-block cap: a task touches ≤ 2 blocks
 
 
-def q_embed_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs within label buckets — EXACT pairs
-    via a distributed block-pair join (VERDICT r01 #5): rows of a label are
+def _blockpair_neardup(ds, key: str, threshold: float):
+    """Exact within-group cosine near-dup pairs via a distributed
+    block-pair join, keyed by `key` (VERDICT r01 #5): rows of a group are
     hashed into ⌈n/B⌉ blocks (B=1024, vec_id modulo — sequential ids ⇒
     perfectly balanced), every row is replicated to its ⌈n/B⌉ block-PAIR
-    groups, and each (label, lo, hi) group computes only its lo×hi cosine
-    tile. A hot label at 100 TB therefore parallelizes across ⌈n/B⌉²/2
+    groups, and each (key, lo, hi) group computes only its lo×hi cosine
+    tile. A hot group at 100 TB therefore parallelizes across ⌈n/B⌉²/2
     bounded tasks (each ≤ 2B rows) instead of landing on ONE worker as an
     n² blow-up; the price is the explicit ⌈n/B⌉× replication in the
-    shuffle. Compute stays O(n²) because the oracle demands exact pairs —
+    shuffle. Compute stays O(n²) because the oracles demand exact pairs —
     the sub-quadratic path is approximate pre-bucketing (q_ann_ivf's
-    quantizer per label), deliberately not silently enabled here."""
+    quantizer per group), deliberately not silently enabled here.
+    Shared by q_embed_neardup (key=label) and q_semantic_dedup
+    (key=cluster). `ds` columns: vec_id, `key`, embedding; returns a
+    Dataset of (vec_id_a, vec_id_b, cosine) with cosine rounded to 6 dp
+    and the unrounded value compared against `threshold` (mirrors the
+    oracles' WHERE-unrounded / SELECT-rounded split)."""
     import math
 
     import ray
@@ -1609,12 +1614,9 @@ def q_embed_neardup(sf_dir: str):
         pairwise_neardup,
     )
 
-    rd = _rd()
-    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
-                         columns=["vec_id", "label", "embedding"])
-    counts = ds.groupby("label").count().to_pandas()  # tiny: one row/label
+    counts = ds.groupby(key).count().to_pandas()  # tiny: one row/group
     nblocks = {
-        r["label"]: max(1, math.ceil(r["count()"] / EMBED_BLOCK_ROWS))
+        r[key]: max(1, math.ceil(r["count()"] / EMBED_BLOCK_ROWS))
         for _, r in counts.iterrows()
     }
     nb_ref = ray.put(nblocks)
@@ -1622,7 +1624,7 @@ def q_embed_neardup(sf_dir: str):
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         nb = ray.get(nb_ref)
         out = []
-        for label, g in b.groupby("label", sort=False):
+        for label, g in b.groupby(key, sort=False):
             k = nb[label]
             blk = (g["vec_id"] % k).to_numpy()
             # a row in block b lands in the k distinct pair groups
@@ -1652,13 +1654,14 @@ def q_embed_neardup(sf_dir: str):
         })
         if lo == hi:
             order = np.argsort(ids)
-            a, b, cos = pairwise_neardup(mat[order], ids[order], threshold=0.3)
+            a, b, cos = pairwise_neardup(mat[order], ids[order],
+                                         threshold=threshold)
         else:
             l, r = blk == lo, blk == hi
             if not l.any() or not r.any():
                 return empty
             a, b, cos = cross_neardup(mat[l], ids[l], mat[r], ids[r],
-                                      threshold=0.3)
+                                      threshold=threshold)
         if len(a) == 0:
             return empty
         return pd.DataFrame({
@@ -1668,9 +1671,19 @@ def q_embed_neardup(sf_dir: str):
 
     return (
         ds.map_batches(explode, batch_format="pandas")
-        .groupby(["label", "lo", "hi"])
+        .groupby([key, "lo", "hi"])
         .map_groups(tile, batch_format="pandas")
     )
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs within label buckets — EXACT pairs
+    via the distributed block-pair join (_blockpair_neardup, key=label;
+    scale analysis on its docstring)."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "label", "embedding"])
+    return _blockpair_neardup(ds, "label", threshold=0.3)
 
 
 SQL_EMBED_NEARDUP = """
@@ -9687,6 +9700,325 @@ FROM documents, b WHERE n_chars BETWEEN b.lo AND b.hi
 # Catalog
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# SemDeDup, paragraph-level dedup, snapshot rollback, last-touch attribution
+# ---------------------------------------------------------------------------
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    embeddings, then drop every vector that is near-duplicate (cosine > τ)
+    of an earlier vector in the SAME cluster — the semantic-dedup pass
+    modern training-data pipelines run after exact/MinHash dedup. Scale
+    shape: the E-step is the shared broadcast-centroid matmul
+    (_kmeans_broadcast/_kmeans_assign_np — no shuffle); within-cluster
+    pairs come from the shared bounded block-pair join
+    (_blockpair_neardup, key=cluster — a hot cluster parallelizes across
+    ⌈n/B⌉² bounded tiles instead of one worker); the keep verdict is a
+    LEFT OUTER hash join of the id stream against the dropped-id set (no
+    driver-side dict — at web scale the dup set can cover ~40% of the
+    corpus). Deterministic survivor policy: the lowest vec_id in every
+    near-dup relation survives (SemDeDup keeps one point per ε-ball;
+    min-id is the reproducible choice). Oracle: exact transcription —
+    same centroids, same tie policy, same unrounded-threshold compare."""
+    import ray
+
+    from raylake.functions.similarity import embedding_matrix
+
+    rd = _rd()
+    ref = _kmeans_broadcast(sf_dir)
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    if ds.count() == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64()),
+                         "keep": pa.array([], pa.int64())})
+
+    def assign(b: pa.Table) -> pa.Table:
+        c, cn = ray.get(ref)
+        cid, _ = _kmeans_assign_np(embedding_matrix(b, "embedding"), c, cn)
+        return b.append_column("cluster", pa.array(cid.astype(np.int64)))
+
+    # materialize: consumed by the pair join (counts + explode) AND the
+    # verdict join below — branching an unmaterialized dataset re-executes
+    # shared lineage once per side (Ray 2.49, 8x-confirmed lesson).
+    asg = ds.map_batches(assign, batch_format="pyarrow",
+                         batch_size=4096).materialize()
+    pairs = _blockpair_neardup(asg, "cluster", threshold=0.3)
+
+    # dropped = the strictly-greater side of every near-dup pair, distinct
+    dropped = (pairs.map_batches(
+        lambda t: pa.table({"v": t["vec_id_b"]}), batch_format="pyarrow")
+        .groupby("v").count()
+        .map_batches(lambda t: pa.table({
+            "v": t["v"], "dup": pa.array(np.ones(len(t), np.int64)),
+        }), batch_format="pyarrow"))
+
+    ids = asg.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"], "cluster": t["cluster"]}),
+        batch_format="pyarrow")
+    out = _hash_join(
+        ids, dropped, on=("vec_id",), right_on=("v",), how="left_outer",
+        right_schema=pa.schema([("v", pa.int64()), ("dup", pa.int64())]))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster_id": t["cluster"],
+            "keep": pc.cast(pc.is_null(t["dup"]), pa.int64()),
+        })
+
+    return out.map_batches(verdict, batch_format="pyarrow")
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_SQL_KMEANS_CTES}, asg AS (
+  SELECT vec_id, cid FROM r WHERE rn = 1
+), dup AS (
+  SELECT DISTINCT b.vec_id AS v
+  FROM embeddings a
+  JOIN asg ga ON ga.vec_id = a.vec_id
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN asg gb ON gb.vec_id = b.vec_id AND gb.cid = ga.cid
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.3
+)
+SELECT g.vec_id, g.cid::BIGINT AS cluster_id,
+       (CASE WHEN d.v IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM asg g LEFT JOIN dup d ON d.v = g.vec_id
+ORDER BY g.vec_id
+"""
+
+
+_PARA_LEN = 160  # disjoint reassembly slices (chunk_docs' stride, no overlap)
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Paragraph-level exact dedup with document REASSEMBLY (the CCNet /
+    RefinedWeb line-dedup pass, Wenzek et al. 2019 §4.1): documents split
+    into disjoint {_PARA_LEN}-char slices, every slice deduplicated
+    CORPUS-WIDE by content (first occurrence in (doc_id, idx) order wins),
+    and each document rebuilt from its surviving slices. Two bounded
+    shuffles: (1) winner election groups (digest, pos) — the min-pos
+    fold moves two ints per chunk; (2) the verdict hash-join + per-doc
+    regroup move each chunk's text exactly once (it must move once anyway
+    to reassemble). Nothing lands on the driver; emitted text is
+    content-addressed (md5 + length) per the chunk_docs budget rule."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("idx", pa.int64()), ("pos", pa.int64()),
+        ("h", pa.string()), ("ctext", pa.string()),
+    ])
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        ids = pc.cast(t["doc_id"], pa.int64()).combine_chunks()
+        n = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        outs, k = [], 0
+        while True:
+            start = k * _PARA_LEN
+            mask = n > start
+            if not mask.any():
+                break
+            sel = pa.array(mask)
+            sub = pc.filter(
+                pc.utf8_slice_codeunits(text, start, start + _PARA_LEN), sel)
+            sid = pc.filter(ids, sel)
+            md5s = [hashlib.md5(s.encode()).hexdigest()
+                    for s in sub.to_pylist()]
+            outs.append(pa.table({
+                "doc_id": sid,
+                "idx": pa.array(np.full(len(md5s), k, np.int64)),
+                "pos": pc.add(pc.multiply(sid, pa.scalar(1048576, pa.int64())),
+                              pa.scalar(k, pa.int64())),
+                "h": pa.array(md5s, pa.string()),
+                "ctext": sub,
+            }))
+            k += 1
+        if not outs:
+            return empty.empty_table()
+        return pa.concat_tables(outs)
+
+    # materialized: feeds BOTH the winner groupby and the verdict join
+    chunks = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    if chunks.count() == 0:
+        return _empty_frame({
+            "doc_id": "int64", "total_chunks": "int64",
+            "kept_chunks": "int64", "new_len": "int64", "new_md5": object,
+        })
+    winners = (chunks.select_columns(["h", "pos"])
+               .groupby("h").aggregate(Min("pos", alias_name="min_pos")))
+    j = _hash_join(chunks, winners, on=("h",))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("idx", kind="mergesort")
+        keep = g["pos"].to_numpy() == g["min_pos"].to_numpy()
+        new_text = "".join(g["ctext"].to_numpy()[keep])
+        return pd.DataFrame({
+            "doc_id": pd.array([int(g["doc_id"].iloc[0])], dtype="int64"),
+            "total_chunks": pd.array([len(g)], dtype="int64"),
+            "kept_chunks": pd.array([int(keep.sum())], dtype="int64"),
+            "new_len": pd.array([len(new_text)], dtype="int64"),
+            "new_md5": [hashlib.md5(new_text.encode()).hexdigest()],
+        })
+
+    return j.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text) - 1) // {_PARA_LEN} + 1)) AS idx
+  FROM documents WHERE length(text) > 0
+), ch AS (
+  SELECT doc_id, idx,
+         substr(text, idx * {_PARA_LEN} + 1, {_PARA_LEN}) AS ctext,
+         doc_id * 1048576 + idx AS pos
+  FROM c
+), w AS (
+  SELECT md5(ctext) AS h, min(pos) AS min_pos FROM ch GROUP BY md5(ctext)
+), k AS (
+  SELECT ch.doc_id, ch.idx, ch.ctext, (ch.pos = w.min_pos) AS keep
+  FROM ch JOIN w ON md5(ch.ctext) = w.h
+)
+SELECT doc_id,
+       count(*)::BIGINT AS total_chunks,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS kept_chunks,
+       length(string_agg(CASE WHEN keep THEN ctext ELSE '' END, ''
+                         ORDER BY idx))::BIGINT AS new_len,
+       md5(string_agg(CASE WHEN keep THEN ctext ELSE '' END, ''
+                      ORDER BY idx)) AS new_md5
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_rollback_scan(sf_dir: str):
+    """Iceberg `rollback_to_snapshot` oracle-checked (core/table.py
+    rollback): the two-commit transcript table is rolled back to its FIRST
+    snapshot, a redelivery commits ON TOP of the rolled-back state, and
+    the scan must show first delivery + redelivery with the second
+    delivery gone — proving new commits parent off the rollback target
+    while later snapshots stay retained (readable until expiry, asserted
+    inline via a pinned scan). Completes the T2 family: time_travel reads
+    the past, rollback REWRITES the present to it."""
+    import shutil
+
+    from raylake.ops.append import append
+
+    rd = _rd()
+    tbl, first_seq, root = _two_commit_table(sf_dir)
+    try:
+        second_seq = tbl.current_seq
+        n_full = tbl.scan_arrow(sort=True).num_rows
+        tbl.rollback(first_seq)
+        tbl.refresh()
+        base = tbl.scan_arrow(sort=True)  # first delivery only
+        extra = base.filter(pc.ends_with(base["conv_id"], "3"))
+        extra = extra.set_column(
+            extra.schema.get_field_index("turn_idx"), "turn_idx",
+            pc.cast(pc.add(extra["turn_idx"], 200000), pa.int32()))
+        extra = extra.set_column(
+            extra.schema.get_field_index("role"), "role",
+            pa.array(["redelivery"] * extra.num_rows, pa.string()))
+        append(tbl, rd.from_arrow(extra), batch_size=2048)
+        tbl.refresh()
+        # the rolled-past snapshot is retained and still readable
+        assert tbl.scan_arrow(snapshot=second_seq,
+                              sort=True).num_rows == n_full
+        return tbl.scan_arrow(sort=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_ROLLBACK_SCAN = """
+WITH b AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events
+), r AS (
+  SELECT 'c' || user_id::VARCHAR AS conv_id,
+         (row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - 1)::INT AS turn_idx,
+         event_type AS role,
+         md5(event_id::VARCHAR) AS text,
+         '' AS tool, ts
+  FROM events
+), h AS (
+  SELECT r.* FROM r, b WHERE epoch_us(ts) < b.mid
+)
+SELECT conv_id, turn_idx, role, text, tool, ts FROM h
+UNION ALL
+SELECT conv_id, (turn_idx + 200000)::INT, 'redelivery', text, tool, ts
+FROM h WHERE conv_id LIKE '%3'
+"""
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch attribution: every purchase credits the user's most
+    recent PRIOR click (strictly earlier in (ts, event_id) order), with
+    the click→purchase gap in integer microseconds. The per-user
+    state-machine (forward-fill of the last click through the ordered
+    event stream) runs inside groupby(user).map_groups — users partition
+    cleanly, no cross-user state; the sentinel for 'no prior click' is
+    -1, not NULL (nullable int64 drifts to float64 through pandas —
+    repo float-safety rule)."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    spec = {"purchase_id": "int64", "user_id": "int64",
+            "click_id": "int64", "gap_us": "int64"}
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ev = g["event_id"].to_numpy()
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        is_click = (g["event_type"] == "click").to_numpy()
+        # last click id/ts strictly BEFORE each row: shift + forward fill
+        cid = pd.Series(np.where(is_click, ev, np.nan)).shift(1).ffill()
+        cts = pd.Series(np.where(is_click, tus, np.nan)).shift(1).ffill()
+        m = (g["event_type"] == "purchase").to_numpy()
+        cid_m, cts_m = cid.to_numpy()[m], cts.to_numpy()[m]
+        has = ~np.isnan(cid_m)
+        return pd.DataFrame({
+            "purchase_id": pd.array(ev[m], dtype="int64"),
+            "user_id": pd.array(g["user_id"].to_numpy()[m], dtype="int64"),
+            "click_id": pd.array(
+                np.where(has, cid_m, -1).astype("int64"), dtype="int64"),
+            "gap_us": pd.array(
+                np.where(has, tus[m] - np.where(has, cts_m, 0),
+                         -1).astype("int64"), dtype="int64"),
+        })
+
+    if ds.count() == 0:
+        return _empty_frame(spec)
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_ATTRIBUTION = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_tus
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id,
+       coalesce(click_id, -1)::BIGINT AS click_id,
+       coalesce(tus - click_tus, -1)::BIGINT AS gap_us
+FROM w WHERE event_type = 'purchase' ORDER BY purchase_id
+"""
+
+
 QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "dq_audit": q_dq_audit,
@@ -9837,6 +10169,10 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "top_ngram_frac": q_top_ngram_frac,
     "outlier_mad": q_outlier_mad,
+    "semantic_dedup": q_semantic_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
+    "rollback_scan": q_rollback_scan,
+    "attribution": q_attribution,
 }
 
 ORACLES = {
@@ -9979,4 +10315,8 @@ ORACLES = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "top_ngram_frac": SQL_TOP_NGRAM_FRAC,
     "outlier_mad": SQL_OUTLIER_MAD,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "rollback_scan": SQL_ROLLBACK_SCAN,
+    "attribution": SQL_ATTRIBUTION,
 }
