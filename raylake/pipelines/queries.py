@@ -10019,6 +10019,175 @@ FROM w WHERE event_type = 'purchase' ORDER BY purchase_id
 """
 
 
+def q_tag_scan(sf_dir: str):
+    """Named-tag retention (Iceberg tag semantics, core/table.py
+    create_tag): the first delivery is tagged as a training-data release,
+    a third commit lands, and expire_snapshots(keep_last=1) runs — the
+    UNTAGGED middle snapshot expires while the tagged one survives the
+    retention policy; the scan pinned to the TAG NAME must still return
+    exactly the first delivery. This is the 'pin a data release forever'
+    guarantee time_travel alone can't give (plain snapshots age out)."""
+    import shutil
+
+    from raylake.ops.append import append
+    from raylake.ops.expire import expire_snapshots
+
+    rd = _rd()
+    tbl, first_seq, root = _two_commit_table(sf_dir)
+    try:
+        second_seq = tbl.current_seq
+        tbl.create_tag("release-1", snapshot=first_seq)
+        base = tbl.scan_arrow(snapshot=first_seq, sort=True)
+        extra = base.filter(pc.ends_with(base["conv_id"], "9"))
+        extra = extra.set_column(
+            extra.schema.get_field_index("role"), "role",
+            pa.array(["audit"] * extra.num_rows, pa.string()))
+        extra = extra.set_column(
+            extra.schema.get_field_index("turn_idx"), "turn_idx",
+            pc.cast(pc.add(extra["turn_idx"], 300000), pa.int32()))
+        append(tbl, rd.from_arrow(extra), batch_size=2048)
+        tbl.refresh()
+        expire_snapshots(tbl, keep_last=1, grace_period_s=0.0)
+        tbl.refresh()
+        retained = {e["seq"] for e in tbl.meta["snapshot_log"]}
+        assert second_seq not in retained  # untagged middle commit expired
+        assert first_seq in retained       # tag pinned it past keep_last
+        return tbl.scan_arrow(snapshot="release-1", sort=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# the tag pins exactly the first delivery — same relation as time travel
+SQL_TAG_SCAN = SQL_TIME_TRAVEL
+
+
+_SPLIT_BUCKET_BITS = 16  # rank-selection buckets: top bits of the uniform hash
+
+
+def q_stratified_split(sf_dir: str):
+    """EXACT stratified train/test split: within every lang stratum the
+    n//10 documents with the smallest (mix64(doc_id), doc_id) rank go to
+    'test', the rest to 'train' — deterministic, seedless, and exact-count
+    per stratum (a Bernoulli hash split like sample_hash only hits the
+    fraction in expectation; eval sets need exact sizes). Distributed
+    exact-rank selection WITHOUT a global sort: pass 1 ships only
+    (lang, bucket) count partials (bucket = top 16 hash bits → ≤ 65536
+    longs per stratum on the driver — independent of row count); the
+    driver cumsums to locate, per stratum, the one bucket containing the
+    k-th smallest pair; pass 2 fetches just that bucket's (h, doc_id)
+    pairs (~1/65536 of the stratum) and picks the exact threshold pair;
+    pass 3 labels every row against the broadcast thresholds. Three
+    column-pruned streaming passes, zero shuffles; at larger scale the
+    selection recurses (re-bucket within the threshold bucket) before the
+    fetch ever grows. Ties are impossible: rank is on the (h, doc_id)
+    PAIR and doc_id is unique."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from raylake.core.hashing import mix64
+
+    rd = _rd()
+    spec = {"doc_id": "int64", "lang": object, "split": object}
+
+    def read():
+        return rd.read_parquet(_pq(sf_dir, "documents"),
+                               columns=["doc_id", "lang"])
+
+    sh = np.uint64(64 - _SPLIT_BUCKET_BITS)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        h = mix64(b["doc_id"].combine_chunks())
+        bk = (h >> sh).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"lang": b["lang"], "bucket": bk}),
+            ["lang", "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "bucket", "c"])
+
+    hist = (read().map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["lang", "bucket"])
+            .aggregate(Sum("c", alias_name="c")).to_pandas())
+    if hist.empty:
+        return _empty_frame(spec)
+
+    # driver: per stratum, the bucket holding the k-th smallest pair and
+    # the residual rank r within it (1-indexed); None when k == 0
+    tb: dict = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("bucket")
+        n = int(g["c"].sum())
+        k = n // 10
+        if k == 0:
+            tb[lang] = None
+            continue
+        cum = g["c"].to_numpy().cumsum()
+        i = int(np.searchsorted(cum, k))  # first bucket with cum >= k
+        before = int(cum[i - 1]) if i > 0 else 0
+        tb[lang] = (int(g["bucket"].iloc[i]), k - before)
+    tb_ref = ray.put(tb)
+
+    def fetch(b: pa.Table) -> pa.Table:
+        m = ray.get(tb_ref)
+        bd = {l: v[0] for l, v in m.items() if v is not None}
+        h = mix64(b["doc_id"].combine_chunks())
+        bk = (h >> sh).astype(np.int64)
+        tgt = pd.Series(b["lang"].to_pandas()).map(bd)
+        sel = pa.array(tgt.fillna(-1).to_numpy(dtype="int64") == bk)
+        return pa.table({
+            "lang": pc.filter(b["lang"], sel),
+            "h": pa.array(h[sel.to_numpy(zero_copy_only=False)], pa.uint64()),
+            "doc_id": pc.filter(b["doc_id"], sel),
+        })
+
+    bucket_rows = read().map_batches(fetch, batch_format="pyarrow").to_pandas()
+    thr: dict = {}
+    for lang, v in tb.items():
+        if v is None:
+            thr[lang] = None
+            continue
+        g = bucket_rows[bucket_rows["lang"] == lang]
+        hs = g["h"].to_numpy(dtype="uint64")
+        ds_ = g["doc_id"].to_numpy(dtype="int64")
+        order = np.lexsort((ds_, hs))
+        j = order[v[1] - 1]
+        thr[lang] = (int(hs[j]), int(ds_[j]))
+    thr_ref = ray.put(thr)
+
+    def label(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        # sentinel (0, -1): h < 0 never, h == 0 → doc <= -1 never → train
+        th_h = {l: (v[0] if v else 0) for l, v in t.items()}
+        th_d = {l: (v[1] if v else -1) for l, v in t.items()}
+        langs = pd.Series(b["lang"].to_pandas())
+        hh = langs.map(th_h).to_numpy(dtype="uint64")
+        dd = langs.map(th_d).to_numpy(dtype="int64")
+        h = mix64(b["doc_id"].combine_chunks())
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        test = (h < hh) | ((h == hh) & (doc <= dd))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang": b["lang"],
+            "split": pa.array(np.where(test, "test", "train")),
+        })
+
+    return read().map_batches(label, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SPLIT = f"""
+WITH {_sql_mix64_cte("SELECT doc_id, lang FROM documents", "doc_id",
+                     carry=("doc_id", "lang"))},
+r AS (
+  SELECT doc_id, lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM mx
+)
+SELECT doc_id, lang,
+       CASE WHEN rn <= n // 10 THEN 'test' ELSE 'train' END AS split
+FROM r ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "dq_audit": q_dq_audit,
@@ -10173,6 +10342,8 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "rollback_scan": q_rollback_scan,
     "attribution": q_attribution,
+    "tag_scan": q_tag_scan,
+    "stratified_split": q_stratified_split,
 }
 
 ORACLES = {
@@ -10319,4 +10490,6 @@ ORACLES = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "rollback_scan": SQL_ROLLBACK_SCAN,
     "attribution": SQL_ATTRIBUTION,
+    "tag_scan": SQL_TAG_SCAN,
+    "stratified_split": SQL_STRATIFIED_SPLIT,
 }
