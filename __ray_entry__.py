@@ -10,7 +10,7 @@ here (or in raylake) calls ``ray.init()`` / ``ray.shutdown()``.
                       (SURVEY.md §2 + training-data additions), each taking
                       ``sf_dir``.
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (143 of 148 as of round 4 — including the maintenance
+                      (145 of 150 as of round 4 — including the maintenance
                       pipeline itself via ``maintained_scan``/
                       ``mor_delete_scan``, the full-LSH transcriptions of
                       minhash/simhash near-dup, a recursive-CTE oracle for

@@ -9725,13 +9725,13 @@ def q_semantic_dedup(sf_dir: str):
     from raylake.functions.similarity import embedding_matrix
 
     rd = _rd()
-    ref = _kmeans_broadcast(sf_dir)
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    if ds.count() == 0:
+    if ds.count() == 0:  # before _kmeans_broadcast: no centroids to read
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "cluster_id": pa.array([], pa.int64()),
                          "keep": pa.array([], pa.int64())})
+    ref = _kmeans_broadcast(sf_dir)
 
     def assign(b: pa.Table) -> pa.Table:
         c, cn = ray.get(ref)
@@ -9826,8 +9826,11 @@ def q_paragraph_dedup(sf_dir: str):
             if not mask.any():
                 break
             sel = pa.array(mask)
-            sub = pc.filter(
-                pc.utf8_slice_codeunits(text, start, start + _PARA_LEN), sel)
+            # filter FIRST, slice the survivors only — the loop runs
+            # max_chunks times and must not re-slice the whole batch for
+            # the one longest doc's tail (review finding)
+            sub = pc.utf8_slice_codeunits(pc.filter(text, sel),
+                                          start, start + _PARA_LEN)
             sid = pc.filter(ids, sel)
             md5s = [hashlib.md5(s.encode()).hexdigest()
                     for s in sub.to_pylist()]
@@ -9976,20 +9979,23 @@ def q_attribution(sf_dir: str):
         ev = g["event_id"].to_numpy()
         tus = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         is_click = (g["event_type"] == "click").to_numpy()
-        # last click id/ts strictly BEFORE each row: shift + forward fill
-        cid = pd.Series(np.where(is_click, ev, np.nan)).shift(1).ffill()
-        cts = pd.Series(np.where(is_click, tus, np.nan)).shift(1).ffill()
+        # last click strictly BEFORE each row: POSITION-based forward fill
+        # (never round-trip int64 ids/timestamps through float64 — values
+        # >= 2^53 would lose low bits; review finding)
+        n = len(g)
+        lcp = np.where(is_click, np.arange(n, dtype=np.int64), -1)
+        prev = np.concatenate(
+            ([np.int64(-1)], np.maximum.accumulate(lcp)[:-1]))
         m = (g["event_type"] == "purchase").to_numpy()
-        cid_m, cts_m = cid.to_numpy()[m], cts.to_numpy()[m]
-        has = ~np.isnan(cid_m)
+        prev_m = prev[m]
+        has = prev_m >= 0
         return pd.DataFrame({
             "purchase_id": pd.array(ev[m], dtype="int64"),
             "user_id": pd.array(g["user_id"].to_numpy()[m], dtype="int64"),
             "click_id": pd.array(
-                np.where(has, cid_m, -1).astype("int64"), dtype="int64"),
+                np.where(has, ev[prev_m], -1), dtype="int64"),
             "gap_us": pd.array(
-                np.where(has, tus[m] - np.where(has, cts_m, 0),
-                         -1).astype("int64"), dtype="int64"),
+                np.where(has, tus[m] - tus[prev_m], -1), dtype="int64"),
         })
 
     if ds.count() == 0:
@@ -10077,10 +10083,12 @@ def q_stratified_split(sf_dir: str):
     k-th smallest pair; pass 2 fetches just that bucket's (h, doc_id)
     pairs (~1/65536 of the stratum) and picks the exact threshold pair;
     pass 3 labels every row against the broadcast thresholds. Three
-    column-pruned streaming passes, zero shuffles; at larger scale the
-    selection recurses (re-bucket within the threshold bucket) before the
-    fetch ever grows. Ties are impossible: rank is on the (h, doc_id)
-    PAIR and doc_id is unique."""
+    column-pruned streaming passes, zero shuffles. The driver fetch is
+    stratum_size/2^16 rows (uniform hash ⇒ no adversarial concentration);
+    if a deployment needs it smaller, the same selection can be applied
+    recursively inside the threshold bucket — NOT implemented here, the
+    single-level fetch is the documented bound. Ties are impossible: rank
+    is on the (h, doc_id) PAIR and doc_id is unique."""
     import ray
 
     from ray.data.aggregate import Sum
@@ -10128,14 +10136,20 @@ def q_stratified_split(sf_dir: str):
 
     def fetch(b: pa.Table) -> pa.Table:
         m = ray.get(tb_ref)
-        bd = {l: v[0] for l, v in m.items() if v is not None}
+        # lang -> target bucket via pc.index_in (arrow-native lookup — the
+        # repo kernel rule forbids a per-batch pandas detour for a dict map)
+        keys = [l for l, v in m.items() if v is not None]
+        vals = np.array([m[l][0] for l in keys] + [-1], np.int64)
+        idx = pc.fill_null(pc.index_in(
+            b["lang"], value_set=pa.array(keys, pa.string())),
+            len(keys)).to_numpy(zero_copy_only=False)
         h = mix64(b["doc_id"].combine_chunks())
         bk = (h >> sh).astype(np.int64)
-        tgt = pd.Series(b["lang"].to_pandas()).map(bd)
-        sel = pa.array(tgt.fillna(-1).to_numpy(dtype="int64") == bk)
+        sel_np = vals[idx] == bk
+        sel = pa.array(sel_np)
         return pa.table({
             "lang": pc.filter(b["lang"], sel),
-            "h": pa.array(h[sel.to_numpy(zero_copy_only=False)], pa.uint64()),
+            "h": pa.array(h[sel_np], pa.uint64()),
             "doc_id": pc.filter(b["doc_id"], sel),
         })
 
@@ -10156,11 +10170,15 @@ def q_stratified_split(sf_dir: str):
     def label(b: pa.Table) -> pa.Table:
         t = ray.get(thr_ref)
         # sentinel (0, -1): h < 0 never, h == 0 → doc <= -1 never → train
-        th_h = {l: (v[0] if v else 0) for l, v in t.items()}
-        th_d = {l: (v[1] if v else -1) for l, v in t.items()}
-        langs = pd.Series(b["lang"].to_pandas())
-        hh = langs.map(th_h).to_numpy(dtype="uint64")
-        dd = langs.map(th_d).to_numpy(dtype="int64")
+        keys = sorted(t)
+        th_h = np.array([(t[l][0] if t[l] else 0) for l in keys] + [0],
+                        np.uint64)
+        th_d = np.array([(t[l][1] if t[l] else -1) for l in keys] + [-1],
+                        np.int64)
+        idx = pc.fill_null(pc.index_in(
+            b["lang"], value_set=pa.array(keys, pa.string())),
+            len(keys)).to_numpy(zero_copy_only=False)
+        hh, dd = th_h[idx], th_d[idx]
         h = mix64(b["doc_id"].combine_chunks())
         doc = b["doc_id"].to_numpy(zero_copy_only=False)
         test = (h < hh) | ((h == hh) & (doc <= dd))

@@ -443,6 +443,10 @@ def test_retention_cohorts_multiday(tmp_path_factory, ray_session):
     ("column_profile", "events"),
     ("corr_stats", "lineitem"),
     ("weighted_sample", "documents"),
+    ("semantic_dedup", "embeddings"),
+    ("paragraph_dedup", "documents"),
+    ("attribution", "events"),
+    ("stratified_split", "documents"),
 ])
 def test_round4_additions_empty_inputs(name, empty_table,
                                        tmp_path_factory, ray_session):
