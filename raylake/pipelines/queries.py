@@ -10206,6 +10206,223 @@ FROM r ORDER BY doc_id
 """
 
 
+def _skyline_kernel(t: pa.Table) -> pa.Table:
+    """2-D Pareto frontier (minimize p_retailprice, maximize p_size) of one
+    batch, vectorized. A point is dominated iff some other point is strictly
+    cheaper with size >= its size, OR no costlier with size strictly greater
+    (NOT EXISTS form). After lexsorting by (price asc, size desc), that is:
+    keep row i iff cummax(size) over all strictly-cheaper rows < size_i AND
+    size_i equals its own price-group's max. Duplicate (price, size) pairs
+    all survive — neither dominates the other (no strict inequality) —
+    matching the SQL oracle exactly."""
+    n = t.num_rows
+    if n == 0:
+        return t
+    price = t["p_retailprice"].to_numpy(zero_copy_only=False)
+    size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((-size, price))
+    p, s = price[order], size[order]
+    starts = np.empty(n, bool)
+    starts[0] = True
+    starts[1:] = p[1:] != p[:-1]
+    start_idx = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+    gmax = s[start_idx]  # per-price-group max (first of group: size desc)
+    cummax = np.maximum.accumulate(s)
+    prevmax = np.where(start_idx > 0, cummax[np.maximum(start_idx - 1, 0)],
+                       np.iinfo(np.int64).min)
+    keep = (s == gmax) & (s > prevmax)
+    return t.take(pa.array(order[keep]))
+
+
+def q_skyline(sf_dir: str):
+    """Distributed skyline (Pareto frontier) over part: the non-dominated
+    set minimizing p_retailprice while maximizing p_size — the
+    multi-objective selection shape behind "cheapest doc per quality tier"
+    corpus curation. Scale shape: skyline is an idempotent combiner
+    (skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))), so each batch
+    reduces to its local frontier inside map_batches and only frontiers —
+    bounded by the number of distinct prices on the frontier, tiny in
+    practice — reach the single final merge task. A pathological frontier
+    (~all points) would need a tournament of pairwise merges; noted, not
+    needed for any real price/size distribution."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_retailprice", "p_size"])
+    local = ds.map_batches(_skyline_kernel, batch_format="pyarrow",
+                           batch_size=None)
+    return local.repartition(1).map_batches(
+        _skyline_kernel, batch_format="pyarrow", batch_size=None)
+
+
+SQL_SKYLINE = """
+SELECT p_partkey, p_retailprice, p_size FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+"""
+
+
+def q_set_ops(sf_dir: str):
+    """Set algebra over per-type user sets: viewers ∩ purchasers / viewers
+    ∖ purchasers / purchasers ∖ viewers, tagged in one pass (the
+    INTERSECT/EXCEPT family as one full-outer classification). Scale shape:
+    each batch pre-reduces to per-user 0/1 flags via Acero hash-agg, so the
+    groupby shuffles one row per (user, batch) — O(users), not O(events) —
+    and the tag is a vectorized np.where over the final flags."""
+    from ray.data.aggregate import Max
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        isv = pc.equal(t["event_type"], "view")
+        isp = pc.equal(t["event_type"], "purchase")
+        flags = pa.table({
+            "user_id": t["user_id"],
+            "hv": pc.cast(isv, pa.int64()),
+            "hp": pc.cast(isp, pa.int64()),
+        }).filter(pc.or_(isv, isp))
+        g = pa.TableGroupBy(flags, "user_id").aggregate(
+            [("hv", "max"), ("hp", "max")])
+        return g.rename_columns(["user_id", "hv", "hp"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Max("hv", alias_name="hv"),
+                      Max("hp", alias_name="hp")))
+
+    def tag(t: pa.Table) -> pa.Table:
+        hv = t["hv"].to_numpy(zero_copy_only=False).astype(bool)
+        hp = t["hp"].to_numpy(zero_copy_only=False).astype(bool)
+        lab = np.where(hv & hp, "both",
+                       np.where(hv, "view_only", "purchase_only"))
+        return pa.table({"user_id": t["user_id"],
+                         "tag": pa.array(lab, pa.string())})
+
+    return agg.map_batches(tag, batch_format="pyarrow")
+
+
+SQL_SET_OPS = """
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id)
+SELECT user_id,
+       CASE WHEN hv = 1 AND hp = 1 THEN 'both'
+            WHEN hv = 1 THEN 'view_only'
+            ELSE 'purchase_only' END AS tag
+FROM f
+"""
+
+
+def q_mode_by_group(sf_dir: str):
+    """Per-user modal event type (the MODE() aggregate) with a pinned
+    deterministic tie-break: highest count, then lexicographically smallest
+    type. Scale shape: each batch pre-reduces to (user, type, n) partials
+    via Acero hash-agg, so the groupby shuffles the distinct-pair space,
+    not events; the per-user argmax is one tiny pandas reduce per group."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("event_type")["n"].sum().reset_index()
+        c = c.sort_values(["n", "event_type"], ascending=[False, True],
+                          kind="mergesort")
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "mode_type": [c["event_type"].iloc[0]],
+                             "cnt": np.array([c["n"].iloc[0]], np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").map_groups(pick, batch_format="pandas"))
+
+
+SQL_MODE_BY_GROUP = """
+WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS mode_type, cnt FROM r WHERE rn = 1
+"""
+
+
+def q_kn_continuation(sf_dir: str):
+    """Kneser-Ney continuation counts: for each token w, the number of
+    DISTINCT left neighbors it follows (the KN lower-order numerator) plus
+    its raw bigram frequency — the statistic that separates "high-frequency
+    but one context" tokens (e.g. the second half of a fixed collocation)
+    from genuinely productive ones when smoothing corpus LMs. Scale shape:
+    bigram extraction is bpe_pair_counts' offset arithmetic (documents
+    never span batches), each batch pre-aggregates its pair histogram, the
+    first groupby reduces to one row per DISTINCT bigram, and the second
+    groupby folds that (vocabulary²-observed, small) space — the corpus
+    text itself never shuffles."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, n = _tokens_and_counts(b)
+        mask = np.ones(len(flat), bool)
+        ends = np.cumsum(n)
+        mask[ends[n > 0] - 1] = False  # drop each doc's last token
+        left_idx = np.flatnonzero(mask)
+        if len(left_idx) == 0:
+            return pa.table({"left_tok": pa.array([], pa.string()),
+                             "right_tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pairs = pa.table({
+            "left_tok": flat.take(pa.array(left_idx)),
+            "right_tok": flat.take(pa.array(left_idx + 1)),
+        })
+        g = pairs.group_by(["left_tok", "right_tok"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["left_tok", "right_tok", "n"])
+
+    bigrams = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["left_tok", "right_tok"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": t["right_tok"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return (bigrams.map_batches(fold, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("one", alias_name="cont_cnt"),
+                       Sum("n", alias_name="freq"))
+            .sort("token"))
+
+
+SQL_KN_CONTINUATION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS w,
+               generate_subscripts(l, 1) AS pos FROM t),
+p AS (SELECT w AS left_tok,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS right_tok
+      FROM tok)
+SELECT right_tok AS token, count(DISTINCT left_tok)::BIGINT AS cont_cnt,
+       count(*)::BIGINT AS freq
+FROM p WHERE right_tok IS NOT NULL
+GROUP BY 1 ORDER BY token
+"""
+
+
 QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "dq_audit": q_dq_audit,
@@ -10362,6 +10579,10 @@ QUERIES = {
     "attribution": q_attribution,
     "tag_scan": q_tag_scan,
     "stratified_split": q_stratified_split,
+    "skyline": q_skyline,
+    "set_ops": q_set_ops,
+    "mode_by_group": q_mode_by_group,
+    "kn_continuation": q_kn_continuation,
 }
 
 ORACLES = {
@@ -10510,4 +10731,8 @@ ORACLES = {
     "attribution": SQL_ATTRIBUTION,
     "tag_scan": SQL_TAG_SCAN,
     "stratified_split": SQL_STRATIFIED_SPLIT,
+    "skyline": SQL_SKYLINE,
+    "set_ops": SQL_SET_OPS,
+    "mode_by_group": SQL_MODE_BY_GROUP,
+    "kn_continuation": SQL_KN_CONTINUATION,
 }

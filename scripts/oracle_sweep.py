@@ -59,7 +59,9 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"'{args.sf_dir}/{t}.parquet'")
 
-    names = [n for n in sorted(QUERIES) if args.only in n]
+    import re
+
+    names = [n for n in sorted(QUERIES) if re.search(args.only, n)]
     failed, t_all = [], time.monotonic()
     for i, name in enumerate(names):
         t0 = time.monotonic()

@@ -127,3 +127,54 @@ def test_bloom_header_carries_k():
         bloom_bits(keys, k=0)
     with _pytest.raises(ValueError):
         bloom_may_contain(np.full(9, 99, np.uint64), keys)
+
+
+def test_skyline_kernel_matches_bruteforce():
+    """_skyline_kernel vs the O(n^2) NOT-EXISTS dominance definition on
+    randomized inputs with heavy ties (few distinct prices/sizes so
+    duplicate points and equal-price groups occur): duplicates of a
+    frontier point must ALL survive (no strict inequality either way)."""
+    import pyarrow as pa
+
+    from raylake.pipelines.queries import _skyline_kernel
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n = int(rng.integers(0, 60))
+        price = rng.integers(0, 8, n).astype(np.float64) / 2.0
+        size = rng.integers(0, 6, n).astype(np.int32)
+        t = pa.table({"p_partkey": np.arange(n, dtype=np.int64),
+                      "p_retailprice": price, "p_size": size})
+        got = set(_skyline_kernel(t)["p_partkey"].to_pylist())
+        want = {
+            int(k) for k in range(n)
+            if not any(
+                price[j] <= price[k] and size[j] >= size[k]
+                and (price[j] < price[k] or size[j] > size[k])
+                for j in range(n))
+        }
+        assert got == want, (trial, sorted(got), sorted(want))
+
+
+def test_skyline_kernel_idempotent_merge():
+    """skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)) — the combiner
+    law the distributed plan (per-batch local frontier, one merge task)
+    relies on."""
+    import pyarrow as pa
+
+    from raylake.pipelines.queries import _skyline_kernel
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n = int(rng.integers(2, 80))
+        t = pa.table({
+            "p_partkey": np.arange(n, dtype=np.int64),
+            "p_retailprice": rng.integers(0, 10, n).astype(np.float64),
+            "p_size": rng.integers(0, 10, n).astype(np.int32),
+        })
+        cut = int(rng.integers(0, n))
+        a, b = t.slice(0, cut), t.slice(cut)
+        merged = pa.concat_tables([_skyline_kernel(a), _skyline_kernel(b)])
+        got = sorted(_skyline_kernel(merged)["p_partkey"].to_pylist())
+        want = sorted(_skyline_kernel(t)["p_partkey"].to_pylist())
+        assert got == want
