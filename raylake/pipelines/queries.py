@@ -10423,6 +10423,91 @@ GROUP BY 1 ORDER BY token
 """
 
 
+def _doc_bigrams(b: pa.Table) -> pa.Table:
+    """(doc_id, bigram) pairs for a documents batch; the bigram is the two
+    tokens space-joined (tokens are whitespace-split, so the separator is
+    unambiguous). Same offset arithmetic as the bpe/kn kernels — each row
+    is one whole document, so pairs never cross rows."""
+    flat, n = _tokens_and_counts(b)
+    mask = np.ones(len(flat), bool)
+    ends = np.cumsum(n)
+    mask[ends[n > 0] - 1] = False  # drop each doc's last token
+    left_idx = np.flatnonzero(mask)
+    if len(left_idx) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "bigram": pa.array([], pa.string())})
+    lt = flat.take(pa.array(left_idx))
+    rt = flat.take(pa.array(left_idx + 1))
+    return pa.table({
+        "doc_id": pa.array(np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False), np.maximum(n - 1, 0))),
+        "bigram": pc.binary_join_element_wise(lt, rt, " "),
+    })
+
+
+def q_oov_bigrams(sf_dir: str):
+    """Cross-split novelty score: split the corpus deterministically by
+    doc_id parity (even = train, odd = held-out) and count, per held doc,
+    how many of its bigrams never occur in the train split — the
+    integer-exact stand-in for LM-perplexity bucketing when filtering a
+    crawl against a reference corpus (high OOV fraction = novel or noisy).
+    Scale shape: the train bigram set is built DISTRIBUTED (each batch
+    emits its distinct-bigram partial; only vocabulary²-observed partials
+    reach the driver, never text) and broadcast once via ray.put; held
+    docs fold per batch against the sorted broadcast with one searchsorted
+    — beyond broadcast size the same plan becomes a bigram-keyed
+    left_outer join (the contamination/bloom pattern)."""
+    import ray
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pa.array(t["doc_id"].to_numpy() % 2 == 0))
+        return pa.table({"bigram": pc.unique(_doc_bigrams(tt)["bigram"])})
+
+    parts = ds.map_batches(train_partial, batch_format="pyarrow").to_pandas()
+    train_ref = ray.put(np.sort(pd.unique(parts["bigram"].to_numpy())))
+
+    def held(t: pa.Table) -> pa.Table:
+        keys = ray.get(train_ref)
+        tt = t.filter(pa.array(t["doc_id"].to_numpy() % 2 == 1))
+        bg = _doc_bigrams(tt)
+        if bg.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "n_oov": pa.array([], pa.int64())})
+        probe = bg["bigram"].to_numpy(zero_copy_only=False)
+        oov = (~_sorted_membership(keys, probe)).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"doc_id": bg["doc_id"], "oov": pa.array(oov)}),
+            "doc_id").aggregate([("oov", "count"), ("oov", "sum")])
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_bigrams": pc.cast(g["oov_count"], pa.int64()),
+            "n_oov": pc.cast(g["oov_sum"], pa.int64()),
+        })
+
+    return ds.map_batches(held, batch_format="pyarrow")
+
+
+SQL_OOV_BIGRAMS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS w,
+               generate_subscripts(l, 1) AS pos FROM t),
+p AS (SELECT doc_id, w AS lt,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS rt
+      FROM tok),
+bg AS (SELECT doc_id, lt || ' ' || rt AS bigram FROM p WHERE rt IS NOT NULL),
+trb AS (SELECT DISTINCT bigram FROM bg WHERE doc_id % 2 = 0)
+SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(CASE WHEN trb.bigram IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+FROM bg LEFT JOIN trb ON bg.bigram = trb.bigram
+WHERE bg.doc_id % 2 = 1
+GROUP BY bg.doc_id
+"""
+
+
 QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "dq_audit": q_dq_audit,
@@ -10583,6 +10668,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "mode_by_group": q_mode_by_group,
     "kn_continuation": q_kn_continuation,
+    "oov_bigrams": q_oov_bigrams,
 }
 
 ORACLES = {
@@ -10735,4 +10821,5 @@ ORACLES = {
     "set_ops": SQL_SET_OPS,
     "mode_by_group": SQL_MODE_BY_GROUP,
     "kn_continuation": SQL_KN_CONTINUATION,
+    "oov_bigrams": SQL_OOV_BIGRAMS,
 }
