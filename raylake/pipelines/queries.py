@@ -916,14 +916,43 @@ FROM tok GROUP BY token ORDER BY token
 """
 
 
+def _bigram_arrays(b: pa.Table):
+    """(left_tokens, right_tokens, n_tokens_per_doc) for a documents batch
+    — THE shared drop-last-token offset arithmetic behind bpe_pair_counts,
+    kn_continuation and oov_bigrams (left ids are every flat index except
+    each document's last token; right ids are left+1). Each row is one
+    whole document, so pairs never cross rows or batches."""
+    flat, n = _tokens_and_counts(b)
+    mask = np.ones(len(flat), bool)
+    ends = np.cumsum(n)
+    mask[ends[n > 0] - 1] = False  # drop each doc's last token
+    left_idx = np.flatnonzero(mask)
+    if len(left_idx) == 0:
+        empty = pa.array([], pa.string())
+        return empty, empty, n
+    return flat.take(pa.array(left_idx)), flat.take(pa.array(left_idx + 1)), n
+
+
+def _bigram_pair_counts(b: pa.Table) -> pa.Table:
+    """Per-batch (left_tok, right_tok, n) bigram histogram via Acero
+    hash-agg — the map_batches partial shared by bpe_pair_counts and
+    kn_continuation; only these vocab²-observed partials shuffle."""
+    lt, rt, _ = _bigram_arrays(b)
+    if len(lt) == 0:
+        return pa.table({"left_tok": pa.array([], pa.string()),
+                         "right_tok": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    g = pa.table({"left_tok": lt, "right_tok": rt}).group_by(
+        ["left_tok", "right_tok"]).aggregate([([], "count_all")])
+    return g.rename_columns(["left_tok", "right_tok", "n"])
+
+
 def q_bpe_pair_counts(sf_dir: str):
     """Adjacent-token-pair frequencies, top 20 — the merge-scoring step
     of one BPE/WordPiece tokenizer-training iteration (the argmax pair is
     the next merge). Scale shape: pair extraction is pure offset
-    arithmetic on the flattened token array (no Python loop — left ids
-    are every flat index except each document's last token, right ids are
-    left+1; documents never span batches so pairs never cross batch
-    boundaries), each batch pre-aggregates its own pair histogram via
+    arithmetic on the flattened token array (no Python loop; see
+    _bigram_arrays), each batch pre-aggregates its own pair histogram via
     Acero, and only (left, right, count) PARTIALS shuffle — O(batch
     vocab²-observed), not O(tokens). Iterating BPE = re-running this with
     the accepted merges applied by a broadcast replacement pass."""
@@ -932,25 +961,7 @@ def q_bpe_pair_counts(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        flat, n = _tokens_and_counts(b)
-        mask = np.ones(len(flat), bool)
-        ends = np.cumsum(n)
-        mask[ends[n > 0] - 1] = False  # drop each doc's last token
-        left_idx = np.flatnonzero(mask)
-        if len(left_idx) == 0:
-            return pa.table({"left_tok": pa.array([], pa.string()),
-                             "right_tok": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        pairs = pa.table({
-            "left_tok": flat.take(pa.array(left_idx)),
-            "right_tok": flat.take(pa.array(left_idx + 1)),
-        })
-        g = pairs.group_by(["left_tok", "right_tok"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns(["left_tok", "right_tok", "n"])
-
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
+    agg = (ds.map_batches(_bigram_pair_counts, batch_format="pyarrow")
            .groupby(["left_tok", "right_tok"])
            .aggregate(Sum("n", alias_name="n")))
     top = (agg.sort(["n", "left_tok", "right_tok"],
@@ -10363,35 +10374,16 @@ def q_kn_continuation(sf_dir: str):
     its raw bigram frequency — the statistic that separates "high-frequency
     but one context" tokens (e.g. the second half of a fixed collocation)
     from genuinely productive ones when smoothing corpus LMs. Scale shape:
-    bigram extraction is bpe_pair_counts' offset arithmetic (documents
-    never span batches), each batch pre-aggregates its pair histogram, the
-    first groupby reduces to one row per DISTINCT bigram, and the second
-    groupby folds that (vocabulary²-observed, small) space — the corpus
-    text itself never shuffles."""
+    each batch pre-aggregates its pair histogram (_bigram_pair_counts),
+    the first groupby reduces to one row per DISTINCT bigram, and the
+    second groupby folds that (vocabulary²-observed, small) space — the
+    corpus text itself never shuffles."""
     from ray.data.aggregate import Sum
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        flat, n = _tokens_and_counts(b)
-        mask = np.ones(len(flat), bool)
-        ends = np.cumsum(n)
-        mask[ends[n > 0] - 1] = False  # drop each doc's last token
-        left_idx = np.flatnonzero(mask)
-        if len(left_idx) == 0:
-            return pa.table({"left_tok": pa.array([], pa.string()),
-                             "right_tok": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        pairs = pa.table({
-            "left_tok": flat.take(pa.array(left_idx)),
-            "right_tok": flat.take(pa.array(left_idx + 1)),
-        })
-        g = pairs.group_by(["left_tok", "right_tok"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns(["left_tok", "right_tok", "n"])
-
-    bigrams = (ds.map_batches(partial, batch_format="pyarrow")
+    bigrams = (ds.map_batches(_bigram_pair_counts, batch_format="pyarrow")
                .groupby(["left_tok", "right_tok"])
                .aggregate(Sum("n", alias_name="n")))
 
@@ -10426,18 +10418,11 @@ GROUP BY 1 ORDER BY token
 def _doc_bigrams(b: pa.Table) -> pa.Table:
     """(doc_id, bigram) pairs for a documents batch; the bigram is the two
     tokens space-joined (tokens are whitespace-split, so the separator is
-    unambiguous). Same offset arithmetic as the bpe/kn kernels — each row
-    is one whole document, so pairs never cross rows."""
-    flat, n = _tokens_and_counts(b)
-    mask = np.ones(len(flat), bool)
-    ends = np.cumsum(n)
-    mask[ends[n > 0] - 1] = False  # drop each doc's last token
-    left_idx = np.flatnonzero(mask)
-    if len(left_idx) == 0:
+    unambiguous). Offset arithmetic shared via _bigram_arrays."""
+    lt, rt, n = _bigram_arrays(b)
+    if len(lt) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "bigram": pa.array([], pa.string())})
-    lt = flat.take(pa.array(left_idx))
-    rt = flat.take(pa.array(left_idx + 1))
     return pa.table({
         "doc_id": pa.array(np.repeat(
             b["doc_id"].to_numpy(zero_copy_only=False), np.maximum(n - 1, 0))),

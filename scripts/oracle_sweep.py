@@ -39,7 +39,7 @@ def _normalize(df):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--only", default="", help="substring filter on names")
+    ap.add_argument("--only", default="", help="regex filter on names")
     ap.add_argument("--num-cpus", type=int, default=16)
     args = ap.parse_args()
 
@@ -61,7 +61,11 @@ def main() -> int:
 
     import re
 
-    names = [n for n in sorted(QUERIES) if re.search(args.only, n)]
+    try:
+        only = re.compile(args.only)
+    except re.error as exc:
+        ap.error(f"--only is not a valid regex: {exc}")
+    names = [n for n in sorted(QUERIES) if only.search(n)]
     failed, t_all = [], time.monotonic()
     for i, name in enumerate(names):
         t0 = time.monotonic()
