@@ -9346,8 +9346,10 @@ def q_column_profile(sf_dir: str):
     encoding. Scale shape: min/max/null partials fold per batch (one tiny
     row per column per batch); the NDV path shuffles only per-batch
     DISTINCT (col, key) pairs — the digest-only-dedup discipline, never
-    raw rows — then two small groupbys. Driver tail is O(#columns)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    raw rows — then per-block count folds summed on the driver (the
+    col domain is 6, so a Ray shuffle would cost more than it saves).
+    Driver tail is O(#columns · #blocks)."""
+    from ray.data.aggregate import Count
 
     rd = _rd()
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=list(_PROFILE_COLS))
@@ -9414,20 +9416,32 @@ def q_column_profile(sf_dir: str):
             "key_str": _cat(kstrs, pa.string()),
         })
 
-    stats = (ds.map_batches(stat_partial, batch_format="pyarrow")
-             .groupby("col")
-             .aggregate(Sum("n", alias_name="n"),
-                        Sum("n_null", alias_name="n_null"),
-                        Min("mn", alias_name="min_enc"),
-                        Max("mx", alias_name="max_enc"))
-             .to_pandas())
+    # stat partials are 6 rows per batch — fold them on the driver
+    # instead of paying a Ray shuffle for a 6-row-domain table (same
+    # bounded-partials rationale as q_pagerank_step)
+    sp = ds.map_batches(stat_partial, batch_format="pyarrow").to_pandas()
+    stats = (sp.groupby("col", as_index=False)
+             .agg(n=("n", "sum"), n_null=("n_null", "sum"),
+                  min_enc=("mn", "min"), max_enc=("mx", "max"))
+             if not sp.empty else sp)
+
+    def cnt_fold(t: pa.Table) -> pa.Table:
+        # per-block distinct-row counts per col (the upstream groupby
+        # emits globally-unique key rows, so block counts sum exactly)
+        g = pa.TableGroupBy(t, "col").aggregate([([], "count_all")])
+        return g.rename_columns(["col", "nd"])
+
     ndv = (ds.map_batches(distinct_partial, batch_format="pyarrow")
            .groupby(["col", "key_int", "key_str"])
            .aggregate(Count(alias_name="c"))
-           .groupby("col").aggregate(Count(alias_name="n_distinct"))
+           .map_batches(cnt_fold, batch_format="pyarrow", batch_size=None)
            .to_pandas())
     if ndv.empty:  # all profiled columns entirely null (review finding)
         ndv = _empty_frame({"col": object, "n_distinct": "int64"})
+    else:
+        ndv = (ndv.groupby("col", as_index=False)["nd"].sum()
+               .rename(columns={"nd": "n_distinct"}))
+        ndv["n_distinct"] = ndv["n_distinct"].astype(np.int64)
     if stats.empty:
         # empty events reach here column-less (Ray 2.49) — but the oracle's
         # UNION ALL still yields one row per column (n=0, empty-aggregate
