@@ -9119,8 +9119,11 @@ def q_pagerank_step(sf_dir: str):
         # bounded by the node-domain square, so the driver sums
         # O(blocks · domain²) rows instead of paying a full Ray shuffle
         # for a domain²-bounded table (measured 8.3 s of pure shuffle
-        # overhead on 98k partial rows at sf0.1). Beyond broadcast-size
-        # node domains this fold reverts to a distributed groupby.
+        # overhead on 98k partial rows at sf0.1). This ASSUMES the
+        # bounded node domain documented above; a domain too large to
+        # broadcast would need the distributed groupby(["src","dst"])
+        # plan instead (not implemented here — the assumption is the
+        # query's contract).
         g = pa.TableGroupBy(t, ["src", "dst"]).aggregate([("w", "sum")])
         return g.rename_columns(["src", "dst", "w"])
 
@@ -9225,17 +9228,15 @@ def q_triangle_count(sf_dir: str):
         return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
 
     def fold(t: pa.Table) -> pa.Table:
-        # per-block distinct (a, b) fold — same driver-fold rationale as
-        # q_pagerank_step: each partial is domain²-bounded, so a Ray
-        # shuffle would cost more than it saves
+        # per-block distinct (a, b) fold — same driver-fold rationale
+        # (and same bounded-domain ASSUMPTION) as q_pagerank_step
         return pa.TableGroupBy(t, ["a", "b"]).aggregate([])
 
     e = (ds.map_batches(extract, batch_format="pyarrow")
          .groupby("user_id").map_groups(upairs, batch_format="pandas")
          .map_batches(fold, batch_format="pyarrow", batch_size=None)
          .to_pandas())  # bounded by blocks · node-domain²
-    if not e.empty:
-        e = e.drop_duplicates(ignore_index=True)
+    e = e.drop_duplicates(ignore_index=True)
     if e.empty:
         return pa.table({"n_nodes": pa.array([0], pa.int64()),
                          "n_edges": pa.array([0], pa.int64()),
