@@ -10523,6 +10523,117 @@ GROUP BY bg.doc_id
 """
 
 
+_RAU_WINDOW_DAYS = 7
+
+
+def q_rolling_active_users(sf_dir: str):
+    """Trailing 7-day active users per observed day — the windowed COUNT
+    DISTINCT no plain rolling sum can express (a user active twice in the
+    window still counts once). Plan: per-batch distinct (user, day) pairs
+    expand to the ≤7 window days they cover (pure numpy outer-add), ONE
+    global distinct shuffle over the expanded pairs dedups cross-batch,
+    then per-block per-day count folds sum on the driver (the day domain
+    is small — same bounded-domain driver-fold contract as
+    q_pagerank_step). Days are integer epoch-days on both sides."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    day_us = 86_400_000_000
+    w = _RAU_WINDOW_DAYS
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // day_us
+        g = pa.TableGroupBy(
+            pa.table({"user_id": t["user_id"],
+                      "day": pa.array(day, pa.int64())}),
+            ["user_id", "day"]).aggregate([])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        e = pa.table({
+            "user_id": pa.array(np.repeat(u, w)),
+            "cd": pa.array((d[:, None] + np.arange(w, dtype=np.int64))
+                           .ravel()),
+        })
+        return pa.TableGroupBy(e, ["user_id", "cd"]).aggregate([])
+
+    dist = (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["user_id", "cd"]).aggregate(Count(alias_name="c")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "cd").aggregate([([], "count_all")])
+        return g.rename_columns(["cd", "n"])
+
+    counts = (dist.map_batches(fold, batch_format="pyarrow",
+                               batch_size=None).to_pandas())
+    if counts.empty:
+        return _empty_frame({"day": "int64", "active_users": "int64"})
+    per_day = counts.groupby("cd", as_index=False)["n"].sum()
+
+    def obs_days(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // day_us
+        return pa.table({"day": pa.array(np.unique(day))})
+
+    observed = np.unique(
+        ds.map_batches(obs_days, batch_format="pyarrow")
+        .to_pandas()["day"].to_numpy())
+    out = per_day[per_day["cd"].isin(observed)].sort_values("cd")
+    return pd.DataFrame({
+        "day": out["cd"].to_numpy(np.int64),
+        "active_users": out["n"].to_numpy(np.int64),
+    })
+
+
+SQL_ROLLING_ACTIVE_USERS = f"""
+WITH p AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // {86_400_000_000} AS day FROM events),
+days AS (SELECT DISTINCT day FROM p),
+e AS (SELECT user_id, day + u AS cd
+      FROM p CROSS JOIN (SELECT unnest(range({_RAU_WINDOW_DAYS})) AS u) s)
+SELECT d.day, count(DISTINCT e.user_id)::BIGINT AS active_users
+FROM days d JOIN e ON e.cd = d.day
+GROUP BY d.day ORDER BY d.day
+"""
+
+
+def q_percentile_rank(sf_dir: str):
+    """Integer-exact cumulative-distribution rank per event within its
+    event_type: rank_le = how many rows of the group have value ≤ this
+    row's value (ties share a rank — SQL RANGE-mode running count), n =
+    group size. The (rank_le, n) integer pair IS cume_dist without the
+    float division whose last-ulp ties would break the value-hash gate.
+    Per-group body is one argsort + one searchsorted — O(n log n)
+    vectorized, no Python loop; groupby(event_type) shuffles three
+    columns only."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        sv = np.sort(v)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "event_type": g["event_type"].to_numpy(),
+            "rank_le": np.searchsorted(sv, v, side="right").astype(np.int64),
+            "n": np.full(len(v), len(v), np.int64),
+        })
+
+    return ds.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+SQL_PERCENTILE_RANK = """
+SELECT event_id, event_type,
+       (count(*) OVER (PARTITION BY event_type ORDER BY value
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))::BIGINT AS rank_le,
+       (count(*) OVER (PARTITION BY event_type))::BIGINT AS n
+FROM events
+"""
+
+
 QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "dq_audit": q_dq_audit,
@@ -10684,6 +10795,8 @@ QUERIES = {
     "mode_by_group": q_mode_by_group,
     "kn_continuation": q_kn_continuation,
     "oov_bigrams": q_oov_bigrams,
+    "rolling_active_users": q_rolling_active_users,
+    "percentile_rank": q_percentile_rank,
 }
 
 ORACLES = {
@@ -10837,4 +10950,6 @@ ORACLES = {
     "mode_by_group": SQL_MODE_BY_GROUP,
     "kn_continuation": SQL_KN_CONTINUATION,
     "oov_bigrams": SQL_OOV_BIGRAMS,
+    "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
+    "percentile_rank": SQL_PERCENTILE_RANK,
 }
