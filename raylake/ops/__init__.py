@@ -11,3 +11,4 @@ from raylake.ops.clone import clone_table  # noqa: F401
 from raylake.ops.maintain import run_with_retry  # noqa: F401
 from raylake.ops.manifests import rewrite_manifests  # noqa: F401
 from raylake.ops.add_files import add_files  # noqa: F401
+from raylake.ops.overwrite import overwrite_partitions  # noqa: F401

@@ -10523,6 +10523,73 @@ GROUP BY bg.doc_id
 """
 
 
+def q_overwrite_partition_scan(sf_dir: str):
+    """Dynamic partition overwrite end-to-end (ops/overwrite.py — Spark
+    dynamic INSERT OVERWRITE / Delta replaceWhere / Iceberg
+    overwritePartitions parity): ingest events into a day-partitioned
+    table, then RESTATE every 7th day with corrected rows (value negated,
+    'view' events dropped) in ONE atomic partition swap. The oracle
+    transcribes the exact dynamic rule, including the subtle case no
+    UPDATE can express: a day%7==0 day whose restatement is EMPTY (all
+    its events were views) contributes no incoming partition, so it is
+    NOT replaced and keeps its original rows — and replaced days can
+    SHRINK (dropped views), which copy-on-write UPDATE cannot do.
+    Scale shape: the restatement writes through the no-shuffle append
+    writer; the commit is metadata-only beyond the new files."""
+    import shutil
+    import tempfile
+
+    from raylake.core.table import Table
+    from raylake.ops import overwrite_partitions
+    from raylake.ops.append import append
+
+    rd = _rd()
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=cols)
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("event_type", pa.string()), ("value", pa.float64()),
+        ("ts", pa.timestamp("us")),
+    ])
+    root = tempfile.mkdtemp(prefix="raylake_ovwpart_")
+    try:
+        tbl = Table.create(os.path.join(root, "t"), schema,
+                           partition_column="ts", partition_transform="day",
+                           sort_order=("event_id",))
+        append(tbl, ds, batch_size=4096)
+        tbl.refresh()
+
+        def restate(b: pa.Table) -> pa.Table:
+            day = pc.cast(b["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False) // US_DAY
+            keep = (day % 7 == 0) & pc.not_equal(
+                b["event_type"], "view").to_numpy(zero_copy_only=False)
+            sub = b.filter(pa.array(keep))
+            return sub.set_column(
+                sub.schema.get_field_index("value"), "value",
+                pc.negate(sub["value"]))
+
+        overwrite_partitions(tbl, ds.map_batches(
+            restate, batch_format="pyarrow"), batch_size=4096)
+        tbl.refresh()
+        return tbl.scan_arrow(sort=True).select(cols)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_OVERWRITE_PARTITION_SCAN = f"""
+WITH d AS (SELECT epoch_us(ts) // {US_DAY} AS day, * FROM events),
+touched AS (SELECT DISTINCT day FROM d
+            WHERE day % 7 = 0 AND event_type <> 'view')
+SELECT event_id, user_id, event_type,
+       CASE WHEN t.day IS NOT NULL THEN -value ELSE value END AS value,
+       ts
+FROM d LEFT JOIN touched t USING (day)
+WHERE t.day IS NULL OR event_type <> 'view'
+ORDER BY event_id
+"""
+
+
 _RAU_WINDOW_DAYS = 7
 
 
@@ -10797,6 +10864,7 @@ QUERIES = {
     "oov_bigrams": q_oov_bigrams,
     "rolling_active_users": q_rolling_active_users,
     "percentile_rank": q_percentile_rank,
+    "overwrite_partition_scan": q_overwrite_partition_scan,
 }
 
 ORACLES = {
@@ -10952,4 +11020,5 @@ ORACLES = {
     "oov_bigrams": SQL_OOV_BIGRAMS,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "percentile_rank": SQL_PERCENTILE_RANK,
+    "overwrite_partition_scan": SQL_OVERWRITE_PARTITION_SCAN,
 }
