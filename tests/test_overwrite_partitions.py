@@ -170,3 +170,60 @@ def test_overwrite_partition_scan_empty_restatement_day(
     # day-7 view (4) dropped by the swap; day-1 click (5) untouched
     assert got["event_id"].to_pylist() == [1, 2, 3, 5]
     assert got["value"].to_pylist() == [1.0, 2.0, -3.0, 5.0]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000), rounds=st.integers(1, 3))
+def test_overwrite_random_restatements_match_model(seed, rounds,
+                                                   tmp_path_factory,
+                                                   ray_session):
+    """Model-based fuzz: apply 1-3 random dynamic overwrites (each a
+    random subset of conv_ids with regenerated rows) and compare the
+    final scan against a pandas dict model keyed by partition id —
+    untouched partitions keep the model's prior rows verbatim."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    base = gen_transcripts(600, seed=int(rng.integers(1, 1_000)))
+    root = str(tmp_path_factory.mktemp("ovw") / "t")
+    t = Table.create(root, base.schema, partition_column="conv_id",
+                     num_buckets=4)
+    append(t, base)
+
+    # model: partition id -> pandas frame of that partition's rows
+    def frame_by_part(tbl: pa.Table) -> dict:
+        df = tbl.to_pandas()
+        df["_p"] = t.partition_ids(tbl["conv_id"])
+        return {p: g.drop(columns="_p") for p, g in df.groupby("_p")}
+
+    model = frame_by_part(base)
+    for r in range(rounds):
+        convs = pd.unique(base.to_pandas()["conv_id"])
+        pick = rng.choice(convs, size=max(1, len(convs) // 3), replace=False)
+        new = gen_transcripts(200, seed=int(rng.integers(1, 1_000)),
+                              salt=r + 1)
+        reassigned = pa.array(
+            np.asarray(pick)[
+                rng.integers(0, len(pick), len(new))].astype(object),
+            pa.string())
+        new = new.set_column(new.schema.get_field_index("conv_id"),
+                             "conv_id", reassigned)
+        snap = overwrite_partitions(t, new)
+        touched = set(snap.summary["overwritten_partitions"])
+        assert touched == set(int(p) for p in
+                              np.unique(t.partition_ids(new["conv_id"])))
+        for p, g in frame_by_part(new).items():
+            model[p] = g  # replaced wholesale
+
+        got = (t.scan_arrow(sort=True).to_pandas()
+               .sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+               .reset_index(drop=True))
+        want = (pd.concat(model.values(), ignore_index=True)
+                .sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
