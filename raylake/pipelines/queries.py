@@ -10701,6 +10701,132 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.6 — full outer join + list-column explode (UNNEST WITH ORDINALITY)
+# ---------------------------------------------------------------------------
+
+def q_full_outer_counts(sf_dir: str):
+    """FULL OUTER JOIN of two aggregates — per-user event counts vs
+    per-customer big-order counts (o_totalprice > 400000; the threshold is
+    chosen so all three row classes exist: matched, left-only, right-only).
+    The Ray plan is a tagged union: each side emits per-batch partial
+    (k, n_events, n_orders) rows with the other side's column zeroed, the
+    union flows through ONE groupby(k) shuffle, and a final vectorized pass
+    converts the zero sentinel back to NULL. A count of zero is impossible
+    for a key that appeared on a side, so the sentinel is lossless — the
+    standard way to express full-outer aggregation without a join operator.
+    One shuffle total, and only (k, two int64 partials) move."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def e_part(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(pa.table({"k": t["user_id"]}), "k").aggregate(
+            [([], "count_all")])
+        n = pc.cast(g["count_all"], pa.int64())
+        return pa.table({"k": g["k"], "n_e": n,
+                         "n_o": pa.nulls(len(g), pa.int64()).fill_null(0)})
+
+    def o_part(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["o_totalprice"], 400000.0)
+        g = pa.TableGroupBy(
+            pa.table({"k": t.filter(keep)["o_custkey"]}), "k").aggregate(
+            [([], "count_all")])
+        n = pc.cast(g["count_all"], pa.int64())
+        return pa.table({"k": g["k"],
+                         "n_e": pa.nulls(len(g), pa.int64()).fill_null(0),
+                         "n_o": n})
+
+    u = (ev.map_batches(e_part, batch_format="pyarrow")
+         .union(orders.map_batches(o_part, batch_format="pyarrow"))
+         .groupby("k")
+         .aggregate(Sum("n_e", alias_name="se"), Sum("n_o", alias_name="so")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        null = pa.scalar(None, pa.int64())
+        return pa.table({
+            "k": t["k"],
+            "n_events": pc.if_else(pc.equal(t["se"], zero), null, t["se"]),
+            "n_orders": pc.if_else(pc.equal(t["so"], zero), null, t["so"]),
+        })
+
+    return u.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_FULL_OUTER_COUNTS = """
+WITH e AS (SELECT user_id AS k, count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+     o AS (SELECT o_custkey AS k, count(*)::BIGINT AS n
+           FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+SELECT COALESCE(e.k, o.k) AS k, e.n AS n_events, o.n AS n_orders
+FROM e FULL OUTER JOIN o ON e.k = o.k
+"""
+
+
+def q_explode_embeddings(sf_dir: str):
+    """List-column explode (UNNEST WITH ORDINALITY): flatten the
+    `embedding: list<float>` column to (ordinal position, value) and
+    aggregate per position — count and an integer-exact micro-unit sum
+    (floor(val·1e6): the oracle widens with an explicit CAST(val AS DOUBLE)
+    — DuckDB otherwise multiplies FLOAT·1e6 in float32 and floors a
+    different value — so the widening, multiply, and floor are the
+    identical IEEE ops on both sides and no rounding-mode tie can diverge;
+    int64 accumulation via np.add.at, never float bincount).
+    The explode itself is pure offset arithmetic on the Arrow ListArray —
+    no per-row Python, no materialized exploded table: each batch folds
+    straight to a dim-bounded partial (embedding dim here 64), and the
+    driver sums O(blocks · dim) partial rows instead of paying a Ray
+    shuffle for a dim-bounded result. This ASSUMES the bounded embedding
+    dimension; an unbounded list length would need the distributed
+    groupby("idx") plan instead."""
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["embedding"])
+
+    def part(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        assert len(vals) == lens.sum()  # canonical offsets (parquet read)
+        if len(vals) == 0:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_micro": pa.array([], pa.int64())})
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        micro = np.floor(vals * 1_000_000.0).astype(np.int64)
+        nmax = int(lens.max())
+        n = np.zeros(nmax, np.int64)
+        np.add.at(n, pos, 1)
+        s = np.zeros(nmax, np.int64)
+        np.add.at(s, pos, micro)
+        return pa.table({"idx": pa.array(np.arange(1, nmax + 1, dtype=np.int64)),
+                         "n": pa.array(n), "sum_micro": pa.array(s)})
+
+    parts = (ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+             .to_pandas())
+    if parts.empty:
+        return _empty_frame({"idx": "int64", "n": "int64",
+                             "sum_micro": "int64"})
+    return (parts.groupby("idx", as_index=False)[["n", "sum_micro"]].sum()
+            .astype(np.int64))
+
+
+SQL_EXPLODE_EMBEDDINGS = """
+SELECT idx, count(*)::BIGINT AS n,
+       sum(CAST(floor(CAST(val AS DOUBLE)*1000000) AS BIGINT))::BIGINT
+           AS sum_micro
+FROM (SELECT UNNEST(embedding) AS val,
+             UNNEST(range(1, len(embedding)+1)) AS idx
+      FROM embeddings)
+GROUP BY idx
+"""
+
+
 QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "dq_audit": q_dq_audit,
@@ -10865,6 +10991,8 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "percentile_rank": q_percentile_rank,
     "overwrite_partition_scan": q_overwrite_partition_scan,
+    "full_outer_counts": q_full_outer_counts,
+    "explode_embeddings": q_explode_embeddings,
 }
 
 ORACLES = {
@@ -11021,4 +11149,6 @@ ORACLES = {
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "percentile_rank": SQL_PERCENTILE_RANK,
     "overwrite_partition_scan": SQL_OVERWRITE_PARTITION_SCAN,
+    "full_outer_counts": SQL_FULL_OUTER_COUNTS,
+    "explode_embeddings": SQL_EXPLODE_EMBEDDINGS,
 }
