@@ -201,3 +201,53 @@ def test_levenshtein_kernel_matches_duckdb():
         got = levenshtein(a, b)
         assert got == want, (a, b, got, want)
         assert got >= abs(len(a.encode()) - len(b.encode()))
+
+
+def test_bucket_pairs_small_matches_join_path(ray_session):
+    """The driver-side bucket-pair expansion (cap-bounded band rows) must
+    emit exactly the join path's pair multiset: each unordered pair once
+    per shared bucket, doc_a < doc_b, band_id carried from the bucket."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylake.pipelines import queries as Q
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    tbl = pa.table({
+        "band_id": rng.integers(0, 4, n).astype(np.int32),
+        "band_hash": pa.array([f"h{v}" for v in rng.integers(0, 700, n)]),
+        "doc_id": rng.integers(0, 1200, n).astype(np.int64),
+    })
+    bands = rd.from_arrow(tbl).repartition(4).materialize()
+
+    small = Q._bucket_pairs_small(bands, ["band_id", "band_hash"],
+                                  carry_band=True).to_pandas()
+    old = Q._PAIRS_DRIVER_BYTES
+    try:
+        Q._PAIRS_DRIVER_BYTES = 0  # force the distributed-join branch
+        joined = Q._bucket_pairs_join(bands, ["band_id", "band_hash"],
+                                      carry_band=True).to_pandas()
+    finally:
+        Q._PAIRS_DRIVER_BYTES = old
+
+    key = ["doc_a", "doc_b", "band_id"]
+    a = sorted(map(tuple, small[key].itertuples(index=False)))
+    b = sorted(map(tuple, joined[key].itertuples(index=False)))
+    assert a == b and len(a) > 0
+    assert (small.doc_a < small.doc_b).all()
+
+    # skew guard: one giant bucket over the pair cap falls back (None)
+    big = rd.from_arrow(pa.table({
+        "band_id": np.zeros(12000, np.int32),
+        "band_hash": pa.array(["same"] * 12000),
+        "doc_id": np.arange(12000, dtype=np.int64),
+    })).materialize()
+    old_max = Q._PAIRS_DRIVER_MAX
+    try:
+        Q._PAIRS_DRIVER_MAX = 1000
+        assert Q._bucket_pairs_small(big, ["band_id", "band_hash"],
+                                     carry_band=False) is None
+    finally:
+        Q._PAIRS_DRIVER_MAX = old_max
