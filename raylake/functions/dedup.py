@@ -199,7 +199,7 @@ class SimHasher:
         return batch
 
 
-def levenshtein(a: str, b: str) -> int:
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
     """Exact Levenshtein distance over UTF-8 BYTES — DuckDB's
     levenshtein() operates on bytes, not codepoints (verified:
     levenshtein('é','a') = 2), and matching it byte-for-byte is the
@@ -209,7 +209,14 @@ def levenshtein(a: str, b: str) -> int:
     steps): the sequential insertion recurrence cur[j] = min(tmp[j],
     cur[j-1]+1) is solved in closed form via the f[j] = cur[j] − j
     transform — f is a running minimum, so one np.minimum.accumulate
-    per row."""
+    per row.
+
+    `cap`: early-exit threshold — when every entry of a DP row exceeds it
+    the true distance must too (a row's minimum is non-decreasing in i:
+    every d[i][j] derives from row i-1 or earlier-in-row entries plus a
+    non-negative step), so `cap + 1` returns immediately. Callers that
+    only test `dist <= cap` lose nothing; the returned value is exact
+    whenever it is ≤ cap."""
     if a == b:
         return 0
     ab, bb = a.encode("utf-8"), b.encode("utf-8")
@@ -225,4 +232,6 @@ def levenshtein(a: str, b: str) -> int:
         tmp = np.minimum(prev[1:] + 1, sub)        # deletion vs sub
         vals = np.concatenate(([i], tmp)) - js     # fold sequential insert
         prev = np.minimum.accumulate(vals) + js
+        if cap is not None and prev.min() > cap:
+            return cap + 1
     return int(prev[-1])

@@ -1940,70 +1940,97 @@ _PAIRS_DRIVER_BYTES = 128 << 20
 _PAIRS_DRIVER_MAX = 50_000_000
 
 
-def _bucket_pairs_small(rows, keys, carry_band):
-    """Driver-side bucket-pair expansion for cap-bounded band-row sets:
-    lexsort by (keys..., doc_id), detect bucket runs, emit all in-bucket
-    (earlier, later) pairs via vectorized repeat/cumsum index arithmetic.
-    Returns None when the pair volume trips the skew guard (caller falls
-    back to the distributed join). Emission semantics match the join path
-    exactly: each unordered pair once per shared bucket, doc_a < doc_b."""
+def _bucket_pair_indices(rows, keys, cols):
+    """Driver-side bucket-pair INDEX expansion for cap-bounded bucket-row
+    sets: lexsort by (keys..., doc_id), detect bucket runs, emit all
+    in-bucket (earlier, later) index pairs via vectorized repeat/cumsum
+    arithmetic. Returns (data, a_idx, b_idx) where `data` maps each
+    requested column name to its run-sorted numpy array — so
+    data["doc_id"][a_idx] < data["doc_id"][b_idx] always holds strictly
+    when doc ids are unique per bucket (doc_id is the sort tiebreaker).
+    Returns None when `rows` exceeds _PAIRS_DRIVER_BYTES or the pair
+    volume Σ L(L-1)/2 trips _PAIRS_DRIVER_MAX — callers fall back to the
+    distributed self-join (the 100 TB path). `rows` must be materialized
+    (size_bytes is then metadata). total == 0 yields empty index arrays."""
     import ray as _ray
 
+    if (rows.size_bytes() or 0) > _PAIRS_DRIVER_BYTES:
+        return None
     parts = [t for t in _ray.get(rows.to_arrow_refs()) if len(t)]
+    empty_idx = np.array([], np.int64)
     if not parts:
-        out = {"doc_a": pa.array([], pa.int64()),
-               "doc_b": pa.array([], pa.int64())}
-        if carry_band:
-            out["band_id"] = pa.array([], pa.int64())
-        return _rd().from_arrow(pa.table(out))
+        return ({c: empty_idx for c in cols}, empty_idx, empty_idx)
     tbl = pa.concat_tables(parts).combine_chunks()
-    cols = []
+
+    def col_np(name):
+        arr = tbl.column(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return arr.to_numpy(zero_copy_only=False)
+
+    sort_cols = []
     for k in keys:
         arr = tbl.column(k)
         if pa.types.is_integer(arr.type):
-            cols.append(arr.to_numpy(zero_copy_only=False)
-                        if isinstance(arr, pa.Array)
-                        else arr.combine_chunks().to_numpy(
-                            zero_copy_only=False))
-        else:  # string band hashes: factorize to int codes for lexsort
-            cols.append(pd.factorize(arr.to_pandas())[0])
-    doc = tbl.column("doc_id").combine_chunks().to_numpy(
-        zero_copy_only=False)
-    order = np.lexsort((doc, *reversed(cols)))  # primary = keys[0]
-    sd = doc[order]
-    n = len(sd)
+            sort_cols.append(col_np(k))
+        else:  # string bucket keys: factorize to int codes for lexsort
+            sort_cols.append(pd.factorize(arr.to_pandas())[0])
+    doc = col_np("doc_id")
+    order = np.lexsort((doc, *reversed(sort_cols)))  # primary = keys[0]
+    n = len(doc)
     newgrp = np.zeros(n, dtype=bool)
     newgrp[0] = True
-    for c in cols:
+    for c in sort_cols:
         cs = c[order]
         newgrp[1:] |= cs[1:] != cs[:-1]
     grp_start = np.flatnonzero(newgrp)
-    run_id = np.cumsum(newgrp) - 1
-    run_start_per_row = grp_start[run_id]
+    run_start_per_row = grp_start[np.cumsum(newgrp) - 1]
     pos = np.arange(n) - run_start_per_row  # 0-based position within run
     total = int(pos.sum())  # Σ L(L-1)/2 over buckets
     if total > _PAIRS_DRIVER_MAX:
         return None  # pathological skew: stream it through the join
-    band_sorted = None
-    if carry_band:
-        band_sorted = tbl.column("band_id").combine_chunks().to_numpy(
-            zero_copy_only=False)[order]
+    data = {c: col_np(c)[order] for c in cols}
     if total == 0:
-        out = {"doc_a": sd[:0], "doc_b": sd[:0]}
-        if carry_band:
-            out["band_id"] = band_sorted[:0]
-        return _rd().from_arrow(pa.table(out))
-    # row at position p pairs (as doc_b) with its p earlier run-mates
+        return (data, empty_idx, empty_idx)
+    # row at position p pairs (as the b side) with its p earlier run-mates
     b_idx = np.repeat(np.arange(n), pos)
     csum = np.concatenate(([0], np.cumsum(pos)[:-1]))
     within = np.arange(total) - np.repeat(csum, pos)
     a_idx = np.repeat(run_start_per_row, pos) + within
-    da, db = sd[a_idx], sd[b_idx]
+    return (data, a_idx, b_idx)
+
+
+def _from_arrow_blocks(tbl: pa.Table, rows_per_block: int = 8192):
+    """Dataset from a driver-built Arrow table, split into multiple blocks —
+    ONE from_arrow block would serialize every downstream map_batches into
+    a single task (measured: a 125k-pair verify ran 53 s single-block vs
+    9.7 s over the join path's many blocks). Zero-copy slices."""
+    if len(tbl) <= rows_per_block:
+        return _rd().from_arrow(tbl)
+    return _rd().from_arrow([tbl.slice(i, rows_per_block)
+                             for i in range(0, len(tbl), rows_per_block)])
+
+
+def _bucket_pairs_small(rows, keys, carry_band):
+    """Driver-side bucket-pair expansion for cap-bounded band-row sets,
+    built on _bucket_pair_indices. Emission semantics match the join path
+    exactly: each unordered pair once per shared bucket, doc_a < doc_b.
+    Returns None when the cap/skew guards trip (caller falls back to the
+    distributed join)."""
+    cols = ["doc_id"] + (["band_id"] if carry_band else [])
+    res = _bucket_pair_indices(rows, keys, cols)
+    if res is None:
+        return None
+    data, a_idx, b_idx = res
+    da, db = data["doc_id"][a_idx], data["doc_id"][b_idx]
     keep = da < db  # strict, matching the join's pc.less filter
     out = {"doc_a": da[keep], "doc_b": db[keep]}
     if carry_band:
-        out["band_id"] = band_sorted[a_idx][keep]
-    return _rd().from_arrow(pa.table(out))
+        out["band_id"] = data["band_id"][a_idx][keep]
+    if len(da) == 0 and carry_band and len(data["band_id"]) == 0:
+        # preserve int64 band dtype on fully-empty inputs
+        out["band_id"] = np.array([], np.int64)
+    return _from_arrow_blocks(pa.table(out))
 
 
 def _bucket_pairs_join(rows, keys, carry_band=False):
@@ -2043,14 +2070,15 @@ def _bucket_pairs_join(rows, keys, carry_band=False):
             .map_batches(pairs, batch_format="pyarrow"))
 
 
-def _attach_pair_sigs(cand, sigs, sig_col):
-    """Attach per-doc int64 signatures to candidate (doc_a, doc_b) pairs as
-    sig_a/sig_b columns, SIZE-ADAPTIVELY: a cap-bounded (≤64 MB metadata
-    size on the materialized `sigs`) {doc_id: sig} map broadcasts once via
-    ray.put and resolves per batch; over the cap (10^10+ docs — the map
-    would be tens of GB) the pairs hash-join back to the signature stream
-    on both sides, exactly as _verify_jaccard's blob branch. Shared by
-    simhash_neardup and rhp_neardup."""
+def _attach_pair_sigs(cand, sigs, sig_col, out_prefix="sig"):
+    """Attach a per-doc payload column to candidate (doc_a, doc_b) pairs as
+    {out_prefix}_a/{out_prefix}_b columns, SIZE-ADAPTIVELY: a cap-bounded
+    (≤64 MB metadata size on the materialized `sigs`) {doc_id: value} map
+    broadcasts once via ray.put and resolves per batch; over the cap
+    (10^10+ docs — the map would be tens of GB) the pairs hash-join back
+    to the payload stream on both sides, exactly as _verify_jaccard's
+    blob branch. Shared by simhash_neardup, rhp_neardup (int64 sigs) and
+    levenshtein_neardup (candidate texts)."""
     import ray as _ray
 
     if (sigs.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
@@ -2063,12 +2091,15 @@ def _attach_pair_sigs(cand, sigs, sig_col):
 
         def attach(t: pa.Table) -> pa.Table:
             m = _ray.get(sig_ref)
-            sa = np.fromiter((m[d] for d in t["doc_a"].to_pylist()),
-                             np.int64, len(t))
-            sb = np.fromiter((m[d] for d in t["doc_b"].to_pylist()),
-                             np.int64, len(t))
-            return (t.append_column("sig_a", pa.array(sa))
-                    .append_column("sig_b", pa.array(sb)))
+            if len(t) == 0:  # typed empties (bare pa.array([]) is null-type)
+                proto = (pa.array(list(m.values())[:1]).slice(0, 0)
+                         if m else pa.array([], pa.int64()))
+                return (t.append_column(f"{out_prefix}_a", proto)
+                        .append_column(f"{out_prefix}_b", proto))
+            sa = pa.array([m[d] for d in t["doc_a"].to_pylist()])
+            sb = pa.array([m[d] for d in t["doc_b"].to_pylist()])
+            return (t.append_column(f"{out_prefix}_a", sa)
+                    .append_column(f"{out_prefix}_b", sb))
 
         return cand.map_batches(attach, batch_format="pyarrow")
 
@@ -2076,12 +2107,12 @@ def _attach_pair_sigs(cand, sigs, sig_col):
         return sigs.map_batches(
             lambda t, id_name=id_name, suffix=suffix: pa.table({
                 id_name: t["doc_id"],
-                f"sig{suffix}": t[sig_col],
+                f"{out_prefix}{suffix}": t[sig_col],
             }), batch_format="pyarrow")
 
-    # n_docs bounds both join sides (signatures are 1/doc; candidate pairs
-    # are band-bucket-bounded) — a cheap metadata count on the materialized
-    # signature set
+    # n_docs bounds both join sides (payloads are 1/doc; candidate pairs
+    # are bucket-bounded) — a cheap metadata count on the materialized
+    # payload set
     return _join_pair_sides(cand, side, rows_hint=sigs.count())
 
 
@@ -2358,11 +2389,27 @@ def q_jaccard_neardup(sf_dir: str):
         u, c = np.unique(flat, return_counts=True)
         return pa.table({"hv": pa.array(u.view(np.int64)), "c": pa.array(c)})
 
-    df_tbl = (hset.map_batches(gram_partials, batch_format="pyarrow")
-              .groupby("hv").aggregate(Sum("c", alias_name="df"))
-              .map_batches(lambda t: t.filter(pc.greater(t["df"], 1)),
-                           batch_format="pyarrow")
-              .to_pandas())  # repeated grams only — the broadcastable core
+    # Document-frequency fold, SIZE-ADAPTIVE: the per-batch (hv, c) partial
+    # stream is ≤ 2× the packed-blob bytes, so under the broadcast cap one
+    # driver-side np.unique/bincount fold replaces the Aggregate all-to-all
+    # (measured 4.2 s of mostly fixed shuffle cost at sf0.1 vs ~0.3 s);
+    # over the cap the distributed groupby stays (the 100 TB path — the df
+    # map itself must then be replaced by a sampled/approximate order
+    # anyway, see docstring).
+    if (hset.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        gp = (hset.map_batches(gram_partials, batch_format="pyarrow")
+              .to_pandas())
+        hvp = gp["hv"].to_numpy()
+        u, inv = np.unique(hvp, return_inverse=True)
+        tot = np.bincount(inv, weights=gp["c"].to_numpy()).astype(np.int64)
+        mask = tot > 1
+        df_tbl = pd.DataFrame({"hv": u[mask], "df": tot[mask]})
+    else:
+        df_tbl = (hset.map_batches(gram_partials, batch_format="pyarrow")
+                  .groupby("hv").aggregate(Sum("c", alias_name="df"))
+                  .map_batches(lambda t: t.filter(pc.greater(t["df"], 1)),
+                               batch_format="pyarrow")
+                  .to_pandas())  # repeated grams only — broadcastable core
     if df_tbl.empty:  # no repeated gram anywhere → column-less frame
         df_tbl = _empty_frame({"hv": "int64", "df": "int64"})
     hv_u64 = df_tbl["hv"].to_numpy().view(np.uint64)
@@ -2432,16 +2479,39 @@ def q_jaccard_neardup(sf_dir: str):
                  >= (na + nb + 2) // 3)
         return t.filter(pa.array(keep)).select(["doc_a", "doc_b"])
 
-    cand = (
-        _hash_join(side("doc_a", "na", "pa_"),
-                   side("doc_b", "nb_", "pb_"), on=("hv",))
-        .map_batches(pair_filter, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])  # distributed pair dedup (see docstring)
-        .aggregate(Count(alias_name="nb"))
-        .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
-                     batch_format="pyarrow")
-        .materialize()  # object store (bounded by |candidates|), not driver
-    )
+    # Candidate generation is the bucket-pair pattern keyed on hv with
+    # per-side (setsize, prefix-pos) payloads: cap-bounded prefix rows
+    # expand on the driver (one lexsort+run pass + vectorized filters +
+    # np.unique pair dedup); over the cap/skew guards the distributed
+    # self-join + groupby dedup streams the same pairs (the 100 TB path).
+    idx = _bucket_pair_indices(pre, ["hv"], ["doc_id", "n", "pos"])
+    if idx is not None:
+        data, ai, bi = idx
+        # _bucket_pair_indices tiebreaks on doc_id, so doc_a < doc_b holds
+        na = data["n"][ai]
+        nb_ = data["n"][bi]
+        pi = data["pos"][ai]
+        pj = data["pos"][bi]
+        keep = np.maximum(na, nb_) <= 2 * np.minimum(na, nb_)
+        keep &= (1 + np.minimum(na - pi - 1, nb_ - pj - 1)
+                 >= (na + nb_ + 2) // 3)
+        pairs_u = np.unique(np.stack(
+            [data["doc_id"][ai][keep], data["doc_id"][bi][keep]], 1), axis=0)
+        cand = _from_arrow_blocks(pa.table({
+            "doc_a": pairs_u[:, 0], "doc_b": pairs_u[:, 1],
+        })).materialize()
+    else:
+        cand = (
+            _hash_join(side("doc_a", "na", "pa_"),
+                       side("doc_b", "nb_", "pb_"), on=("hv",),
+                       rows_hint=pre.count())
+            .map_batches(pair_filter, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"])  # distributed pair dedup (docstring)
+            .aggregate(Count(alias_name="nb"))
+            .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                         batch_format="pyarrow")
+            .materialize()  # object store (bounded by |candidates|)
+        )
     n_cand = cand.count()
     if n_cand == 0:
         return _JACCARD_EMPTY
@@ -2977,42 +3047,92 @@ def q_levenshtein_neardup(sf_dir: str):
     if keys.count() == 0:  # zero-block side crashes the Acero self-join
         return empty
 
-    def side(name):
-        return keys.map_batches(
-            lambda t, name=name: pa.table({
-                "blk": t["blk"], name: t["doc_id"],
-                f"L_{name}": t["L"]}),
-            batch_format="pyarrow")
+    # candidate generation is the bucket-pair pattern keyed on blk, with a
+    # per-pair |Δlen| ≤ τ filter — cap-bounded key rows expand on the
+    # driver (one lexsort+run pass, see _bucket_pair_indices); over the
+    # cap the distributed self-join streams the same pairs
+    idx = _bucket_pair_indices(keys, ["blk"], ["doc_id", "L"])
+    if idx is not None:
+        data, a_idx, b_idx = idx
+        la = data["L"][a_idx].astype(np.int64)
+        lb = data["L"][b_idx].astype(np.int64)
+        keep = np.abs(la - lb) <= _LEV_TAU
+        cand = _from_arrow_blocks(pa.table({
+            "doc_a": data["doc_id"][a_idx][keep],
+            "doc_b": data["doc_id"][b_idx][keep],
+        })).materialize()
+    else:
+        def side(name):
+            return keys.map_batches(
+                lambda t, name=name: pa.table({
+                    "blk": t["blk"], name: t["doc_id"],
+                    f"L_{name}": t["L"]}),
+                batch_format="pyarrow")
 
-    def pairs(t: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.less(t["doc_a"], t["doc_b"]),
-            pc.less_equal(pc.abs(pc.subtract(t["L_doc_a"], t["L_doc_b"])),
-                          pa.scalar(_LEV_TAU, pa.int32())))
-        return t.filter(keep).select(["doc_a", "doc_b"])
+        def pairs(t: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.less(t["doc_a"], t["doc_b"]),
+                pc.less_equal(
+                    pc.abs(pc.subtract(t["L_doc_a"], t["L_doc_b"])),
+                    pa.scalar(_LEV_TAU, pa.int32())))
+            return t.filter(keep).select(["doc_a", "doc_b"])
 
-    cand = (_hash_join(side("doc_a"), side("doc_b"), on=("blk",))
-            .map_batches(pairs, batch_format="pyarrow")
-            .materialize())
+        cand = (_hash_join(side("doc_a"), side("doc_b"), on=("blk",),
+                           rows_hint=keys.count())
+                .map_batches(pairs, batch_format="pyarrow")
+                .materialize())
     if cand.count() == 0:
         return empty
 
-    def texts(id_name, suffix):
-        return ds.map_batches(
-            lambda t, id_name=id_name, suffix=suffix: pa.table({
-                id_name: t["doc_id"], f"text{suffix}": t["text"]}),
-            batch_format="pyarrow")
+    # texts reach the verify for CANDIDATE docs only: broadcast the
+    # candidate-id set, filter the corpus to it, then size-adaptively
+    # attach (cap-bounded candidate texts broadcast once; over the cap
+    # they hash-join back on both sides)
+    import ray as _ray
 
-    joined = _join_pair_sides(cand, texts, rows_hint=keys.count())
+    idp = cand.map_batches(
+        lambda t: pa.table({"doc_id": np.unique(np.concatenate(
+            [t["doc_a"].to_numpy(), t["doc_b"].to_numpy()]))}),
+        batch_format="pyarrow").to_pandas()
+    ids_ref = _ray.put(set(idp["doc_id"].tolist()))
+
+    def keep_cand_docs(t: pa.Table) -> pa.Table:
+        want = _ray.get(ids_ref)
+        mask = np.fromiter((int(d) in want for d in t["doc_id"].to_numpy()),
+                           bool, len(t))
+        return t.filter(pa.array(mask))
+
+    cand_texts = (ds.map_batches(keep_cand_docs, batch_format="pyarrow")
+                  .materialize())
+    joined = _attach_pair_sigs(cand, cand_texts, "text", out_prefix="text")
 
     def verify(t: pa.Table) -> pa.Table:
         ta = t["text_a"].to_pylist()
         tb = t["text_b"].to_pylist()
-        # per-pair kernel call: the pair count here is the BLOCKED
-        # candidate set (hundreds), not the corpus — each call is O(|a|)
-        # numpy ops, see functions/dedup.levenshtein
-        dist = np.fromiter((levenshtein(a, b) for a, b in zip(ta, tb)),
-                           np.int64, len(ta))
+        # Cascade: (1) byte-histogram lower bound — an insert/delete moves
+        # one histogram count, a substitution two, so edit_dist ≥
+        # L1(hist_a, hist_b)/2: a LOSSLESS prune that kills most blocked
+        # pairs before any DP (per-unique-text histograms cached within
+        # the batch); (2) the capped DP early-exits rows whose minimum
+        # already exceeds τ. Both exact for the `dist ≤ τ` test.
+        cache: dict = {}
+
+        def hist(s):
+            h = cache.get(s)
+            if h is None:
+                h = np.bincount(np.frombuffer(s.encode(), np.uint8),
+                                minlength=256)
+                cache[s] = h
+            return h
+
+        n = len(ta)
+        dist = np.full(n, _LEV_TAU + 1, np.int64)
+        if n:
+            ha = np.stack([hist(s) for s in ta])
+            hb = np.stack([hist(s) for s in tb])
+            lb = np.abs(ha - hb).sum(axis=1) // 2
+            for i in np.flatnonzero(lb <= _LEV_TAU):
+                dist[i] = levenshtein(ta[i], tb[i], cap=_LEV_TAU)
         keep = dist <= _LEV_TAU
         return pa.table({
             "doc_a": t["doc_a"].filter(pa.array(keep)),

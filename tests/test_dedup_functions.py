@@ -251,3 +251,25 @@ def test_bucket_pairs_small_matches_join_path(ray_session):
                                      carry_band=False) is None
     finally:
         Q._PAIRS_DRIVER_MAX = old_max
+
+
+def test_levenshtein_cap_early_exit_is_lossless():
+    """levenshtein(..., cap=k) must return the exact distance whenever it
+    is ≤ k, and any value > k otherwise — the `dist <= k` test is
+    unchanged by the early exit."""
+    import random
+
+    from raylake.functions.dedup import levenshtein
+
+    rng = random.Random(3)
+    alpha = "abcdef "
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40)))
+        exact = levenshtein(a, b)
+        for cap in (0, 1, 3, 8, 100):
+            got = levenshtein(a, b, cap=cap)
+            if exact <= cap:
+                assert got == exact, (a, b, cap, got, exact)
+            else:
+                assert got > cap, (a, b, cap, got, exact)
