@@ -1746,14 +1746,43 @@ def q_neardup_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: edge-byte cap for driver-side connected components: the union-find is a
+#: Python loop (~1 µs/edge), so the cap is tighter than _PAIRS_DRIVER_BYTES
+#: — ~1M edges ≈ 1 s. Each BSP superstep costs a hash join + union +
+#: groupby of fixed all-to-all overhead, so small verified-pair graphs
+#: (the common case after LSH + verify) finish ~10× faster on the driver.
+_CC_DRIVER_BYTES = 16 << 20
+
+
 def _components_bsp(edges):
     """BSP min-label propagation over a MATERIALIZED both-direction edge
     Dataset (src, dst) → Dataset (v, l) where l is the component's min node
     id. Shared by q_neardup_components (embedding graph) and
     q_neardup_dedup (MinHash graph); the scale analysis lives on
     q_neardup_components' docstring. Returns None for an empty graph.
-    Driver state is the O(1) label-sum convergence checksum only."""
+    Driver state is the O(1) label-sum convergence checksum only.
+    SIZE-ADAPTIVE: a cap-bounded edge set resolves via driver union-find
+    (union-by-min ⇒ every root is its component's min node — the same
+    label the BSP converges to); over the cap the distributed supersteps
+    run (the 100 TB path — a web-scale dup graph can cover ~40% of the
+    corpus)."""
     from ray.data.aggregate import Min
+
+    if (edges.size_bytes() or 0) <= _CC_DRIVER_BYTES:
+        import ray as _ray
+
+        from raylake.functions.dedup import cluster_pairs
+
+        parts = [t for t in _ray.get(edges.to_arrow_refs()) if len(t)]
+        if not parts:
+            return None
+        et = pa.concat_tables(parts)
+        src = et["src"].to_numpy(zero_copy_only=False)
+        dst = et["dst"].to_numpy(zero_copy_only=False)
+        comp = cluster_pairs(list(zip(src.tolist(), dst.tolist())))
+        vs = np.fromiter(comp.keys(), np.int64, len(comp))
+        ls = np.fromiter(comp.values(), np.int64, len(comp))
+        return _from_arrow_blocks(pa.table({"v": vs, "l": ls}))
 
     lab = edges.groupby("src").aggregate(Min("dst")).map_batches(
         lambda b: pa.table({
@@ -2791,8 +2820,29 @@ def q_neardup_dedup(sf_dir: str):
     })).materialize()  # both join sides + every superstep consume this
     comp = _components_bsp(edges)  # (v, l) — only docs in the dup graph
 
-    out = _hash_join(docs, comp, on=("doc_id",), right_on=("v",),
-                     how="left_outer")
+    # final verdict join, SIZE-ADAPTIVE: the label table is O(dup-graph
+    # nodes) — under the broadcast cap it ships once via ray.put and the
+    # corpus id stream maps against it; over the cap (web-scale graphs
+    # cover ~40% of the corpus) the LEFT OUTER hash join streams it
+    if (comp.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        import ray as _ray
+
+        lmap = {}
+        for b in comp.iter_batches(batch_format="pyarrow"):
+            lmap.update(zip(b["v"].to_pylist(), b["l"].to_pylist()))
+        lref = _ray.put(lmap)
+        del lmap
+
+        def attach_l(t: pa.Table) -> pa.Table:
+            m = _ray.get(lref)
+            vals = pa.array([m.get(d) for d in t["doc_id"].to_pylist()],
+                            pa.int64())
+            return t.append_column("l", vals)
+
+        out = docs.map_batches(attach_l, batch_format="pyarrow")
+    else:
+        out = _hash_join(docs, comp, on=("doc_id",), right_on=("v",),
+                         how="left_outer")
 
     def verdict(t: pa.Table) -> pa.Table:
         component = pc.coalesce(t["l"], t["doc_id"])
@@ -9162,7 +9212,6 @@ def q_bloom_semi_join(sf_dir: str):
     tests/test_query_helpers.py), because survivors still pass through the
     exact distributed join."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
     from raylake.functions.sketch import bloom_bits
     from raylake.stages.joins import BloomKeyFilter
@@ -9191,7 +9240,8 @@ def q_bloom_semi_join(sf_dir: str):
         BloomKeyFilter,
         fn_constructor_kwargs={"bits_ref": bits_ref, "key_col": "l_orderkey"},
         batch_format="pyarrow", concurrency=(1, 4),
-    )
+    )  # stays streamed: probe scan overlaps the join (materializing it for
+    # an exact count measured slower than the whole join it would size)
 
     def project(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.floor(pc.add(
@@ -9205,18 +9255,35 @@ def q_bloom_semi_join(sf_dir: str):
     # seed both sides: either side can reach the join with zero blocks
     # (no urgent orders / everything bloom-filtered) and Acero crashes on
     # a schema-less input; the sentinels vanish under inner join
+    # join sized from the build side: survivors ≈ urgent orders × avg
+    # lineitems/order (~4) + Bloom false positives — an ESTIMATE used only
+    # for partition sizing (correctness never depends on it)
     j = _hash_join(survivors.map_batches(project, batch_format="pyarrow"),
                    keys, on=("l_orderkey",), right_on=("o_orderkey",),
+                   rows_hint=build.count() * 4,
                    left_schema=pa.schema([("l_orderkey", pa.int64()),
                                           ("l_returnflag", pa.string()),
                                           ("cents", pa.int64())]),
                    right_schema=pa.schema([("o_orderkey", pa.int64())]))
-    out = j.groupby("l_returnflag").aggregate(
-        Count(alias_name="n"),
-        Sum("cents", alias_name="sum_cents")).to_pandas()  # ≤ |flags| rows
+
+    def flag_partials(t: pa.Table) -> pa.Table:
+        # returnflag domain ≤ 3: per-batch partials fold on the driver
+        # instead of an Aggregate all-to-all (bounded-domain rule, same as
+        # column_profile's stat partials)
+        g = pa.TableGroupBy(t.select(["l_returnflag", "cents"]),
+                            "l_returnflag").aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "sum_cents"])
+
+    out = (j.map_batches(flag_partials, batch_format="pyarrow")
+           .to_pandas())  # ≤ |flags| rows per block
     if out.empty:  # zero survivors -> column-less frame (Ray 2.49)
         return _empty_frame({"l_returnflag": object, "n": "int64",
                              "sum_cents": "int64"})
+    out = (out.groupby("l_returnflag", as_index=False)
+           .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
     return out
 
 
@@ -9674,17 +9741,47 @@ def q_column_profile(sf_dir: str):
         g = pa.TableGroupBy(t, "col").aggregate([([], "count_all")])
         return g.rename_columns(["col", "nd"])
 
-    ndv = (ds.map_batches(distinct_partial, batch_format="pyarrow")
-           .groupby(["col", "key_int", "key_str"])
-           .aggregate(Count(alias_name="c"))
-           .map_batches(cnt_fold, batch_format="pyarrow", batch_size=None)
-           .to_pandas())
-    if ndv.empty:  # all profiled columns entirely null (review finding)
-        ndv = _empty_frame({"col": object, "n_distinct": "int64"})
+    # Cross-batch key dedup, SIZE-ADAPTIVE: the per-batch-distinct pair
+    # stream is materialized (object store); under the broadcast cap the
+    # driver folds it with one np.unique per col (the 3-key Ray groupby is
+    # a sort-based all-to-all over every distinct key — measured ~4 s of
+    # mostly string-sort at sf0.1); over the cap (NDV ~ corpus size, e.g.
+    # unique event ids at 100 TB) the distributed groupby dedup stays.
+    pre_ndv = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+               .materialize())
+    if (pre_ndv.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        import ray as _ray
+
+        parts = [t for t in _ray.get(pre_ndv.to_arrow_refs()) if len(t)]
+        if parts:
+            pt = pa.concat_tables(parts).combine_chunks()
+            colc = pd.factorize(pt.column("col").to_pandas())[0]
+            colnames = pt.column("col").to_pandas()
+            ki = pt.column("key_int").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            ks = pd.factorize(pt.column("key_str").to_pandas())[0]
+            trip = np.stack([colc, ki, ks], axis=1)
+            uniq, first_idx = np.unique(trip, axis=0, return_index=True)
+            ucols = colnames.iloc[first_idx].to_numpy()
+            ndv = (pd.DataFrame({"col": ucols})
+                   .groupby("col", as_index=False).size()
+                   .rename(columns={"size": "n_distinct"}))
+            ndv["n_distinct"] = ndv["n_distinct"].astype(np.int64)
+        else:
+            ndv = _empty_frame({"col": object, "n_distinct": "int64"})
     else:
-        ndv = (ndv.groupby("col", as_index=False)["nd"].sum()
-               .rename(columns={"nd": "n_distinct"}))
-        ndv["n_distinct"] = ndv["n_distinct"].astype(np.int64)
+        ndv = (pre_ndv
+               .groupby(["col", "key_int", "key_str"])
+               .aggregate(Count(alias_name="c"))
+               .map_batches(cnt_fold, batch_format="pyarrow",
+                            batch_size=None)
+               .to_pandas())
+        if ndv.empty:  # all profiled columns entirely null (review finding)
+            ndv = _empty_frame({"col": object, "n_distinct": "int64"})
+        else:
+            ndv = (ndv.groupby("col", as_index=False)["nd"].sum()
+                   .rename(columns={"nd": "n_distinct"}))
+            ndv["n_distinct"] = ndv["n_distinct"].astype(np.int64)
     if stats.empty:
         # empty events reach here column-less (Ray 2.49) — but the oracle's
         # UNION ALL still yields one row per column (n=0, empty-aggregate
