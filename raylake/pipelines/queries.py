@@ -7011,13 +7011,39 @@ def q_tpch_q18(sf_dir: str):
                        "q": pc.cast(t["l_quantity"], pa.int64())})
         return pa.TableGroupBy(tt, ["k"]).aggregate([("q", "sum")])
 
-    big = (li.map_batches(partial, batch_format="pyarrow")
-           .groupby("k").aggregate(Sum("q_sum", alias_name="sum_qty"))
-           .map_batches(lambda t: t.filter(pc.greater(t["sum_qty"], 300)),
-                        batch_format="pyarrow")
-           .to_pandas())  # bounded small by the HAVING threshold
-    if big.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        big = _empty_frame({"k": "int64", "sum_qty": "int64"})
+    # per-orderkey sum fold, SIZE-ADAPTIVE: the per-batch partial stream is
+    # ~|distinct orderkeys| rows of two int64s — under the broadcast cap
+    # one driver np.unique + reduceat replaces the groupby all-to-all;
+    # over the cap (10^9+ orderkeys) the distributed groupby stays
+    pre18 = (li.map_batches(partial, batch_format="pyarrow")
+             .materialize())
+    if (pre18.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        parts = [t for t in ray.get(pre18.to_arrow_refs()) if len(t)]
+        if parts:
+            pt = pa.concat_tables(parts).combine_chunks()
+            k = pt.column("k").to_numpy(zero_copy_only=False)
+            qs = pt.column("q_sum").to_numpy(zero_copy_only=False)
+            srt = np.argsort(k, kind="stable")
+            k, qs = k[srt], qs[srt]
+            new = np.zeros(len(k), dtype=bool)
+            new[0] = True
+            new[1:] = k[1:] != k[:-1]
+            starts = np.flatnonzero(new)
+            tot = np.add.reduceat(qs, starts)
+            keep = tot > 300
+            big = pd.DataFrame({"k": k[starts][keep],
+                                "sum_qty": tot[keep].astype(np.int64)})
+        else:
+            big = _empty_frame({"k": "int64", "sum_qty": "int64"})
+    else:
+        big = (pre18
+               .groupby("k").aggregate(Sum("q_sum", alias_name="sum_qty"))
+               .map_batches(lambda t: t.filter(pc.greater(t["sum_qty"],
+                                                          300)),
+                            batch_format="pyarrow")
+               .to_pandas())  # bounded small by the HAVING threshold
+        if big.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+            big = _empty_frame({"k": "int64", "sum_qty": "int64"})
     keys = np.sort(big["k"].to_numpy())
     kref = ray.put(keys)
 
@@ -7233,30 +7259,80 @@ def q_tpch_q13(sf_dir: str):
                             ["k"]).aggregate([([], "count_all")])
         return g.rename_columns(["k", "cnt"])
 
-    counts = (orders.map_batches(o_partial, batch_format="pyarrow")
-              .groupby("k").aggregate(Sum("cnt", alias_name="cnt")))
-
     cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
     if cust.count() == 0:  # metadata-only row count; the LEFT side of a
         # left_outer join cannot be sentinel-seeded (an unmatched left
         # row would emit), so guard the zero-block edge explicitly
         return _empty_frame({"c_count": "int64", "custdist": "int64"})
-    j = _hash_join(cust, counts, on=("c_custkey",), right_on=("k",),
-                   how="left_outer",
-                   right_schema=pa.schema([("k", pa.int64()),
-                                           ("cnt", pa.int64())]))
 
-    def dist_partial(t: pa.Table) -> pa.Table:
-        c = pc.coalesce(t["cnt"], pa.scalar(0, pa.int64()))
-        g = pa.TableGroupBy(pa.table({"c_count": c}),
-                            ["c_count"]).aggregate([([], "count_all")])
-        return g.rename_columns(["c_count", "n"])
+    pre13 = (orders.map_batches(o_partial, batch_format="pyarrow")
+             .materialize())
+    if (pre13.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        # SIZE-ADAPTIVE: fold the 16-byte (custkey, cnt) partials on the
+        # driver, broadcast the sorted count map once, and probe the
+        # customer stream against it (searchsorted, count 0 on miss) —
+        # the per-custkey groupby AND the left-outer hash join both
+        # disappear; the count-of-counts distribution folds from
+        # per-batch histogram partials (domain = max orders/customer).
+        # Over the cap the distributed groupby + join plan below stays.
+        import ray as _ray
 
-    agg = (j.map_batches(dist_partial, batch_format="pyarrow")
-           .groupby("c_count").aggregate(Sum("n", alias_name="custdist"))
-           .to_pandas())
-    if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        return _empty_frame({"c_count": "int64", "custdist": "int64"})
+        parts = [t for t in _ray.get(pre13.to_arrow_refs()) if len(t)]
+        if parts:
+            pt = pa.concat_tables(parts).combine_chunks()
+            k = pt.column("k").to_numpy(zero_copy_only=False)
+            cn = pt.column("cnt").to_numpy(zero_copy_only=False)
+            srt = np.argsort(k, kind="stable")
+            k, cn = k[srt], cn[srt]
+            new = np.zeros(len(k), dtype=bool)
+            new[0] = True
+            new[1:] = k[1:] != k[:-1]
+            starts = np.flatnonzero(new)
+            ku = k[starts]
+            cu = np.add.reduceat(cn, starts).astype(np.int64)
+        else:
+            ku = np.array([], np.int64)
+            cu = np.array([], np.int64)
+        cmap_ref = _ray.put((ku, cu))
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            kk, cc = _ray.get(cmap_ref)
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+            if len(kk):
+                pos = np.searchsorted(kk, ck)
+                pos_c = np.minimum(pos, len(kk) - 1)
+                c = np.where((pos < len(kk)) & (kk[pos_c] == ck),
+                             cc[pos_c], 0)
+            else:
+                c = np.zeros(len(ck), np.int64)
+            u, n = np.unique(c, return_counts=True)
+            return pa.table({"c_count": u.astype(np.int64),
+                             "n": n.astype(np.int64)})
+
+        hp = (cust.map_batches(hist_partial, batch_format="pyarrow")
+              .to_pandas())
+        if hp.empty:
+            return _empty_frame({"c_count": "int64", "custdist": "int64"})
+        agg = (hp.groupby("c_count", as_index=False)["n"].sum()
+               .rename(columns={"n": "custdist"}))
+    else:
+        counts = pre13.groupby("k").aggregate(Sum("cnt", alias_name="cnt"))
+        j = _hash_join(cust, counts, on=("c_custkey",), right_on=("k",),
+                       how="left_outer",
+                       right_schema=pa.schema([("k", pa.int64()),
+                                               ("cnt", pa.int64())]))
+
+        def dist_partial(t: pa.Table) -> pa.Table:
+            c = pc.coalesce(t["cnt"], pa.scalar(0, pa.int64()))
+            g = pa.TableGroupBy(pa.table({"c_count": c}),
+                                ["c_count"]).aggregate([([], "count_all")])
+            return g.rename_columns(["c_count", "n"])
+
+        agg = (j.map_batches(dist_partial, batch_format="pyarrow")
+               .groupby("c_count").aggregate(Sum("n", alias_name="custdist"))
+               .to_pandas())
+        if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+            return _empty_frame({"c_count": "int64", "custdist": "int64"})
     agg = agg[["c_count", "custdist"]].astype("int64")
     return (agg.sort_values(["custdist", "c_count"],
                             ascending=[False, False])
@@ -7310,10 +7386,10 @@ def q_tpch_q22(sf_dir: str):
             "n": pa.array([len(pos)], pa.int64()),
         })
 
-    stats = (pool.map_batches(bal_partial, batch_format="pyarrow")
-             .aggregate(Sum("s", alias_name="s"),
-                        Sum("n", alias_name="n"))) or {}
-    s, n = int(stats.get("s") or 0), int(stats.get("n") or 0)
+    sp = (pool.map_batches(bal_partial, batch_format="pyarrow")
+          .to_pandas())  # ONE row per batch — driver fold beats the
+    s = int(sp["s"].sum()) if not sp.empty else 0  # Aggregate's fixed
+    n = int(sp["n"].sum()) if not sp.empty else 0  # all-to-all cost
     # two ints ride the map closure directly — ray.put is for payloads
     # that would otherwise re-pickle per task, not a 16-byte tuple
 
@@ -7343,26 +7419,70 @@ def q_tpch_q22(sf_dir: str):
         _pq(sf_dir, "orders"), columns=["o_custkey"],
         filter=pc.field("o_orderdate")
         >= pa.scalar(pd.Timestamp("2000-01-01")))
-    j = _hash_join(
-        qual, orders.map_batches(o_side, batch_format="pyarrow"),
-        on=("c_custkey",), right_on=("k",), how="left_outer",
-        right_schema=pa.schema([("k", pa.int64()), ("one", pa.int64())]))
+    okeys = (orders.map_batches(o_side, batch_format="pyarrow")
+             .materialize())  # per-batch-deduped (k, one) rows
+    if (okeys.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        # SIZE-ADAPTIVE anti-join: the deduped recent-order custkey set
+        # fits the broadcast cap — ship it sorted once and drop matching
+        # qualifiers inside the map; the ≤|nations| country partials fold
+        # on the driver. Over the cap (the order-customer set is
+        # O(customers) at web scale) the LEFT OUTER hash join below stays.
+        import ray as _ray
 
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_null(t["one"]))  # anti-join: no matching order
-        g = pa.TableGroupBy(t.select(["cntrycode", "bal_cents"]),
-                            ["cntrycode"]).aggregate(
-            [("bal_cents", "sum"), ([], "count_all")])
-        return g.rename_columns(["cntrycode", "tot", "cnt"])
+        kparts = [t.column("k").to_numpy(zero_copy_only=False)
+                  for t in _ray.get(okeys.to_arrow_refs()) if len(t)]
+        okey_arr = (np.unique(np.concatenate(kparts)) if kparts
+                    else np.array([], np.int64))
+        ok_ref = _ray.put(okey_arr)
 
-    agg = (j.map_batches(partial, batch_format="pyarrow")
-           .groupby("cntrycode")
-           .aggregate(Sum("cnt", alias_name="numcust"),
-                      Sum("tot", alias_name="totacctbal_cents"))
-           .to_pandas())
-    if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        return _empty_frame({"cntrycode": "int64", "numcust": "int64",
-                             "totacctbal_cents": "int64"})
+        def anti_partial(t: pa.Table) -> pa.Table:
+            kk = _ray.get(ok_ref)
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+            if len(kk):
+                pos = np.searchsorted(kk, ck)
+                pos_c = np.minimum(pos, len(kk) - 1)
+                keep = ~((pos < len(kk)) & (kk[pos_c] == ck))
+            else:
+                keep = np.ones(len(ck), dtype=bool)
+            tt = t.filter(pa.array(keep))
+            g = pa.TableGroupBy(tt.select(["cntrycode", "bal_cents"]),
+                                ["cntrycode"]).aggregate(
+                [("bal_cents", "sum"), ([], "count_all")])
+            return g.rename_columns(["cntrycode", "tot", "cnt"])
+
+        ap = (qual.map_batches(anti_partial, batch_format="pyarrow")
+              .to_pandas())
+        if ap.empty:
+            return _empty_frame({"cntrycode": "int64", "numcust": "int64",
+                                 "totacctbal_cents": "int64"})
+        agg = (ap.groupby("cntrycode", as_index=False)
+               .agg(numcust=("cnt", "sum"),
+                    totacctbal_cents=("tot", "sum")))
+        if agg.empty:
+            return _empty_frame({"cntrycode": "int64", "numcust": "int64",
+                                 "totacctbal_cents": "int64"})
+    else:
+        j = _hash_join(
+            qual, okeys,
+            on=("c_custkey",), right_on=("k",), how="left_outer",
+            right_schema=pa.schema([("k", pa.int64()),
+                                    ("one", pa.int64())]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_null(t["one"]))  # anti: no matching order
+            g = pa.TableGroupBy(t.select(["cntrycode", "bal_cents"]),
+                                ["cntrycode"]).aggregate(
+                [("bal_cents", "sum"), ([], "count_all")])
+            return g.rename_columns(["cntrycode", "tot", "cnt"])
+
+        agg = (j.map_batches(partial, batch_format="pyarrow")
+               .groupby("cntrycode")
+               .aggregate(Sum("cnt", alias_name="numcust"),
+                          Sum("tot", alias_name="totacctbal_cents"))
+               .to_pandas())
+        if agg.empty:  # empty groupby yields a column-less frame (Ray 2.49)
+            return _empty_frame({"cntrycode": "int64", "numcust": "int64",
+                                 "totacctbal_cents": "int64"})
     agg = agg[["cntrycode", "numcust", "totacctbal_cents"]].astype("int64")
     return agg.sort_values("cntrycode").reset_index(drop=True)
 
@@ -8144,52 +8264,135 @@ def q_tpch_q21(sf_dir: str):
         return pa.table({"k": t["l_orderkey"], "s": t["l_suppkey"],
                          "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
 
-    j = _hash_join(
-        li.map_batches(l_side, batch_format="pyarrow"),
-        orders.map_batches(o_side, batch_format="pyarrow"), on=("k",),
-        left_schema=pa.schema([("k", pa.int64()), ("s", pa.int64()),
-                               ("ship_us", pa.int64())]),
-        right_schema=pa.schema([("k", pa.int64()),
-                                ("o_date_us", pa.int64())]))
+    # SIZE-ADAPTIVE plan. Small regime (the (orderkey → date) map of 'F'
+    # orders fits the broadcast cap): ship the map once via ray.put,
+    # probe raw lineitem batches against it (searchsorted — no hash
+    # join), and emit per-batch (k, s, late) partials; when THAT distinct
+    # stream also fits the cap, the two staged groupbys collapse into one
+    # driver lexsort + reduceat fold. Every over-cap regime falls back to
+    # the distributed three-shuffle plan below (the 100 TB path).
+    worders = (orders.map_batches(o_side, batch_format="pyarrow")
+               .materialize())
+    partials = None
+    if (worders.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        import ray as _ray
 
-    def a_partial(t: pa.Table) -> pa.Table:
-        late = pc.cast(pc.greater(
-            t["ship_us"], pc.add(t["o_date_us"], pa.scalar(_LATE_US))),
-            pa.int64())
-        g = pa.TableGroupBy(pa.table({"k": t["k"], "s": t["s"],
-                                      "late": late}),
-                            ["k", "s"]).aggregate([("late", "max")])
-        return g.rename_columns(["k", "s", "late"])
+        kl, dl = [], []
+        for b in worders.iter_batches(batch_format="pyarrow"):
+            kl.append(b["k"].to_numpy(zero_copy_only=False))
+            dl.append(b["o_date_us"].to_numpy(zero_copy_only=False))
+        ks = (np.concatenate(kl) if kl else np.array([], np.int64))
+        dates = (np.concatenate(dl) if dl else np.array([], np.int64))
+        o_sort = np.argsort(ks, kind="stable")
+        ks, dates = ks[o_sort], dates[o_sort]
+        if len(ks) == 0:
+            return _empty_frame({"s_name": object, "numwait": "int64"})
+        win_ref = _ray.put((ks, dates))
 
-    per_supp = (j.map_batches(a_partial, batch_format="pyarrow")
-                .groupby(["k", "s"])
-                .aggregate(Max("late", alias_name="late")))
+        def probe_partial(t: pa.Table) -> pa.Table:
+            kk, dd = _ray.get(win_ref)
+            k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(kk, k)
+            pos_c = np.minimum(pos, len(kk) - 1)
+            hit = (pos < len(kk)) & (kk[pos_c] == k)
+            late = (ship > dd[pos_c] + _LATE_US).astype(np.int64)
+            g = pa.TableGroupBy(pa.table({
+                "k": k[hit], "s": s[hit], "late": late[hit]}),
+                ["k", "s"]).aggregate([("late", "max")])
+            return g.rename_columns(["k", "s", "late"])
 
-    def b_partial(t: pa.Table) -> pa.Table:
-        ls = pc.multiply(t["late"], t["s"])
-        g = pa.TableGroupBy(pa.table({"k": t["k"], "late": t["late"],
-                                      "ls": ls}),
-                            ["k"]).aggregate(
-            [([], "count_all"), ("late", "sum"), ("ls", "sum")])
-        return g.rename_columns(["k", "cnt", "nlate", "ls"])
+        partials = (li.map_batches(probe_partial, batch_format="pyarrow")
+                    .materialize())
 
-    per_order = (per_supp.map_batches(b_partial, batch_format="pyarrow")
-                 .groupby("k")
-                 .aggregate(Sum("cnt", alias_name="cnt"),
-                            Sum("nlate", alias_name="nlate"),
-                            Sum("ls", alias_name="ls")))
+    if partials is not None and \
+            (partials.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        import ray as _ray
 
-    def c_partial(t: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.greater(t["cnt"], 1), pc.equal(t["nlate"], 1))
-        g = pa.TableGroupBy(pa.table({"s": t["ls"].filter(keep)}),
-                            ["s"]).aggregate([([], "count_all")])
-        return g.rename_columns(["s", "n"])
+        parts = [t for t in _ray.get(partials.to_arrow_refs()) if len(t)]
+        if not parts:
+            return _empty_frame({"s_name": object, "numwait": "int64"})
+        pt = pa.concat_tables(parts).combine_chunks()
+        k = pt.column("k").to_numpy(zero_copy_only=False)
+        s = pt.column("s").to_numpy(zero_copy_only=False)
+        late = pt.column("late").to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((s, k))
+        k, s, late = k[order2], s[order2], late[order2]
+        new_ks = np.zeros(len(k), dtype=bool)
+        new_ks[0] = True
+        new_ks[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1])
+        g_starts = np.flatnonzero(new_ks)
+        ku = k[g_starts]
+        su = s[g_starts]
+        lmax = np.maximum.reduceat(late, g_starts)
+        new_k = np.zeros(len(ku), dtype=bool)
+        new_k[0] = True
+        new_k[1:] = ku[1:] != ku[:-1]
+        k_starts = np.flatnonzero(new_k)
+        cnt = np.diff(np.append(k_starts, len(ku)))
+        nlate = np.add.reduceat(lmax, k_starts)
+        ls = np.add.reduceat(lmax * su, k_starts)
+        keep = (cnt > 1) & (nlate == 1)
+        offenders = ls[keep]
+        if len(offenders) == 0:
+            return _empty_frame({"s_name": object, "numwait": "int64"})
+        us, ncnt = np.unique(offenders, return_counts=True)
+        wait = pd.DataFrame({"s": us, "numwait": ncnt.astype(np.int64)})
+    else:
+        if partials is not None:
+            per_supp = (partials.groupby(["k", "s"])
+                        .aggregate(Max("late", alias_name="late")))
+        else:
+            j = _hash_join(
+                li.map_batches(l_side, batch_format="pyarrow"),
+                worders, on=("k",),
+                left_schema=pa.schema([("k", pa.int64()),
+                                       ("s", pa.int64()),
+                                       ("ship_us", pa.int64())]),
+                right_schema=pa.schema([("k", pa.int64()),
+                                        ("o_date_us", pa.int64())]))
 
-    wait = (per_order.map_batches(c_partial, batch_format="pyarrow")
-            .groupby("s").aggregate(Sum("n", alias_name="numwait"))
-            .to_pandas())  # O(|suppliers|)
-    if wait.empty:  # empty groupby yields a column-less frame (Ray 2.49)
-        return _empty_frame({"s_name": object, "numwait": "int64"})
+            def a_partial(t: pa.Table) -> pa.Table:
+                late = pc.cast(pc.greater(
+                    t["ship_us"],
+                    pc.add(t["o_date_us"], pa.scalar(_LATE_US))),
+                    pa.int64())
+                g = pa.TableGroupBy(pa.table({"k": t["k"], "s": t["s"],
+                                              "late": late}),
+                                    ["k", "s"]).aggregate([("late", "max")])
+                return g.rename_columns(["k", "s", "late"])
+
+            per_supp = (j.map_batches(a_partial, batch_format="pyarrow")
+                        .groupby(["k", "s"])
+                        .aggregate(Max("late", alias_name="late")))
+
+        def b_partial(t: pa.Table) -> pa.Table:
+            ls = pc.multiply(t["late"], t["s"])
+            g = pa.TableGroupBy(pa.table({"k": t["k"], "late": t["late"],
+                                          "ls": ls}),
+                                ["k"]).aggregate(
+                [([], "count_all"), ("late", "sum"), ("ls", "sum")])
+            return g.rename_columns(["k", "cnt", "nlate", "ls"])
+
+        per_order = (per_supp.map_batches(b_partial, batch_format="pyarrow")
+                     .groupby("k")
+                     .aggregate(Sum("cnt", alias_name="cnt"),
+                                Sum("nlate", alias_name="nlate"),
+                                Sum("ls", alias_name="ls")))
+
+        def c_partial(t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.greater(t["cnt"], 1), pc.equal(t["nlate"], 1))
+            g = pa.TableGroupBy(pa.table({"s": t["ls"].filter(keep)}),
+                                ["s"]).aggregate([([], "count_all")])
+            return g.rename_columns(["s", "n"])
+
+        wait = (per_order.map_batches(c_partial, batch_format="pyarrow")
+                .groupby("s").aggregate(Sum("n", alias_name="numwait"))
+                .to_pandas())  # O(|suppliers|)
+        if wait.empty:  # empty groupby → column-less frame (Ray 2.49)
+            return _empty_frame({"s_name": object, "numwait": "int64"})
 
     asia = _region_nation_keys(sf_dir, "ASIA")
     supp = pq.read_table(_pq(sf_dir, "supplier"),
@@ -8268,8 +8471,62 @@ def q_tpch_q4(sf_dir: str):
             "o_orderpriority": t["o_orderpriority"],
         })
 
+    worders = (orders.map_batches(o_side, batch_format="pyarrow")
+               .materialize())
+    if (worders.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        # SIZE-ADAPTIVE EXISTS: broadcast the 6-month order window (keys +
+        # dates + priorities) and probe RAW lineitem batches against it —
+        # a line with ship > o_date marks its order as qualifying. The
+        # driver folds per-batch DISTINCT qualifying-key sets (each ≤ the
+        # broadcast window, which already fit the cap), so the per-order
+        # max groupby AND the orderkey hash join both disappear. Over the
+        # cap (at 100 TB the window doesn't fit a broadcast) the original
+        # aggregate-then-join plan below runs unchanged.
+        import ray as _ray
+
+        kl, dl, pl = [], [], []
+        for b in worders.iter_batches(batch_format="pyarrow"):
+            kl.append(b["k"].to_numpy(zero_copy_only=False))
+            dl.append(b["o_date_us"].to_numpy(zero_copy_only=False))
+            pl.append(b["o_orderpriority"].to_pandas().to_numpy())
+        if not kl or sum(len(a) for a in kl) == 0:
+            # empty window: no order can qualify (matches the oracle's
+            # zero-row result)
+            return _empty_frame({"o_orderpriority": object,
+                                 "order_count": "int64"})
+        ks = np.concatenate(kl)
+        dates = np.concatenate(dl)
+        prios = np.concatenate(pl)
+        o_sort = np.argsort(ks, kind="stable")
+        ks, dates, prios = ks[o_sort], dates[o_sort], prios[o_sort]
+        win_ref = _ray.put((ks, dates))
+
+        def qualifying(t: pa.Table) -> pa.Table:
+            kk, dd = _ray.get(win_ref)
+            k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            s = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(kk, k)
+            pos_c = np.minimum(pos, len(kk) - 1)
+            ok = (pos < len(kk)) & (kk[pos_c] == k) & (s > dd[pos_c])
+            return pa.table({"k": np.unique(k[ok])})
+
+        hits = np.concatenate(
+            [b["k"].to_numpy(zero_copy_only=False) for b in
+             li.map_batches(qualifying, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")] or
+            [np.array([], np.int64)])
+        uhits = np.unique(hits)
+        qpri = prios[np.searchsorted(ks, uhits)]
+        up, cnt = np.unique(qpri, return_counts=True)
+        if len(up) == 0:
+            return _empty_frame({"o_orderpriority": object,
+                                 "order_count": "int64"})
+        return pd.DataFrame({"o_orderpriority": up,
+                             "order_count": cnt.astype(np.int64)})
+
     j = _hash_join(
-        orders.map_batches(o_side, batch_format="pyarrow"),
+        worders,
         lmax, on=("k",),
         left_schema=pa.schema([("k", pa.int64()), ("o_date_us", pa.int64()),
                                ("o_orderpriority", pa.string())]),
