@@ -1,0 +1,105 @@
+"""Force the DISTRIBUTED fallback branch of every size-adaptive query and
+re-run the exact oracle comparison.
+
+The size-adaptive rework (sessions 9-10) gave the near-dup family, the
+reworked TPC-H queries, and column_profile a cap-bounded driver path that
+is ALWAYS taken at sf0.001 and at the driver's sf0.01 gate — which means
+the over-cap distributed plans (the actual 100 TB path) would otherwise be
+dead code in every correctness gate. Zeroing the three cap constants makes
+`size_bytes() <= cap` false for any non-empty input, so each query runs
+its distributed branch end-to-end at sf0.001 and must still match DuckDB
+bit-for-bit under the driver's own comparison shape (sorted columns,
+sorted rows, strict dtypes).
+
+The caps are module globals read at call time, so monkeypatching
+`raylake.pipelines.queries._<CAP>` flips every branch site at once
+(`tests/test_queries_empty_join.py:82` established the pattern for one
+query; this sweeps all of them).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import raylake.pipelines.queries as Q
+from raylake.pipelines.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# Every queries() entry whose plan branches on _VERIFY_BCAST_BYTES,
+# _PAIRS_DRIVER_BYTES, or _CC_DRIVER_BYTES (directly or via the shared
+# helpers _bucket_pair_indices/_bucket_pairs_join/_attach_pair_sigs/
+# _verify_jaccard/_components_bsp). Keep in sync with the cap-site grep:
+#   grep -n "_VERIFY_BCAST_BYTES\|_PAIRS_DRIVER_BYTES\|_CC_DRIVER_BYTES" \
+#       raylake/pipelines/queries.py
+ADAPTIVE_QUERIES = [
+    "minhash_neardup",
+    "jaccard_neardup",
+    "simhash_neardup",
+    "levenshtein_neardup",
+    "rhp_neardup",
+    "neardup_components",
+    "neardup_dedup",
+    "column_profile",
+    "tpch_q4",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q22",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield c
+    c.close()
+
+
+def test_adaptive_list_is_exhaustive():
+    """A new cap-branch site must be added to ADAPTIVE_QUERIES (or a new
+    cap constant to the zeroed set below) — fail loudly if the source
+    grows a cap this sweep doesn't know about."""
+    import inspect
+
+    src = inspect.getsource(Q)
+    known = {"_VERIFY_BCAST_BYTES", "_PAIRS_DRIVER_BYTES", "_CC_DRIVER_BYTES"}
+    found = {
+        tok
+        for tok in known
+        if src.count(tok) >= 2  # definition + at least one branch site
+    }
+    assert found == known
+    # no other *_BYTES / *_CAP module constant sneaked in
+    import re
+
+    consts = set(re.findall(r"^(_[A-Z_]*(?:BYTES|CAP))\s*=", src, re.M))
+    assert consts <= known, f"unknown adaptive caps: {consts - known}"
+
+
+@pytest.mark.parametrize("name", ADAPTIVE_QUERIES)
+def test_distributed_branch_matches_oracle(name, con, ray_session, monkeypatch):
+    monkeypatch.setattr(Q, "_VERIFY_BCAST_BYTES", 0)
+    monkeypatch.setattr(Q, "_PAIRS_DRIVER_BYTES", 0)
+    monkeypatch.setattr(Q, "_CC_DRIVER_BYTES", 0)
+    res = QUERIES[name](SF_DIR)
+    got = _normalize(
+        res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    )
+    want = _normalize(con.sql(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    got_dt = {c: str(got[c].dtype) for c in got.columns}
+    want_dt = {c: str(want[c].dtype) for c in want.columns}
+    assert got_dt == want_dt, f"{name}: dtype mismatch {got_dt} vs {want_dt}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
