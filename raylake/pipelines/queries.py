@@ -1078,6 +1078,137 @@ ORDER BY doc_id, tf DESC, df, token
 """
 
 
+#: BM25 query-term set (fixed, mid-frequency tokens in the synthetic
+#: corpus vocabulary) and the classic Robertson parameters. _BM25_K1P1 is
+#: the LITERAL 2.2, not k1+1.0 computed — the oracle embeds the same
+#: decimal literal, and identical literals parse to identical doubles.
+_BM25_TERMS = ("merge", "window", "scan", "stream")
+_BM25_K1 = 1.2
+_BM25_K1P1 = 2.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval: top-20 documents for a fixed 4-term query —
+    the search-scoring stage of retrieval-based data curation. Uses the
+    rational Robertson idf (N-df+0.5)/(df+0.5) WITHOUT the log so the
+    score involves no transcendental function: every float op is a
+    pointwise IEEE op on integer-derived inputs, written in the SAME order
+    as the oracle SQL (per-term contributions summed left-to-right, all
+    SQL literals ::DOUBLE-cast), so scores are bit-for-bit identical —
+    no rounding anywhere.
+
+    Scale shape: pass 1 folds one bounded stats row per batch on the
+    driver (n_docs, Σdl, df per query term — 6 ints; documents never span
+    batches so per-batch df partials sum exactly). Pass 2 is batch-local:
+    score every doc containing ≥1 query term against the 6 broadcast
+    scalars and emit only each batch's top-20 partial (a valid partial
+    for a global top-k), so the final sort+limit sees ≤20 rows per batch
+    regardless of corpus size. Tokenization shared with vocab_df /
+    tfidf_top_terms via _tokens_and_counts."""
+    rd = _rd()
+    docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    terms = _BM25_TERMS
+
+    def _tf_matrix(b: pa.Table):
+        """(per-doc token counts, per-doc tf per query term) — the shared
+        kernel of both passes."""
+        flat, n = _tokens_and_counts(b)
+        doc_idx = np.repeat(np.arange(len(n)), n)
+        tfs = []
+        for t in terms:
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tfs.append(np.bincount(doc_idx[m],
+                                   minlength=len(n)).astype(np.int64))
+        return n, tfs
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        n, tfs = _tf_matrix(b)
+        # n_docs counts docs with >=1 token, mirroring the oracle's tok
+        # CTE (unnest of a NULL-text split yields no rows)
+        row = {"n_docs": [int((n > 0).sum())], "sum_dl": [int(n.sum())]}
+        for i, tf in enumerate(tfs):
+            row[f"df{i}"] = [int((tf > 0).sum())]
+        return pa.table(row)
+
+    parts = docs.map_batches(
+        stats_partial, batch_format="pyarrow").to_pandas()  # 1 row/batch
+    n_docs = int(parts["n_docs"].sum())
+    if n_docs == 0:
+        return _empty_frame({"doc_id": "int64", "score": "float64",
+                             "dl": "int64"})
+    sum_dl = int(parts["sum_dl"].sum())
+    dfs = [int(parts[f"df{i}"].sum()) for i in range(len(terms))]
+    avgdl = sum_dl / n_docs  # BIGINT/BIGINT is float division in DuckDB too
+    idfs = [(n_docs - d + 0.5) / (d + 0.5) for d in dfs]
+
+    def score(b: pa.Table) -> pa.Table:
+        n, tfs = _tf_matrix(b)
+        dl = n
+        # evaluation order mirrors the oracle expression EXACTLY:
+        # 1.2*(0.25 + 0.75*(dl/avgdl)); s = ((w0+w1)+w2)+w3
+        norm = _BM25_K1 * (0.25 + _BM25_B * (dl / avgdl))
+        s = np.zeros(len(n), np.float64)
+        hit = np.zeros(len(n), bool)
+        for idf, tf in zip(idfs, tfs):
+            s = s + idf * ((tf * _BM25_K1P1) / (tf + norm))
+            hit |= tf > 0
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        k = np.flatnonzero(hit)
+        if len(k) > _BM25_TOPK:  # per-batch top-k partial
+            order = np.lexsort((doc[k], -s[k]))
+            k = k[order[:_BM25_TOPK]]
+        return pa.table({
+            "doc_id": pa.array(doc[k].astype(np.int64), pa.int64()),
+            "score": pa.array(s[k], pa.float64()),
+            "dl": pa.array(dl[k], pa.int64()),
+        })
+
+    out = (docs.map_batches(score, batch_format="pyarrow")
+           .sort(["score", "doc_id"], descending=[True, False])
+           .limit(_BM25_TOPK).to_pandas())
+    if out.empty:
+        return _empty_frame({"doc_id": "int64", "score": "float64",
+                             "dl": "int64"})
+    return out.reset_index(drop=True)
+
+
+SQL_BM25_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+d AS (
+  SELECT doc_id, count(*)::BIGINT AS dl,
+         count(*) FILTER (token = '{_BM25_TERMS[0]}')::BIGINT AS tf0,
+         count(*) FILTER (token = '{_BM25_TERMS[1]}')::BIGINT AS tf1,
+         count(*) FILTER (token = '{_BM25_TERMS[2]}')::BIGINT AS tf2,
+         count(*) FILTER (token = '{_BM25_TERMS[3]}')::BIGINT AS tf3
+  FROM tok GROUP BY doc_id),
+g AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+         count(*) FILTER (tf0 > 0)::BIGINT AS df0,
+         count(*) FILTER (tf1 > 0)::BIGINT AS df1,
+         count(*) FILTER (tf2 > 0)::BIGINT AS df2,
+         count(*) FILTER (tf3 > 0)::BIGINT AS df3
+  FROM d),
+s AS (
+  SELECT d.doc_id, d.dl,
+    (((((g.n_docs - g.df0)::DOUBLE + 0.5::DOUBLE) / (g.df0::DOUBLE + 0.5::DOUBLE))
+        * ((d.tf0 * 2.2::DOUBLE) / (d.tf0 + (1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * (d.dl / (g.sum_dl / g.n_docs)))))))
+     + (((g.n_docs - g.df1)::DOUBLE + 0.5::DOUBLE) / (g.df1::DOUBLE + 0.5::DOUBLE))
+        * ((d.tf1 * 2.2::DOUBLE) / (d.tf1 + (1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * (d.dl / (g.sum_dl / g.n_docs)))))))
+     + (((g.n_docs - g.df2)::DOUBLE + 0.5::DOUBLE) / (g.df2::DOUBLE + 0.5::DOUBLE))
+        * ((d.tf2 * 2.2::DOUBLE) / (d.tf2 + (1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * (d.dl / (g.sum_dl / g.n_docs)))))))
+     + (((g.n_docs - g.df3)::DOUBLE + 0.5::DOUBLE) / (g.df3::DOUBLE + 0.5::DOUBLE))
+        * ((d.tf3 * 2.2::DOUBLE) / (d.tf3 + (1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * (d.dl / (g.sum_dl / g.n_docs))))))))
+    ) AS score
+  FROM d CROSS JOIN g)
+SELECT doc_id, score, dl FROM s WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-group quantiles (p50/p95 of document length per
     language) via the HISTOGRAM method — the scale path to exact grouped
@@ -11461,6 +11592,7 @@ QUERIES = {
     "vocab_df": q_vocab_df,
     "bpe_pair_counts": q_bpe_pair_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_topk": q_bm25_topk,
     "grouped_quantiles": q_grouped_quantiles,
     "heavy_hitters": q_heavy_hitters,
     "char_stats": q_char_stats,
@@ -11621,6 +11753,7 @@ ORACLES = {
     "vocab_df": SQL_VOCAB_DF,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "bm25_topk": SQL_BM25_TOPK,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "char_stats": SQL_CHAR_STATS,
