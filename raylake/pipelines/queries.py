@@ -1209,6 +1209,89 @@ ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
 """
 
 
+_BPE_TRAIN_MERGES = 6
+
+
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer TRAINING (the full iterative loop, not
+    just one scoring pass like bpe_pair_counts): learn the first 6 merge
+    rules over the corpus. Each iteration re-splits the raw text and
+    replays the merges learned so far (functions/bpe.py kernels), counts
+    adjacent pairs per batch via Acero, and elects the (n DESC, left,
+    right) argmax; the winning rule is captured by value into the next
+    iteration's batch fn. Rows-only entry (iterative greedy retokenization
+    is not SQL-expressible); tests/test_bpe_train.py proves exact
+    equivalence to the single-process reference trainer, including on
+    fuzzed corpora and with the driver-fold cap forced to zero.
+
+    Scale shape: per-iteration state shipped to workers is the O(k) merge
+    list; only (left, right, n) pair PARTIALS leave each batch (bounded
+    by observed vocab², not tokens). The partial fold is size-adaptive:
+    under _VERIFY_BCAST_BYTES one driver pass replaces the distributed
+    groupby's fixed all-to-all cost; over it, groupby + sort + limit(1)
+    never lands more than one row on the driver. Replaying k merges per
+    pass (O(k²) rewrite work overall) trades CPU for NOT materializing an
+    intermediate corpus per iteration — at 100 TB a checkpointed
+    tokenization table every ~16 merges bounds the replay depth."""
+    from raylake.functions.bpe import apply_merges
+
+    rd = _rd()
+    docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    rows: list = []
+    for rank in range(_BPE_TRAIN_MERGES):
+        cur = tuple((m[1], m[2]) for m in rows)
+
+        def pairs(b: pa.Table, _m=cur) -> pa.Table:
+            flat, n = _tokens_and_counts(b)
+            toks = flat.to_numpy(zero_copy_only=False)
+            doc_idx = np.repeat(np.arange(len(n)), n)
+            toks, doc_idx = apply_merges(toks, doc_idx, _m)
+            if len(toks) < 2:
+                return pa.table({"left_tok": pa.array([], pa.string()),
+                                 "right_tok": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            ok = doc_idx[:-1] == doc_idx[1:]
+            t = pa.table({
+                "left_tok": pa.array(toks[:-1][ok], pa.string()),
+                "right_tok": pa.array(toks[1:][ok], pa.string()),
+            })
+            g = t.group_by(["left_tok", "right_tok"]).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["left_tok", "right_tok", "n"])
+
+        partials = docs.map_batches(pairs, batch_format="pyarrow").materialize()
+        if (partials.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+            pdf = partials.to_pandas()
+            if pdf.empty:
+                break
+            best = (pdf.groupby(["left_tok", "right_tok"], as_index=False)
+                    ["n"].sum()
+                    .sort_values(["n", "left_tok", "right_tok"],
+                                 ascending=[False, True, True],
+                                 kind="mergesort").iloc[0])
+        else:
+            from ray.data.aggregate import Sum
+
+            top = (partials.groupby(["left_tok", "right_tok"])
+                   .aggregate(Sum("n", alias_name="n"))
+                   .sort(["n", "left_tok", "right_tok"],
+                         descending=[True, False, False])
+                   .limit(1).to_pandas())
+            if top.empty:
+                break
+            best = top.iloc[0]
+        rows.append((rank, str(best["left_tok"]), str(best["right_tok"]),
+                     int(best["n"])))
+    out = pd.DataFrame(rows, columns=["rank", "left_tok", "right_tok", "n"])
+    if out.empty:
+        return _empty_frame({"rank": "int64", "left_tok": object,
+                             "right_tok": object, "n": "int64"})
+    out["rank"] = out["rank"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-group quantiles (p50/p95 of document length per
     language) via the HISTOGRAM method — the scale path to exact grouped
@@ -11593,6 +11676,7 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
+    "bpe_train": q_bpe_train,
     "grouped_quantiles": q_grouped_quantiles,
     "heavy_hitters": q_heavy_hitters,
     "char_stats": q_char_stats,

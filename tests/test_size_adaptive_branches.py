@@ -28,10 +28,13 @@ SF_DIR = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Every queries() entry whose plan branches on _VERIFY_BCAST_BYTES,
-# _PAIRS_DRIVER_BYTES, or _CC_DRIVER_BYTES (directly or via the shared
-# helpers _bucket_pair_indices/_bucket_pairs_join/_attach_pair_sigs/
-# _verify_jaccard/_components_bsp). Keep in sync with the cap-site grep:
+# Every ORACLE-BACKED queries() entry whose plan branches on
+# _VERIFY_BCAST_BYTES, _PAIRS_DRIVER_BYTES, or _CC_DRIVER_BYTES (directly
+# or via the shared helpers _bucket_pair_indices/_bucket_pairs_join/
+# _attach_pair_sigs/_verify_jaccard/_components_bsp). Rows-only adaptive
+# queries get their own forced-branch goldens (bpe_train:
+# tests/test_bpe_train.py::test_bpe_train_distributed_election_branch).
+# Keep in sync with the cap-site grep:
 #   grep -n "_VERIFY_BCAST_BYTES\|_PAIRS_DRIVER_BYTES\|_CC_DRIVER_BYTES" \
 #       raylake/pipelines/queries.py
 ADAPTIVE_QUERIES = [
