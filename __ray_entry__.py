@@ -10,7 +10,7 @@ here (or in raylake) calls ``ray.init()`` / ``ray.shutdown()``.
                       (SURVEY.md §2 + training-data additions), each taking
                       ``sf_dir``.
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (145 of 150 as of round 4 — including the maintenance
+                      (all but six of the catalog — including the maintenance
                       pipeline itself via ``maintained_scan``/
                       ``mor_delete_scan``, the full-LSH transcriptions of
                       minhash/simhash near-dup, a recursive-CTE oracle for
@@ -22,9 +22,12 @@ here (or in raylake) calls ``ray.init()`` / ``ray.shutdown()``.
                       ``logreg_train`` (iterative training; exact
                       single-process-equivalence pytest golden),
                       ``model_promote`` (registry state; alias-transition
-                      replay golden in tests/test_model_registry.py) and
-                      the fixture-input ``transcript_maintenance`` — each
-                      carries a pytest golden check instead.
+                      replay golden in tests/test_model_registry.py),
+                      ``bpe_train`` (iterative greedy retokenization;
+                      exact reference-trainer golden in
+                      tests/test_bpe_train.py) and the fixture-input
+                      ``transcript_maintenance`` — each carries a pytest
+                      golden check instead.
 """
 
 from __future__ import annotations

@@ -1209,6 +1209,123 @@ ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
 """
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """Collocation mining: top-20 bigrams by PMI lift with min-support 5 —
+    the phrase-detection pass (word2vec-style bigram promotion) of a
+    training-data pipeline. Ranked by LIFT = p(ab)/(p(a)p(b)) rather than
+    its log (log is monotone, so the ranking is identical and the score
+    needs no transcendental): computed pointwise in doubles as
+    ((c_ab/N_bi) * (N_uni/c_a)) * (N_uni/c_b) — the factored form never
+    forms an integer product that could overflow at corpus scale
+    (c_a*c_b or N_uni² would at ~10^12 tokens), and every operation is
+    an IEEE op on integer-derived inputs in the same order as the oracle
+    SQL, so the emitted score is bit-exact with no rounding.
+
+    Scale shape: unigram totals ride the vocab_df partial pattern (per-
+    batch Acero pre-aggregation, O(vocab) shuffle); bigram counts ride
+    the shared _bigram_pair_counts partial (O(vocab²-observed) shuffle,
+    never O(tokens)); the lift compute is one vectorized map_batches over
+    the bigram aggregate with the broadcast unigram arrays (bounded by
+    vocabulary — beyond broadcast size the same plan becomes a two-key
+    join); per-batch top-20 partials bound the final sort input."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        flat, n = _tokens_and_counts(b)
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")]).rename_columns(["token", "c"])
+        # stitch the per-batch nonempty-doc count in as a sentinel row:
+        # "" can be a REAL token (double spaces), so a flag column — not a
+        # magic token value — separates the two partial kinds
+        return pa.concat_tables([
+            pa.table({"token": g["token"],
+                      "c": pc.cast(g["c"], pa.int64()),
+                      "is_doc_count": pa.array([False] * len(g))}),
+            pa.table({"token": pa.array([""], pa.string()),
+                      "c": pa.array([int((n > 0).sum())], pa.int64()),
+                      "is_doc_count": pa.array([True])}),
+        ])
+
+    uni = (docs.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby(["token", "is_doc_count"])
+           .aggregate(Sum("c", alias_name="c")).to_pandas())  # O(vocab)
+    if uni.empty:
+        return _empty_frame({"left_tok": object, "right_tok": object,
+                             "n": "int64", "lift": "float64"})
+    docs_nonempty = int(uni.loc[uni["is_doc_count"], "c"].sum())
+    uni = uni[~uni["is_doc_count"]].sort_values("token")
+    n_uni = int(uni["c"].sum())
+    n_bi = n_uni - docs_nonempty  # each nonempty doc has len-1 bigrams
+    if n_bi <= 0:
+        return _empty_frame({"left_tok": object, "right_tok": object,
+                             "n": "int64", "lift": "float64"})
+    bcast = ray.put((uni["token"].to_numpy(),
+                     uni["c"].to_numpy().astype(np.int64)))
+
+    def lift(b: pa.Table) -> pa.Table:
+        vocab, cnt = ray.get(bcast)
+        ca = cnt[np.searchsorted(vocab, b["left_tok"].to_numpy(
+            zero_copy_only=False))]
+        cb = cnt[np.searchsorted(vocab, b["right_tok"].to_numpy(
+            zero_copy_only=False))]
+        cab = b["n"].to_numpy(zero_copy_only=False)
+        # mirrored op order: ((cab/n_bi) * (n_uni/ca)) * (n_uni/cb)
+        lv = ((cab / n_bi) * (n_uni / ca)) * (n_uni / cb)
+        t = pa.table({"left_tok": b["left_tok"],
+                      "right_tok": b["right_tok"],
+                      "n": pc.cast(b["n"], pa.int64()),
+                      "lift": pa.array(lv, pa.float64())})
+        if len(t) > 20:  # per-batch top-k partial
+            order = np.lexsort((
+                t["right_tok"].to_numpy(zero_copy_only=False),
+                t["left_tok"].to_numpy(zero_copy_only=False), -lv))
+            t = t.take(pa.array(order[:20]))
+        return t
+
+    out = (docs.map_batches(_bigram_pair_counts, batch_format="pyarrow")
+           .groupby(["left_tok", "right_tok"])
+           .aggregate(Sum("n", alias_name="n"))
+           .filter(expr="n >= 5")
+           .map_batches(lift, batch_format="pyarrow")
+           .sort(["lift", "left_tok", "right_tok"],
+                 descending=[True, False, False])
+           .limit(20).to_pandas())
+    if out.empty:
+        return _empty_frame({"left_tok": object, "right_tok": object,
+                             "n": "int64", "lift": "float64"})
+    out["n"] = out["n"].astype("int64")
+    return out[["left_tok", "right_tok", "n", "lift"]].reset_index(drop=True)
+
+
+SQL_PMI_BIGRAMS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS left_tok,
+               generate_subscripts(l, 1) AS pos FROM t),
+p AS (SELECT doc_id, left_tok,
+             lead(left_tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS right_tok
+      FROM tok),
+bi AS (SELECT left_tok, right_tok, count(*)::BIGINT AS n
+       FROM p WHERE right_tok IS NOT NULL GROUP BY 1, 2),
+uni AS (SELECT left_tok AS token, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+g AS (SELECT (SELECT sum(c) FROM uni)::BIGINT AS n_uni,
+             (SELECT sum(n) FROM bi)::BIGINT AS n_bi)
+SELECT bi.left_tok, bi.right_tok, bi.n,
+       (((bi.n / g.n_bi) * (g.n_uni / ua.c)) * (g.n_uni / ub.c)) AS lift
+FROM bi
+JOIN uni ua ON ua.token = bi.left_tok
+JOIN uni ub ON ub.token = bi.right_tok
+CROSS JOIN g
+WHERE bi.n >= 5
+ORDER BY lift DESC, bi.left_tok, bi.right_tok
+LIMIT 20
+"""
+
+
 _BPE_TRAIN_MERGES = 6
 
 
@@ -11676,6 +11793,7 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
+    "pmi_bigrams": q_pmi_bigrams,
     "bpe_train": q_bpe_train,
     "grouped_quantiles": q_grouped_quantiles,
     "heavy_hitters": q_heavy_hitters,
@@ -11838,6 +11956,7 @@ ORACLES = {
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_topk": SQL_BM25_TOPK,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "char_stats": SQL_CHAR_STATS,
