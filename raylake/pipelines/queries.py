@@ -933,11 +933,11 @@ def _bigram_arrays(b: pa.Table):
     return flat.take(pa.array(left_idx)), flat.take(pa.array(left_idx + 1)), n
 
 
-def _bigram_pair_counts(b: pa.Table) -> pa.Table:
-    """Per-batch (left_tok, right_tok, n) bigram histogram via Acero
-    hash-agg — the map_batches partial shared by bpe_pair_counts and
-    kn_continuation; only these vocab²-observed partials shuffle."""
-    lt, rt, _ = _bigram_arrays(b)
+def _pair_histogram(lt: pa.Array, rt: pa.Array) -> pa.Table:
+    """(left_tok, right_tok, n) Acero hash-agg histogram from parallel
+    left/right token arrays — the typed-empty fallback and schema live
+    HERE so the raw-bigram partial (_bigram_pair_counts) and q_bpe_train's
+    merged-state partial can never drift apart."""
     if len(lt) == 0:
         return pa.table({"left_tok": pa.array([], pa.string()),
                          "right_tok": pa.array([], pa.string()),
@@ -945,6 +945,15 @@ def _bigram_pair_counts(b: pa.Table) -> pa.Table:
     g = pa.table({"left_tok": lt, "right_tok": rt}).group_by(
         ["left_tok", "right_tok"]).aggregate([([], "count_all")])
     return g.rename_columns(["left_tok", "right_tok", "n"])
+
+
+def _bigram_pair_counts(b: pa.Table) -> pa.Table:
+    """Per-batch (left_tok, right_tok, n) bigram histogram via Acero
+    hash-agg — the map_batches partial shared by bpe_pair_counts,
+    kn_continuation and pmi_bigrams; only these vocab²-observed partials
+    shuffle."""
+    lt, rt, _ = _bigram_arrays(b)
+    return _pair_histogram(lt, rt)
 
 
 def q_bpe_pair_counts(sf_dir: str):
@@ -1135,6 +1144,9 @@ def q_bm25_topk(sf_dir: str):
 
     parts = docs.map_batches(
         stats_partial, batch_format="pyarrow").to_pandas()  # 1 row/batch
+    if parts.empty:  # zero-block edge: column-less frame (Ray 2.49)
+        return _empty_frame({"doc_id": "int64", "score": "float64",
+                             "dl": "int64"})
     n_docs = int(parts["n_docs"].sum())
     if n_docs == 0:
         return _empty_frame({"doc_id": "int64", "score": "float64",
@@ -1353,8 +1365,7 @@ def q_bpe_train(sf_dir: str):
     from raylake.functions.bpe import apply_merges
 
     rd = _rd()
-    docs = rd.read_parquet(_pq(sf_dir, "documents"),
-                           columns=["doc_id", "text"])
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
     rows: list = []
     for rank in range(_BPE_TRAIN_MERGES):
         cur = tuple((m[1], m[2]) for m in rows)
@@ -1365,17 +1376,11 @@ def q_bpe_train(sf_dir: str):
             doc_idx = np.repeat(np.arange(len(n)), n)
             toks, doc_idx = apply_merges(toks, doc_idx, _m)
             if len(toks) < 2:
-                return pa.table({"left_tok": pa.array([], pa.string()),
-                                 "right_tok": pa.array([], pa.string()),
-                                 "n": pa.array([], pa.int64())})
+                return _pair_histogram(pa.array([], pa.string()),
+                                       pa.array([], pa.string()))
             ok = doc_idx[:-1] == doc_idx[1:]
-            t = pa.table({
-                "left_tok": pa.array(toks[:-1][ok], pa.string()),
-                "right_tok": pa.array(toks[1:][ok], pa.string()),
-            })
-            g = t.group_by(["left_tok", "right_tok"]).aggregate(
-                [([], "count_all")])
-            return g.rename_columns(["left_tok", "right_tok", "n"])
+            return _pair_histogram(pa.array(toks[:-1][ok], pa.string()),
+                                   pa.array(toks[1:][ok], pa.string()))
 
         partials = docs.map_batches(pairs, batch_format="pyarrow").materialize()
         if (partials.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:

@@ -206,6 +206,11 @@ _TEXT_OPS_EMPTY_COLS = {
                         "tf": "int64", "df": "int64"},
     "grouped_quantiles": {"lang": "object", "p50": "int64",
                           "p95": "int64"},
+    "bm25_topk": {"doc_id": "int64", "score": "float64", "dl": "int64"},
+    "pmi_bigrams": {"left_tok": "object", "right_tok": "object",
+                    "n": "int64", "lift": "float64"},
+    "bpe_train": {"rank": "int64", "left_tok": "object",
+                  "right_tok": "object", "n": "int64"},
 }
 
 

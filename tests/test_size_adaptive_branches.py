@@ -69,25 +69,52 @@ def con():
     c.close()
 
 
+# Helpers that branch on a cap and the catalog queries that reach each
+# one — a cap site inside any OTHER function means an unaccounted
+# adaptive branch. Update together with ADAPTIVE_QUERIES.
+_KNOWN_CAP_FUNCS = {
+    # shared helpers (reached via the ADAPTIVE_QUERIES / bpe_train plans)
+    "_components_bsp", "_bucket_pair_indices", "_bucket_pairs_join",
+    "_attach_pair_sigs", "_verify_jaccard",
+    # queries with inline cap branches
+    "q_jaccard_neardup", "q_neardup_dedup", "q_column_profile",
+    "q_tpch_q4", "q_tpch_q13", "q_tpch_q18", "q_tpch_q21", "q_tpch_q22",
+    # rows-only adaptive query (forced-branch golden in test_bpe_train.py)
+    "q_bpe_train",
+}
+
+
 def test_adaptive_list_is_exhaustive():
-    """A new cap-branch site must be added to ADAPTIVE_QUERIES (or a new
-    cap constant to the zeroed set below) — fail loudly if the source
-    grows a cap this sweep doesn't know about."""
+    """Every reference to a cap constant must sit inside a function this
+    suite (or test_bpe_train.py) already forces — a cap branch in a NEW
+    function means a distributed path no correctness gate exercises, so
+    fail loudly until it joins the sweep. Also: no new *_BYTES / *_CAP
+    module constant may appear without being zeroed below."""
     import inspect
+    import re
 
     src = inspect.getsource(Q)
+    lines = src.splitlines()
     known = {"_VERIFY_BCAST_BYTES", "_PAIRS_DRIVER_BYTES", "_CC_DRIVER_BYTES"}
-    found = {
-        tok
-        for tok in known
-        if src.count(tok) >= 2  # definition + at least one branch site
-    }
-    assert found == known
-    # no other *_BYTES / *_CAP module constant sneaked in
-    import re
 
     consts = set(re.findall(r"^(_[A-Z_]*(?:BYTES|CAP))\s*=", src, re.M))
     assert consts <= known, f"unknown adaptive caps: {consts - known}"
+
+    defs = [(i, m.group(1)) for i, l in enumerate(lines)
+            if (m := re.match(r"^def (\w+)", l))]
+    hit_funcs = set()
+    for i, l in enumerate(lines):
+        if re.match(r"^_[A-Z_]*(?:BYTES|CAP)\s*=", l):
+            continue  # the definition itself
+        if any(tok in l for tok in known) and not l.lstrip().startswith("#"):
+            encl = [name for j, name in defs if j <= i]
+            assert encl, f"cap reference outside any function: line {i+1}"
+            hit_funcs.add(encl[-1])
+    assert hit_funcs == _KNOWN_CAP_FUNCS, (
+        f"unaccounted cap-branch functions: "
+        f"{hit_funcs - _KNOWN_CAP_FUNCS} — add them to ADAPTIVE_QUERIES "
+        f"(or a forced-branch golden) and _KNOWN_CAP_FUNCS; "
+        f"stale entries: {_KNOWN_CAP_FUNCS - hit_funcs}")
 
 
 @pytest.mark.parametrize("name", ADAPTIVE_QUERIES)
