@@ -11760,101 +11760,24 @@ GROUP BY idx
 
 
 QUERIES = {
-    "bloom_semi_join": q_bloom_semi_join,
-    "dq_audit": q_dq_audit,
-    "percentile_filter": q_percentile_filter,
-    "weighted_sample": q_weighted_sample,
-    "corr_stats": q_corr_stats,
-    "column_profile": q_column_profile,
-    "inverted_index": q_inverted_index,
-    "pagerank_step": q_pagerank_step,
-    "pricing_summary": q_pricing_summary,
-    "filter_project": q_filter_project,
-    "derived_chain": q_derived_chain,
-    "clamped_metrics": q_clamped_metrics,
-    "join_agg": q_join_agg,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
-    "dedup_events": q_dedup_events,
-    "grouped_topk": q_grouped_topk,
-    "sort_limit": q_sort_limit,
-    "union_counts": q_union_counts,
-    "surrogate_key": q_surrogate_key,
-    "date_attrs": q_date_attrs,
-    "quarter_end": q_quarter_end,
-    "date_dim": q_date_dim,
-    "minmax": q_minmax,
-    "window_ffill": q_window_ffill,
-    "asof_join": q_asof_join,
-    "window_agg": q_window_agg,
-    "window_hop": q_window_hop,
-    "text_stats": q_text_stats,
-    "token_bpe": q_token_bpe,
-    "quality_score": q_quality_score,
-    "doc_fingerprint": q_doc_fingerprint,
-    "dedup_docs_exact": q_dedup_docs_exact,
-    "lang_stats": q_lang_stats,
-    "vocab_df": q_vocab_df,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "bm25_topk": q_bm25_topk,
-    "pmi_bigrams": q_pmi_bigrams,
-    "bpe_train": q_bpe_train,
-    "grouped_quantiles": q_grouped_quantiles,
-    "heavy_hitters": q_heavy_hitters,
-    "char_stats": q_char_stats,
-    "rare_token": q_rare_token,
-    "regex_scrub": q_regex_scrub,
-    "kth_value": q_kth_value,
-    "ann_topk": q_ann_topk,
-    "kmeans_assign": q_kmeans_assign,
-    "kmeans_step": q_kmeans_step,
-    "embed_neardup": q_embed_neardup,
-    "neardup_components": q_neardup_components,
-    "multimodal_features": q_multimodal_features,
-    "lang_id": q_lang_id,
-    "scd2_dim": q_scd2_dim,
-    "maintained_scan": q_maintained_scan,
-    "ratio_chain11": q_ratio_chain11,
-    "medallion_gold": q_medallion_gold,
-    "sample_hash": q_sample_hash,
-    "corpus_shuffle": q_corpus_shuffle,
-    "domain_mix": q_domain_mix,
-    "kmv_distinct": q_kmv_distinct,
-    "sessionize": q_sessionize,
-    "stream_sessions": q_stream_sessions,
-    "stream_interval_join": q_stream_interval_join,
+    # Ordered so that queries never yet sampled by a driver CORRECTNESS
+    # round come first (the driver samples the head of this dict); the
+    # previously-sampled tail stays registered and pytest-oracle-checked.
+    # Rows-only entries (no oracle_sql) sit at the end of the unsampled
+    # block: ann_ivf_pq / logreg_train / model_promote.
     "stream_outer_join": q_stream_outer_join,
-    "mor_delete_scan": q_mor_delete_scan,
     "delete_where_scan": q_delete_where_scan,
     "update_where_scan": q_update_where_scan,
     "time_partition_scan": q_time_partition_scan,
     "metadata_partitions": q_metadata_partitions,
     "metadata_snapshots": q_metadata_snapshots,
-    "contamination": q_contamination,
-    "incremental_scan": q_incremental_scan,
     "incremental_mv": q_incremental_mv,
     "schema_evolution_scan": q_schema_evolution_scan,
-    "time_travel": q_time_travel,
-    "wap_isolation": q_wap_isolation,
-    # near-dup / similarity / ML family. The near-dup pipelines all have
-    # EXACT oracles (full-LSH SQL transcriptions, shared-gram candidate
-    # supersets); rows-only driver checks with pytest goldens instead:
-    # ann_ivf / ann_ivf_pq (probabilistic probing), logreg_train,
-    # model_promote.
-    "minhash_neardup": q_minhash_neardup,
     "neardup_dedup": q_neardup_dedup,
     "jaccard_neardup": q_jaccard_neardup,
     "dup_spans": q_dup_spans,
-    "simhash": q_simhash,
-    "simhash_neardup": q_simhash_neardup,
     "rhp_neardup": q_rhp_neardup,
     "levenshtein_neardup": q_levenshtein_neardup,
-    "ann_ivf": q_ann_ivf,
-    "ann_ivf_pq": q_ann_ivf_pq,
-    "logreg_train": q_logreg_train,
-    "model_promote": q_model_promote,
-    "transcript_maintenance": q_transcript_maintenance,
     "catalog_medallion": q_catalog_medallion,
     "dag_medallion": q_dag_medallion,
     "pack_sequences": q_pack_sequences,
@@ -11928,6 +11851,83 @@ QUERIES = {
     "overwrite_partition_scan": q_overwrite_partition_scan,
     "full_outer_counts": q_full_outer_counts,
     "explode_embeddings": q_explode_embeddings,
+    "ann_ivf_pq": q_ann_ivf_pq,
+    "logreg_train": q_logreg_train,
+    "model_promote": q_model_promote,
+    "bloom_semi_join": q_bloom_semi_join,
+    "dq_audit": q_dq_audit,
+    "percentile_filter": q_percentile_filter,
+    "weighted_sample": q_weighted_sample,
+    "corr_stats": q_corr_stats,
+    "column_profile": q_column_profile,
+    "inverted_index": q_inverted_index,
+    "pagerank_step": q_pagerank_step,
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "derived_chain": q_derived_chain,
+    "clamped_metrics": q_clamped_metrics,
+    "join_agg": q_join_agg,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "dedup_events": q_dedup_events,
+    "grouped_topk": q_grouped_topk,
+    "sort_limit": q_sort_limit,
+    "union_counts": q_union_counts,
+    "surrogate_key": q_surrogate_key,
+    "date_attrs": q_date_attrs,
+    "quarter_end": q_quarter_end,
+    "date_dim": q_date_dim,
+    "minmax": q_minmax,
+    "window_ffill": q_window_ffill,
+    "asof_join": q_asof_join,
+    "window_agg": q_window_agg,
+    "window_hop": q_window_hop,
+    "text_stats": q_text_stats,
+    "token_bpe": q_token_bpe,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_docs_exact": q_dedup_docs_exact,
+    "lang_stats": q_lang_stats,
+    "vocab_df": q_vocab_df,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_topk": q_bm25_topk,
+    "pmi_bigrams": q_pmi_bigrams,
+    "bpe_train": q_bpe_train,
+    "grouped_quantiles": q_grouped_quantiles,
+    "heavy_hitters": q_heavy_hitters,
+    "char_stats": q_char_stats,
+    "rare_token": q_rare_token,
+    "regex_scrub": q_regex_scrub,
+    "kth_value": q_kth_value,
+    "ann_topk": q_ann_topk,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_step": q_kmeans_step,
+    "embed_neardup": q_embed_neardup,
+    "neardup_components": q_neardup_components,
+    "multimodal_features": q_multimodal_features,
+    "lang_id": q_lang_id,
+    "scd2_dim": q_scd2_dim,
+    "maintained_scan": q_maintained_scan,
+    "ratio_chain11": q_ratio_chain11,
+    "medallion_gold": q_medallion_gold,
+    "sample_hash": q_sample_hash,
+    "corpus_shuffle": q_corpus_shuffle,
+    "domain_mix": q_domain_mix,
+    "kmv_distinct": q_kmv_distinct,
+    "sessionize": q_sessionize,
+    "stream_sessions": q_stream_sessions,
+    "stream_interval_join": q_stream_interval_join,
+    "mor_delete_scan": q_mor_delete_scan,
+    "contamination": q_contamination,
+    "incremental_scan": q_incremental_scan,
+    "time_travel": q_time_travel,
+    "wap_isolation": q_wap_isolation,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "ann_ivf": q_ann_ivf,
+    "transcript_maintenance": q_transcript_maintenance,
 }
 
 ORACLES = {
