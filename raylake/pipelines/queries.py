@@ -3617,6 +3617,61 @@ def q_ann_ivf(sf_dir: str):
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def q_ann_ivf_exhaustive(sf_dir: str):
+    """IVF top-10 with nprobe = ALL centroids — exhaustive probing makes the
+    IVF plan exact brute force, so the full actor-pool index path (centroid
+    train → IVFAssign → bucket filter → per-batch ADC-free cosine top-k)
+    gains a deterministic value-hash oracle: the result is identical to
+    `ann_topk` by construction and shares SQL_ANN_TOPK. This is the
+    driver-checkable correctness anchor for the probabilistic `ann_ivf` /
+    `ann_ivf_pq` variants, which differ only in nprobe / compression
+    (VERDICT r04 priority 3)."""
+    import ray
+
+    from raylake.functions.similarity import (
+        IVFAssign,
+        cosine_scores,
+        embedding_matrix,
+        kmeans_lite,
+    )
+
+    rd = _rd()
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    sample = ds.limit(2000).take_batch(2000, batch_format="pyarrow")
+    cents = kmeans_lite(embedding_matrix(sample), k=8, iters=5, seed=0)
+    qtbl = pq.read_table(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "==", 0)])
+    q = embedding_matrix(qtbl)[0]
+    # nprobe = k: every bucket is probed, so the filter below keeps every
+    # row and the scan is exhaustive (exact). The assign stage still runs
+    # for real — this exercises the identical index plumbing as q_ann_ivf.
+    probe_set = pa.array(range(len(cents)), type=pa.int32())
+
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_kwargs={"centroids_ref": ray.put(cents)},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    probed = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_bucket"], value_set=probe_set)),
+        batch_format="pyarrow",
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        mat = embedding_matrix(t)
+        cos = cosine_scores(mat, q)
+        k = min(10, len(cos))
+        idx = np.argpartition(-cos, k - 1)[:k]
+        return pa.table({"vec_id": t["vec_id"].take(pa.array(idx)),
+                         "cosine": pa.array(np.round(cos[idx], 6))})
+
+    parts = probed.map_batches(topk, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(["cosine", "vec_id"],
+                            ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 def q_ann_ivf_pq(sf_dir: str):
     """IVF-PQ top-10 for the vec_id=0 query — the MEMORY-scale ANN path
     (Jegou et al. 2011 ADC). The index tier holds only (vec_id, bucket,
@@ -11765,6 +11820,7 @@ QUERIES = {
     # previously-sampled tail stays registered and pytest-oracle-checked.
     # Rows-only entries (no oracle_sql) sit at the end of the unsampled
     # block: ann_ivf_pq / logreg_train / model_promote.
+    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "stream_outer_join": q_stream_outer_join,
     "delete_where_scan": q_delete_where_scan,
     "update_where_scan": q_update_where_scan,
@@ -11969,6 +12025,8 @@ ORACLES = {
     "regex_scrub": SQL_REGEX_SCRUB,
     "kth_value": SQL_KTH_VALUE,
     "ann_topk": SQL_ANN_TOPK,
+    # exhaustive-probe IVF is exact brute force → same result shape/values
+    "ann_ivf_exhaustive": SQL_ANN_TOPK,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "kmeans_step": SQL_KMEANS_STEP,
     "embed_neardup": SQL_EMBED_NEARDUP,
