@@ -1236,10 +1236,18 @@ def q_pmi_bigrams(sf_dir: str):
     Scale shape: unigram totals ride the vocab_df partial pattern (per-
     batch Acero pre-aggregation, O(vocab) shuffle); bigram counts ride
     the shared _bigram_pair_counts partial (O(vocab²-observed) shuffle,
-    never O(tokens)); the lift compute is one vectorized map_batches over
-    the bigram aggregate with the broadcast unigram arrays (bounded by
-    vocabulary — beyond broadcast size the same plan becomes a two-key
-    join); per-batch top-20 partials bound the final sort input."""
+    never O(tokens)); SIZE-ADAPTIVE lift compute: under
+    _VERIFY_BCAST_BYTES the unigram aggregate broadcasts via ray.put and
+    one vectorized map_batches resolves c_a/c_b by searchsorted; over it
+    the vocabulary no longer fits a broadcast and the same plan becomes
+    two distributed hash joins on the token key (c_a, then c_b) — both
+    branches compute the identical factored IEEE expression in the same
+    op order, and the forced-branch sweep
+    (tests/test_size_adaptive_branches.py) runs the join path against the
+    oracle. Per-batch top-20 partials bound the final sort input either
+    way. The join branch is only reachable for a non-empty corpus (an
+    empty input aggregates to 0 bytes ≤ any cap), so the join sides never
+    need empty-side seeding."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1262,35 +1270,23 @@ def q_pmi_bigrams(sf_dir: str):
                       "is_doc_count": pa.array([True])}),
         ])
 
-    uni = (docs.map_batches(uni_partial, batch_format="pyarrow")
-           .groupby(["token", "is_doc_count"])
-           .aggregate(Sum("c", alias_name="c")).to_pandas())  # O(vocab)
-    if uni.empty:
+    uni_ds = (docs.map_batches(uni_partial, batch_format="pyarrow")
+              .groupby(["token", "is_doc_count"])
+              .aggregate(Sum("c", alias_name="c")).materialize())  # O(vocab)
+    # global scalars: two rows on the driver regardless of vocab size
+    totals = (uni_ds.groupby("is_doc_count")
+              .aggregate(Sum("c", alias_name="c")).to_pandas())
+    if totals.empty:
         return _empty_frame({"left_tok": object, "right_tok": object,
                              "n": "int64", "lift": "float64"})
-    docs_nonempty = int(uni.loc[uni["is_doc_count"], "c"].sum())
-    uni = uni[~uni["is_doc_count"]].sort_values("token")
-    n_uni = int(uni["c"].sum())
+    docs_nonempty = int(totals.loc[totals["is_doc_count"], "c"].sum())
+    n_uni = int(totals.loc[~totals["is_doc_count"], "c"].sum())
     n_bi = n_uni - docs_nonempty  # each nonempty doc has len-1 bigrams
     if n_bi <= 0:
         return _empty_frame({"left_tok": object, "right_tok": object,
                              "n": "int64", "lift": "float64"})
-    bcast = ray.put((uni["token"].to_numpy(),
-                     uni["c"].to_numpy().astype(np.int64)))
 
-    def lift(b: pa.Table) -> pa.Table:
-        vocab, cnt = ray.get(bcast)
-        ca = cnt[np.searchsorted(vocab, b["left_tok"].to_numpy(
-            zero_copy_only=False))]
-        cb = cnt[np.searchsorted(vocab, b["right_tok"].to_numpy(
-            zero_copy_only=False))]
-        cab = b["n"].to_numpy(zero_copy_only=False)
-        # mirrored op order: ((cab/n_bi) * (n_uni/ca)) * (n_uni/cb)
-        lv = ((cab / n_bi) * (n_uni / ca)) * (n_uni / cb)
-        t = pa.table({"left_tok": b["left_tok"],
-                      "right_tok": b["right_tok"],
-                      "n": pc.cast(b["n"], pa.int64()),
-                      "lift": pa.array(lv, pa.float64())})
+    def topk_partial(t: pa.Table, lv: np.ndarray) -> pa.Table:
         if len(t) > 20:  # per-batch top-k partial
             order = np.lexsort((
                 t["right_tok"].to_numpy(zero_copy_only=False),
@@ -1298,13 +1294,66 @@ def q_pmi_bigrams(sf_dir: str):
             t = t.take(pa.array(order[:20]))
         return t
 
-    out = (docs.map_batches(_bigram_pair_counts, batch_format="pyarrow")
-           .groupby(["left_tok", "right_tok"])
-           .aggregate(Sum("n", alias_name="n"))
-           .filter(expr="n >= 5")
-           .map_batches(lift, batch_format="pyarrow")
-           .sort(["lift", "left_tok", "right_tok"],
-                 descending=[True, False, False])
+    bi = (docs.map_batches(_bigram_pair_counts, batch_format="pyarrow")
+          .groupby(["left_tok", "right_tok"])
+          .aggregate(Sum("n", alias_name="n"))
+          .filter(expr="n >= 5"))
+
+    if (uni_ds.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        uni = uni_ds.to_pandas()
+        uni = uni[~uni["is_doc_count"]].sort_values("token")
+        bcast = ray.put((uni["token"].to_numpy(),
+                         uni["c"].to_numpy().astype(np.int64)))
+
+        def lift(b: pa.Table) -> pa.Table:
+            vocab, cnt = ray.get(bcast)
+            ca = cnt[np.searchsorted(vocab, b["left_tok"].to_numpy(
+                zero_copy_only=False))]
+            cb = cnt[np.searchsorted(vocab, b["right_tok"].to_numpy(
+                zero_copy_only=False))]
+            cab = b["n"].to_numpy(zero_copy_only=False)
+            # mirrored op order: ((cab/n_bi) * (n_uni/ca)) * (n_uni/cb)
+            lv = ((cab / n_bi) * (n_uni / ca)) * (n_uni / cb)
+            t = pa.table({"left_tok": b["left_tok"],
+                          "right_tok": b["right_tok"],
+                          "n": pc.cast(b["n"], pa.int64()),
+                          "lift": pa.array(lv, pa.float64())})
+            return topk_partial(t, lv)
+
+        scored = bi.map_batches(lift, batch_format="pyarrow")
+    else:
+        # over-cap: resolve c_a/c_b with two distributed hash joins on the
+        # token key (the docstring's two-key-join path), identical IEEE
+        # expression and op order as the broadcast branch
+        def uni_side(key: str, cname: str):
+            def fn(b: pa.Table) -> pa.Table:
+                t = b.filter(pc.equal(b["is_doc_count"], pa.scalar(False)))
+                return pa.table({key: t["token"],
+                                 cname: pc.cast(t["c"], pa.int64())})
+            return uni_ds.map_batches(fn, batch_format="pyarrow")
+
+        bi = bi.materialize()
+        if bi.count() == 0:
+            return _empty_frame({"left_tok": object, "right_tok": object,
+                                 "n": "int64", "lift": "float64"})
+        j = _hash_join(bi, uni_side("left_tok", "ca"), on=("left_tok",))
+        j = _hash_join(j, uni_side("right_tok", "cb"), on=("right_tok",))
+
+        def lift_join(b: pa.Table) -> pa.Table:
+            ca = b["ca"].to_numpy(zero_copy_only=False)
+            cb = b["cb"].to_numpy(zero_copy_only=False)
+            cab = b["n"].to_numpy(zero_copy_only=False)
+            lv = ((cab / n_bi) * (n_uni / ca)) * (n_uni / cb)
+            t = pa.table({"left_tok": b["left_tok"],
+                          "right_tok": b["right_tok"],
+                          "n": pc.cast(b["n"], pa.int64()),
+                          "lift": pa.array(lv, pa.float64())})
+            return topk_partial(t, lv)
+
+        scored = j.map_batches(lift_join, batch_format="pyarrow")
+
+    out = (scored.sort(["lift", "left_tok", "right_tok"],
+                       descending=[True, False, False])
            .limit(20).to_pandas())
     if out.empty:
         return _empty_frame({"left_tok": object, "right_tok": object,

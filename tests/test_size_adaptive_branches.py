@@ -38,6 +38,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 #   grep -n "_VERIFY_BCAST_BYTES\|_PAIRS_DRIVER_BYTES\|_CC_DRIVER_BYTES" \
 #       raylake/pipelines/queries.py
 ADAPTIVE_QUERIES = [
+    "pmi_bigrams",
     "minhash_neardup",
     "jaccard_neardup",
     "simhash_neardup",
@@ -77,6 +78,7 @@ _KNOWN_CAP_FUNCS = {
     "_components_bsp", "_bucket_pair_indices", "_bucket_pairs_join",
     "_attach_pair_sigs", "_verify_jaccard",
     # queries with inline cap branches
+    "q_pmi_bigrams",
     "q_jaccard_neardup", "q_neardup_dedup", "q_column_profile",
     "q_tpch_q4", "q_tpch_q13", "q_tpch_q18", "q_tpch_q21", "q_tpch_q22",
     # rows-only adaptive query (forced-branch golden in test_bpe_train.py)
@@ -88,28 +90,40 @@ def test_adaptive_list_is_exhaustive():
     """Every reference to a cap constant must sit inside a function this
     suite (or test_bpe_train.py) already forces — a cap branch in a NEW
     function means a distributed path no correctness gate exercises, so
-    fail loudly until it joins the sweep. Also: no new *_BYTES / *_CAP
-    module constant may appear without being zeroed below."""
+    fail loudly until it joins the sweep. Walks the module AST (r04
+    ADVICE: the previous line-regex counted docstring MENTIONS of a cap
+    as branch sites and silently missed differently-named constants), so
+    only real Name loads count and every module-level _UPPER_CASE int
+    constant whose name suggests a size threshold is screened."""
+    import ast
     import inspect
     import re
 
     src = inspect.getsource(Q)
-    lines = src.splitlines()
+    tree = ast.parse(src)
     known = {"_VERIFY_BCAST_BYTES", "_PAIRS_DRIVER_BYTES", "_CC_DRIVER_BYTES"}
 
-    consts = set(re.findall(r"^(_[A-Z_]*(?:BYTES|CAP))\s*=", src, re.M))
-    assert consts <= known, f"unknown adaptive caps: {consts - known}"
+    # any module-level _UPPER constant with a threshold-ish name must be
+    # one of the known (test-zeroed) caps — broadened past BYTES|CAP so a
+    # future _FOO_LIMIT / _FOO_MAX can't dodge the sweep. _PAIRS_DRIVER_MAX
+    # is a guard INSIDE the driver branch (its fallback IS the distributed
+    # path the sweep forces), so it is screened as known-but-not-zeroed.
+    screened = re.compile(r"^_[A-Z_]*(BYTES|CAP|LIMIT|MAX|THRESH\w*)$")
+    allowed_unzeroed = {"_PAIRS_DRIVER_MAX"}
+    consts = {t.id for node in tree.body if isinstance(node, ast.Assign)
+              for t in node.targets
+              if isinstance(t, ast.Name) and screened.match(t.id)}
+    assert consts <= known | allowed_unzeroed, (
+        f"unknown adaptive caps: {consts - known - allowed_unzeroed}")
 
-    defs = [(i, m.group(1)) for i, l in enumerate(lines)
-            if (m := re.match(r"^def (\w+)", l))]
     hit_funcs = set()
-    for i, l in enumerate(lines):
-        if re.match(r"^_[A-Z_]*(?:BYTES|CAP)\s*=", l):
-            continue  # the definition itself
-        if any(tok in l for tok in known) and not l.lstrip().startswith("#"):
-            encl = [name for j, name in defs if j <= i]
-            assert encl, f"cap reference outside any function: line {i+1}"
-            hit_funcs.add(encl[-1])
+    for fn in tree.body:
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        for node in ast.walk(fn):
+            if (isinstance(node, ast.Name) and node.id in known
+                    and isinstance(node.ctx, ast.Load)):
+                hit_funcs.add(fn.name)
     assert hit_funcs == _KNOWN_CAP_FUNCS, (
         f"unaccounted cap-branch functions: "
         f"{hit_funcs - _KNOWN_CAP_FUNCS} — add them to ADAPTIVE_QUERIES "
