@@ -105,6 +105,53 @@ class ManifestEntry:
         return True
 
 
+def manifest_envelope(entries: list["ManifestEntry"]) -> dict:
+    """Summary envelope of one manifest, stored IN the snapshot so plans can
+    skip whole manifest files without opening them (Iceberg's manifest-list
+    partition summaries — the two-level metadata tree). `p` is the
+    [min, max] partition-id range; `stats` the per-column [min, max] union
+    over entries, kept only when EVERY entry carries valid bounds for the
+    column (a partial column cannot prune soundly). Bloom stats never fold
+    into an envelope (unioning filters loses their point semantics here)."""
+    if not entries:
+        return {"p": [0, -1], "n": 0, "rows": 0, "stats": {}}
+    stats: dict[str, list] = {}
+    common = set(entries[0].stats)
+    for e in entries[1:]:
+        common &= set(e.stats)
+    for col in common:
+        if col.endswith("__bloom"):
+            continue
+        los = [e.stats[col][0] for e in entries]
+        his = [e.stats[col][1] for e in entries]
+        if any(v is None for v in los) or any(v is None for v in his):
+            continue
+        try:
+            stats[col] = [min(los), max(his)]
+        except TypeError:  # mixed/unorderable stat values → cannot prune
+            continue
+    return {
+        "p": [min(e.partition for e in entries),
+              max(e.partition for e in entries)],
+        "n": len(entries),
+        "rows": sum(e.rows for e in entries),
+        "stats": stats,
+    }
+
+
+def env_overlaps(env: dict, col: str, lo: Any, hi: Any) -> bool:
+    """ManifestEntry.overlaps at envelope granularity: True unless the
+    manifest's [min, max] union for `col` provably excludes [lo, hi]."""
+    s = (env.get("stats") or {}).get(col)
+    if not s or s[0] is None or s[1] is None:
+        return True
+    if lo is not None and s[1] < lo:
+        return False
+    if hi is not None and s[0] > hi:
+        return False
+    return True
+
+
 @dataclass
 class Snapshot:
     seq: int
@@ -119,6 +166,10 @@ class Snapshot:
     # re-insert of the key is NOT deleted). Rewrites apply applicable
     # deletes physically, so rewritten files (new seq) never resurrect rows.
     delete_files: list[dict] = field(default_factory=list)
+    # per-manifest envelopes aligned with `manifests` (manifest_envelope);
+    # None (legacy snapshots) or a misaligned list disables manifest-level
+    # pruning for the snapshot — plans fall back to opening every manifest.
+    manifest_meta: list | None = None
 
     def to_json(self) -> dict:
         return asdict(self)
@@ -133,6 +184,7 @@ class Snapshot:
             manifests=d["manifests"],
             summary=d.get("summary", {}),
             delete_files=d.get("delete_files", []),
+            manifest_meta=d.get("manifest_meta"),
         )
 
 

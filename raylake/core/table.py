@@ -139,6 +139,8 @@ class Table:
     def __init__(self, root: str, meta: dict):
         self.root = root
         self.meta = meta
+        # {opened, total} of the most recent manifest-filtered plan read
+        self.last_manifest_prune: dict | None = None
 
     # ------------------------------------------------------------- lifecycle
 
@@ -413,13 +415,41 @@ class Table:
             if (s := self.snapshot(e["seq"])) is not None
         ]
 
-    def live_entries(self, snapshot: int | None = None) -> list[ManifestEntry]:
+    @staticmethod
+    def _manifest_meta(snap) -> list:
+        """Per-manifest envelopes aligned with snap.manifests; all-None when
+        the snapshot predates envelopes or the list is misaligned."""
+        mm = snap.manifest_meta
+        if not mm or len(mm) != len(snap.manifests):
+            return [None] * len(snap.manifests)
+        return mm
+
+    def live_entries(
+        self,
+        snapshot: int | None = None,
+        manifest_filter=None,
+    ) -> list[ManifestEntry]:
+        """All live entries of a snapshot; with `manifest_filter` (a
+        predicate over a manifest_envelope dict) only entries of manifests
+        whose envelope passes — manifests WITHOUT an envelope always open
+        (conservative). Callers passing a filter receive a SUBSET and must
+        entry-prune it themselves (prune / prune_point do). Each filtered
+        call records {opened, total} in `self.last_manifest_prune` — the
+        plan-time observability hook for the two-level metadata tree."""
         snap = self.snapshot(snapshot)
         if snap is None:
             return []
         out: list[ManifestEntry] = []
-        for m in snap.manifests:
+        opened = 0
+        for m, env in zip(snap.manifests, self._manifest_meta(snap)):
+            if (manifest_filter is not None and env is not None
+                    and not manifest_filter(env)):
+                continue
+            opened += 1
             out.extend(md.read_manifest(self.root, m))
+        if manifest_filter is not None:
+            self.last_manifest_prune = {
+                "opened": opened, "total": len(snap.manifests)}
         return out
 
     def added_entries(self, after_seq: int, until_seq: int | None = None) -> list[ManifestEntry]:
@@ -687,9 +717,12 @@ class Table:
     ) -> list[ManifestEntry]:
         """Manifest min/max pruning: keep entries overlapping every (lo, hi).
         On time-partitioned tables a range on the partition column also
-        prunes by partition id (metadata-only, works even without stats)."""
-        if entries is None:
-            entries = self.live_entries(snapshot)
+        prunes by partition id (metadata-only, works even without stats).
+        When `entries` is None the snapshot's per-manifest envelopes prune
+        at MANIFEST granularity first, so whole manifest files are never
+        opened when their partition range / stats union provably excludes
+        the predicate (the 100×-metadata-scale plan path)."""
+        plo = phi = None
         if (self.partition_kind == "time" and partitions is None
                 and self.partition_column in col_ranges):
             lo, hi = col_ranges[self.partition_column]
@@ -698,6 +731,32 @@ class Table:
                    if lo is not None else None)
             phi = (int(time_partition_ids([hi], tr)[0])
                    if hi is not None else None)
+        if entries is None:
+            import bisect as _bisect
+
+            psorted = sorted(partitions) if partitions else None
+
+            def mf(env: dict) -> bool:
+                p = env.get("p") or [None, None]
+                if p[0] is not None:
+                    if psorted is not None:
+                        # any wanted partition inside [p0, p1]?
+                        i = _bisect.bisect_left(psorted, p[0])
+                        if not (i < len(psorted) and psorted[i] <= p[1]):
+                            return False
+                    # the entry-level time check exempts partition == -1,
+                    # so a manifest containing any -1 entry (p0 == -1)
+                    # must always open
+                    if p[0] >= 0:
+                        if plo is not None and p[1] < plo:
+                            return False
+                        if phi is not None and p[0] > phi:
+                            return False
+                return all(md.env_overlaps(env, c, lo, hi)
+                           for c, (lo, hi) in col_ranges.items())
+
+            entries = self.live_entries(snapshot, manifest_filter=mf)
+        if plo is not None or phi is not None:
             entries = [
                 e for e in entries
                 if e.partition == -1
@@ -723,18 +782,34 @@ class Table:
         bounds in hash space instead."""
         from raylake.core.hashing import partition_of, stable_hash64
 
-        if entries is None:
-            entries = self.live_entries(snapshot)
         col = self.partition_column
+        key_col = col or "conv_id"
+        h32 = int(stable_hash64([conv_value])[0]) >> 32
+        p: int | None = None
         if col is not None and self.partition_kind == "hash":
             # bucket under the spec ACTIVE AT the scanned snapshot — after a
             # partition-spec evolution, time travel to older snapshots must
             # hash with the old bucket count. (Time-partitioned tables can't
             # derive a partition from a key value — stats/bloom still prune.)
             p = int(partition_of([conv_value], self.num_buckets_at(snapshot))[0])
+        if entries is None:
+            def mf(env: dict) -> bool:
+                ep = env.get("p") or [None, None]
+                if p is not None and ep[0] is not None:
+                    # entry level keeps partitions (p, -1): a manifest whose
+                    # range excludes BOTH may skip unopened
+                    if not (ep[0] <= p <= ep[1]) and ep[0] > -1:
+                        return False
+                if not md.env_overlaps(env, key_col, conv_value, conv_value):
+                    return False
+                if key_col == "conv_id" and not md.env_overlaps(
+                        env, "conv_h32", h32, h32):
+                    return False
+                return md.env_overlaps(env, f"{key_col}_h32", h32, h32)
+
+            entries = self.live_entries(snapshot, manifest_filter=mf)
+        if p is not None:
             entries = [e for e in entries if e.partition in (p, -1)]
-        h32 = int(stable_hash64([conv_value])[0]) >> 32
-        key_col = col or "conv_id"
         out = [
             e
             for e in entries
@@ -1404,7 +1479,13 @@ class Table:
 
             # Carry forward parent manifests, rewriting only those that
             # reference replaced files (keeps the metadata tree shallow).
+            # Alongside each manifest path the snapshot records its
+            # ENVELOPE (md.manifest_envelope) so later plans can skip
+            # whole manifests without opening them; pure appends skip
+            # reading the parent's manifests entirely — an append commit
+            # is O(#manifests), not O(#entries), at any metadata scale.
             manifests: list[str] = []
+            metas: list = []
             removed_rows = removed_files = 0
             parent_snap = self.snapshot(cur)
             if manifests_override is not None:
@@ -1412,21 +1493,33 @@ class Table:
                     if chunk:
                         lk.touch()  # keep a long rewrite from going stale
                         manifests.append(md.write_manifest(self.root, chunk))
+                        metas.append(md.manifest_envelope(chunk))
             elif parent_snap is not None:
-                for m in parent_snap.manifests:
+                parent_metas = self._manifest_meta(parent_snap)
+                for m, env in zip(parent_snap.manifests, parent_metas):
+                    if not replaced:
+                        manifests.append(m)
+                        metas.append(env)
+                        continue
                     lk.touch()  # keep a long manifest rewrite from going stale
                     entries = md.read_manifest(self.root, m)
-                    if replaced and any(e.path in replaced for e in entries):
+                    if any(e.path in replaced for e in entries):
                         kept = [e for e in entries if e.path not in replaced]
                         dropped = [e for e in entries if e.path in replaced]
                         removed_rows += sum(e.rows for e in dropped)
                         removed_files += len(dropped)
                         if kept:
                             manifests.append(md.write_manifest(self.root, kept))
+                            metas.append(md.manifest_envelope(kept))
                     else:
                         manifests.append(m)
+                        # already parsed: backfill a legacy manifest's
+                        # envelope for free while we hold the entries
+                        metas.append(env if env is not None
+                                     else md.manifest_envelope(entries))
             if added:
                 manifests.append(md.write_manifest(self.root, added))
+                metas.append(md.manifest_envelope(added))
 
             # merge-on-read delete files: carry parent's forward, minus
             # explicitly purged, plus newly added (stamped with this seq).
@@ -1463,6 +1556,7 @@ class Table:
                     **(summary or {}),
                 },
                 delete_files=delete_files,
+                manifest_meta=metas,
             )
             md.atomic_write_json(
                 os.path.join(self.root, "metadata", f"snap-{new_seq}.json"),

@@ -1,0 +1,157 @@
+"""Manifest-level metadata pruning (the two-level metadata tree).
+
+r04 verdict priority 1: `live_entries` materialized every manifest entry on
+the driver for every plan (260k entries at sf1, ~26M at 100×). Snapshots now
+carry a per-manifest ENVELOPE (partition range + column-stat unions,
+md.manifest_envelope) so plans open only intersecting manifest files —
+point merges and point lookups on a many-manifest table read a handful of
+manifests instead of parsing the whole tree. These tests pin:
+
+- envelopes are recorded on every commit and carried through pure appends
+  (which no longer read the parent's manifests at all);
+- the envelope fast path returns EXACTLY the same entry set as the
+  open-everything path (prune_point equivalence);
+- a point-merge plan on a partition-sorted many-manifest table opens <10%
+  of manifest files (Table.last_manifest_prune counter) and its result
+  stays bit-for-bit correct;
+- legacy snapshots without `manifest_meta` still plan correctly (open all).
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from raylake.core import metadata as md
+from raylake.core.table import Table
+from raylake.fixtures.transcripts import gen_late_batch, write_transcript_table
+from raylake.ops import merge_into
+from raylake.ops.manifests import rewrite_manifests
+
+
+@pytest.fixture()
+def many_manifest_table(tmp_table_root, ray_session):
+    """A 16-bucket table force-regrouped into many partition-sorted
+    manifests (~8 entries each) — the post-rewrite-manifests layout whose
+    envelopes manifest-level pruning is designed around."""
+    t = write_transcript_table(
+        tmp_table_root, n_turns=6000, rows_per_file=48, num_buckets=16
+    )
+    snap = rewrite_manifests(t, target_entries=8, min_manifests=1, force=True)
+    assert snap is not None
+    t.refresh()
+    assert len(t.snapshot().manifests) >= 10
+    return t
+
+
+def test_envelopes_recorded_and_aligned(many_manifest_table):
+    t = many_manifest_table
+    snap = t.snapshot()
+    metas = snap.manifest_meta
+    assert metas is not None and len(metas) == len(snap.manifests)
+    for m, env in zip(snap.manifests, metas):
+        ents = md.read_manifest(t.root, m)
+        want = md.manifest_envelope(ents)
+        assert env == want
+        # partition-sorted regroup → tight per-manifest partition ranges
+        assert env["p"][0] <= env["p"][1]
+        assert env["n"] == len(ents)
+
+
+def test_pure_append_carries_envelopes_without_reading(many_manifest_table):
+    from raylake.fixtures.transcripts import gen_transcripts
+    from raylake.ops.append import append
+
+    t = many_manifest_table
+    before = t.snapshot()
+    extra = gen_transcripts(300, seed=99, salt=3)
+    append(t, extra)
+    t.refresh()
+    after = t.snapshot()
+    # parent manifests carried verbatim, envelopes intact, new ones appended
+    assert after.manifests[: len(before.manifests)] == before.manifests
+    assert after.manifest_meta[: len(before.manifests)] == before.manifest_meta
+    assert len(after.manifest_meta) == len(after.manifests)
+    assert all(env is not None for env in after.manifest_meta)
+
+
+def test_prune_point_envelope_equivalence(many_manifest_table):
+    t = many_manifest_table
+    full = t.live_entries()
+    convs = {e.stats["conv_id"][0] for e in full if "conv_id" in e.stats}
+    assert convs
+    for conv in sorted(convs)[:10]:
+        fast = t.prune_point(conv)  # envelope-filtered manifest read
+        stats = dict(t.last_manifest_prune)
+        slow = t.prune_point(conv, entries=full)  # entry-level only
+        assert {e.path for e in fast} == {e.path for e in slow}
+        assert stats["total"] == len(t.snapshot().manifests)
+        assert stats["opened"] <= stats["total"]
+    # across 16 buckets and ≥10 partition-sorted manifests, at least one
+    # point lookup must actually skip manifests
+    t.prune_point(sorted(convs)[0])
+    assert t.last_manifest_prune["opened"] < t.last_manifest_prune["total"]
+
+
+def test_point_merge_plan_opens_under_10pct(many_manifest_table):
+    t = many_manifest_table
+    pre = t.scan_arrow(sort=True)
+    # a late batch touching exactly ONE conversation → one bucket
+    conv = pre["conv_id"][0].as_py()
+    mask = pc.equal(pre["conv_id"], conv)
+    one = pre.filter(mask).slice(0, 3)
+    late = pa.table({
+        "conv_id": one["conv_id"],
+        "turn_idx": one["turn_idx"],
+        "role": one["role"],
+        "text": pa.array(["late-" + str(i) for i in range(len(one))]),
+        "tool": one["tool"],
+        "ts": pc.add(one["ts"], pa.scalar(3_600_000_000, pa.int64())
+                     .cast(pa.duration("us"))),
+    }).cast(pre.schema)
+    snap = merge_into(t, late, concurrency=2)
+    assert snap is not None
+    stats = t.last_manifest_prune
+    assert stats is not None
+    assert stats["total"] >= 10
+    assert stats["opened"] / stats["total"] < 0.10, stats
+    # merged result is correct: the late text won (last-writer-wins)
+    post = t.scan_arrow(sort=True)
+    got = post.filter(pc.equal(post["conv_id"], conv))
+    merged_turns = set(one["turn_idx"].to_pylist())
+    for i in range(len(got)):
+        if got["turn_idx"][i].as_py() in merged_turns:
+            assert got["text"][i].as_py().startswith("late-")
+    # untouched conversations bit-for-bit
+    other_pre = pre.filter(pc.invert(mask))
+    other_post = post.filter(pc.invert(pc.equal(post["conv_id"], conv)))
+    assert other_pre.equals(other_post)
+
+
+def test_legacy_snapshot_without_envelopes_still_plans(many_manifest_table):
+    t = many_manifest_table
+    seq = t.current_seq
+    path = os.path.join(t.root, "metadata", f"snap-{seq}.json")
+    with open(path) as f:
+        d = json.load(f)
+    d.pop("manifest_meta")
+    md.atomic_write_json(path, d)
+    t2 = Table.load(t.root)
+    full = t2.live_entries()
+    conv = next(e.stats["conv_id"][0] for e in full if "conv_id" in e.stats)
+    fast = t2.prune_point(conv)
+    assert t2.last_manifest_prune["opened"] == t2.last_manifest_prune["total"]
+    assert {e.path for e in fast} == {
+        e.path for e in t2.prune_point(conv, entries=full)}
+
+
+def test_range_prune_uses_envelopes(many_manifest_table):
+    t = many_manifest_table
+    full = t.live_entries()
+    lo = min(e.stats["turn_idx"][0] for e in full if "turn_idx" in e.stats)
+    fast = t.prune(turn_idx=(lo, lo))
+    slow = t.prune(entries=full, turn_idx=(lo, lo))
+    assert {e.path for e in fast} == {e.path for e in slow}
+    assert t.last_manifest_prune["total"] == len(t.snapshot().manifests)
