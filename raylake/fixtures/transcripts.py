@@ -278,16 +278,17 @@ def write_transcript_table_ray(
     return tbl
 
 
-def gen_late_from_meta(
-    sizes: np.ndarray, update_frac: float = 0.05, insert_frac: float = 0.02,
-    seed: int = 7, salt: int = 1,
-) -> pa.Table:
-    """Late-arriving batch derived from conversation metadata only (no need
-    to materialize the base table): updates to existing (conv, turn) keys
-    with salt=1 text, inserts one-past-the-end turns, plus new convs. All
-    late `ts` values are strictly greater than any base `ts` (base spans 30
-    days + conv lengths; late starts at +100 days) so last-writer-wins picks
-    the late rows deterministically."""
+def _late_keys(
+    sizes: np.ndarray, update_frac: float, insert_frac: float, seed: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compact integer keys of the late batch, sorted by (conv_id, turn):
+    (ci, turn, ts) int64 arrays where ci >= 0 indexes a base conversation
+    and ci == -1-j denotes new conversation `conv-late-{j:06d}`. The sort
+    by integer (is_late, index, turn) is IDENTICAL to the historical
+    string lexsort — "conv-%08d" orders numerically at fixed width and
+    every "conv-late-*" sorts after ("0" < "l"). ts is assigned in
+    construction order before sorting (as always), so each key keeps the
+    same ts as the driver-side generator ever produced."""
     rng = np.random.default_rng(seed)
     cum = np.cumsum(sizes)
     total = int(cum[-1])
@@ -295,32 +296,36 @@ def gen_late_from_meta(
 
     upd = np.sort(rng.choice(total, size=max(1, int(total * update_frac)),
                              replace=False))
-    ci = np.searchsorted(cum, upd, side="right")
-    conv = [f"conv-{i:08d}" for i in ci]
+    ci = np.searchsorted(cum, upd, side="right").astype(np.int64)
     turn = (upd - offsets[ci]).astype(np.int64)
 
     ins_ci = rng.choice(len(sizes), size=max(1, int(len(sizes) * insert_frac)),
                         replace=False)
-    conv += [f"conv-{i:08d}" for i in ins_ci]
+    ci = np.concatenate([ci, ins_ci.astype(np.int64)])
     turn = np.concatenate([turn, sizes[ins_ci].astype(np.int64)])
 
-    n_new = max(1, len(ins_ci) // 4)
-    for j in range(n_new):
-        conv += [f"conv-late-{j:06d}"] * 3
-    turn = np.concatenate([turn, np.tile(np.arange(3), n_new)])
+    n_new = max(1, int(len(ins_ci)) // 4)
+    ci = np.concatenate([ci, np.repeat(-1 - np.arange(n_new, dtype=np.int64), 3)])
+    turn = np.concatenate([turn, np.tile(np.arange(3, dtype=np.int64), n_new)])
 
-    ts = BASE_TS_US + 100 * 86400 * 1_000_000 + np.arange(len(conv), dtype=np.int64)
-    # Sort the KEYS first and generate texts in final order: a table-level
-    # sort_by on a multi-GB string column overflows int32 offsets in the
-    # take kernel (seen at sf1: 5.3M late rows × ~1 KB text). Text/role/
-    # tool derive from (conv_id, turn, salt) only, so generation order is
-    # free; ts stays attached to its construction-order row (same rows as
-    # the old sort_by path, bit for bit).
-    conv_np = np.asarray(conv, dtype=object)
-    order = np.lexsort((turn, conv_np))
-    conv_np, turn, ts = conv_np[order], turn[order], ts[order]
-    texts, roles, tools = [], [], []
-    for cid, t in zip(conv_np, turn):
+    ts = (BASE_TS_US + 100 * 86400 * 1_000_000
+          + np.arange(len(ci), dtype=np.int64))
+    is_late = (ci < 0).astype(np.int64)
+    idx = np.where(ci >= 0, ci, -1 - ci)
+    order = np.lexsort((turn, idx, is_late))
+    return ci[order], turn[order], ts[order]
+
+
+def _expand_late_rows(
+    ci: np.ndarray, turn: np.ndarray, ts: np.ndarray, salt: int,
+) -> pa.Table:
+    """Expand integer late keys into full transcript rows. Pure per-key
+    function of (conv_id, turn, salt) → chunked/distributed expansion is
+    byte-identical to one serial pass."""
+    texts, roles, tools, convs = [], [], [], []
+    for i, t in zip(ci, turn):
+        cid = (f"conv-{i:08d}" if i >= 0 else f"conv-late-{-1 - i:06d}")
+        convs.append(cid)
         h = hashlib.sha256(f"{cid}:{int(t)}:{salt}".encode()).hexdigest()
         nlen = 50 + (int(h[:8], 16) % 1951)
         texts.append((h * (nlen // 64 + 1))[:nlen])
@@ -342,13 +347,66 @@ def gen_late_from_meta(
 
     return pa.table(
         {
-            "conv_id": _chunked_str(list(conv_np)),
+            "conv_id": _chunked_str(convs),
             "turn_idx": pa.array(turn, type=pa.int64()).cast(pa.int32()),
             "role": _chunked_str(roles),
             "text": _chunked_str(texts),
             "tool": _chunked_str(tools),
-            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "ts": pa.array(np.asarray(ts), type=pa.int64())
+                    .cast(pa.timestamp("us")),
         }
+    )
+
+
+def gen_late_from_meta(
+    sizes: np.ndarray, update_frac: float = 0.05, insert_frac: float = 0.02,
+    seed: int = 7, salt: int = 1,
+) -> pa.Table:
+    """Late-arriving batch derived from conversation metadata only (no need
+    to materialize the base table): updates to existing (conv, turn) keys
+    with salt=1 text, inserts one-past-the-end turns, plus new convs. All
+    late `ts` values are strictly greater than any base `ts` (base spans 30
+    days + conv lengths; late starts at +100 days) so last-writer-wins picks
+    the late rows deterministically. Driver-side expansion — fine to ~10⁶
+    rows; at sf1+ use gen_late_from_meta_ds (same rows, bit for bit)."""
+    ci, turn, ts = _late_keys(sizes, update_frac, insert_frac, seed)
+    return _expand_late_rows(ci, turn, ts, salt)
+
+
+def _expand_late_batch(b: pa.Table, salt: int) -> pa.Table:
+    """map_batches body for gen_late_from_meta_ds (module-level so Ray can
+    pickle it without dragging driver state along)."""
+    from raylake.ops.rewrite import cap_arrow_threads
+
+    cap_arrow_threads(1)
+    return _expand_late_rows(
+        b["ci"].to_numpy(), b["turn"].to_numpy(), b["ts"].to_numpy(), salt)
+
+
+def gen_late_from_meta_ds(
+    sizes: np.ndarray, update_frac: float = 0.05, insert_frac: float = 0.02,
+    seed: int = 7, salt: int = 1, batch_rows: int = 131_072,
+):
+    """Distributed gen_late_from_meta → ray.data.Dataset of the SAME rows
+    (bit-for-bit, same order within each key chunk): the driver holds only
+    three int64 key arrays (~24 B/row) and Ray tasks expand the ~1 KB
+    texts — r04 verdict item 2: the sf1 proof run's 16.5 GB driver RSS was
+    this expansion's Python-string lists, not the engine. Callers that
+    need the batch resident (bench timing isolation) materialize() it into
+    the object store, which spills instead of growing the driver heap."""
+    import ray.data
+
+    ci, turn, ts = _late_keys(sizes, update_frac, insert_frac, seed)
+    keys = pa.table({
+        "ci": pa.array(ci, pa.int64()),
+        "turn": pa.array(turn, pa.int64()),
+        "ts": pa.array(ts, pa.int64()),
+    })
+    chunks = [keys.slice(i, batch_rows)
+              for i in range(0, max(1, len(keys)), batch_rows)]
+    return ray.data.from_arrow(chunks).map_batches(
+        _expand_late_batch, fn_kwargs={"salt": salt},
+        batch_format="pyarrow", batch_size=batch_rows, num_cpus=1,
     )
 
 

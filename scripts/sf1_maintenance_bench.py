@@ -75,7 +75,7 @@ def main():
         "ray.data._internal.arrow_ops.transform_pyarrow"
     ).setLevel(logging.ERROR)
 
-    from raylake.fixtures.transcripts import gen_late_from_meta
+    from raylake.fixtures.transcripts import gen_late_from_meta_ds
     from raylake.pipelines.maintenance import (
         build_bench_table,
         run_maintenance,
@@ -90,8 +90,12 @@ def main():
                                      num_buckets=num_buckets)
     build_sec = round(time.monotonic() - t0, 1)
     t0 = time.monotonic()
-    late = gen_late_from_meta(sizes, update_frac=0.05, insert_frac=0.02,
-                              seed=7)
+    # distributed expansion, materialized into the OBJECT STORE (spills to
+    # disk, never the driver heap): the prior driver-side generator held
+    # 5.3M ~1KB Python strings and drove peak driver RSS to 16.5 GB
+    # (r04 verdict item 2); the driver now holds only int64 key arrays.
+    late = gen_late_from_meta_ds(sizes, update_frac=0.05, insert_frac=0.02,
+                                 seed=7).materialize()
     late_sec = round(time.monotonic() - t0, 1)
     os.sync()
     table.scan().count()  # warm

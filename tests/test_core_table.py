@@ -221,6 +221,28 @@ def test_fixture_determinism_and_skew():
             > pd.Timedelta(0)).all()
 
 
+def test_late_batch_distributed_equals_driver(ray_session):
+    """gen_late_from_meta_ds (Ray-task text expansion; the sf1 driver-RSS
+    fix — r04 verdict item 2) must produce the SAME rows bit-for-bit as
+    the driver-side generator, under the canonical key sort."""
+    from raylake.fixtures.transcripts import (
+        conv_meta,
+        gen_late_from_meta,
+        gen_late_from_meta_ds,
+    )
+
+    sizes, _ = conv_meta(20_000, seed=42)
+    want = gen_late_from_meta(sizes, update_frac=0.05, insert_frac=0.02,
+                              seed=7).combine_chunks()
+    ds = gen_late_from_meta_ds(sizes, update_frac=0.05, insert_frac=0.02,
+                               seed=7, batch_rows=257)  # odd size: force chunk seams
+    import ray
+
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs())).combine_chunks()
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert got.sort_by(key).equals(want.sort_by(key))
+
+
 def test_write_compression_table_property(tmp_path):
     """Iceberg write.parquet.compression-codec parity: the codec is a table
     property; data is byte-identical either way."""
