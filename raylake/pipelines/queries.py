@@ -3906,6 +3906,59 @@ def q_logreg_train(sf_dir: str):
     })
 
 
+def q_rnn_train(sf_dir: str):
+    """Distributed SEQUENCE-model training (r04 verdict priority 7 — the
+    real-tensor ST2 path, ref src/model/lstm_classifier.py:81-149): per-user
+    sliding windows over events feed a from-scratch Elman recurrent cell
+    trained full-batch with BPTT partial-gradient sums per Arrow batch
+    (raylake/pipelines/rnn_train.py) and inverse-frequency class weights
+    (ml_prep.class_weights, ref lstm_preprocessor.py:74-95). Iterative
+    training is not SQL-expressible → rows-only check; exact
+    distributed-vs-single-process equivalence and a finite-difference BPTT
+    gradient check live in tests/test_rnn_train.py. Weights rounded to 6
+    decimals (full-batch sums are batching-invariant; only float-sum order
+    drifts, ~1e-15 relative)."""
+    from raylake.pipelines.ml_prep import class_weights, sliding_windows_group
+    from raylake.pipelines.rnn_train import train_rnn
+
+    rd = _rd()
+    WINDOW = 4
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "value", "event_type"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        cls = pc.case_when(
+            pc.make_struct(pc.equal(t["event_type"], "purchase"),
+                           pc.equal(t["event_type"], "click")),
+            pa.scalar(2, pa.int64()), pa.scalar(1, pa.int64()),
+            pa.scalar(0, pa.int64()))
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "value": pc.divide(pc.cast(t["value"], pa.float64()), 100.0),
+            "hour": pc.divide(pc.cast(pc.hour(t["ts"]), pa.float64()), 23.0),
+            "label": cls,
+        })
+
+    wins = (ds.map_batches(feats, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(lambda g: sliding_windows_group(
+                g, "ts", ["value", "hour"], "label", WINDOW),
+                batch_format="pandas"))
+    cw = class_weights(wins, "label")
+    params, losses = train_rnn(wins, "sequence", "label", window=WINDOW,
+                               n_features=2, hidden=6, n_classes=3,
+                               iters=8, lr=0.4, seed=0, class_weight=cw)
+    from raylake.pipelines.rnn_train import flatten_params
+
+    w = flatten_params(params)
+    return pd.DataFrame({
+        "weight_idx": pd.array(range(len(w)), dtype="int64"),
+        "weight": np.round(w, 6),
+        "final_loss": np.round(np.full(len(w), losses[-1]), 6),
+    })
+
+
 def q_model_promote(sf_dir: str):
     """Model registry + promotion gate end-to-end (the reference's final
     pipeline stage, ref src/model/lstm_promoter.py:134-172): train a
@@ -11868,8 +11921,9 @@ QUERIES = {
     # round come first (the driver samples the head of this dict); the
     # previously-sampled tail stays registered and pytest-oracle-checked.
     # Rows-only entries (no oracle_sql) sit at the end of the unsampled
-    # block: ann_ivf_pq / logreg_train / model_promote.
+    # block: ann_ivf_pq / logreg_train / model_promote / rnn_train.
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "rnn_train": q_rnn_train,
     "stream_outer_join": q_stream_outer_join,
     "delete_where_scan": q_delete_where_scan,
     "update_where_scan": q_update_where_scan,
