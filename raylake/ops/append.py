@@ -59,15 +59,22 @@ def append(
     table: Table,
     ds,
     concurrency: int | None = None,
-    batch_size: int | None = 64 * 1024,
+    batch_size: int | None = None,
     summary: dict | None = None,
     branch: str | None = None,
 ):
     """Append a ray.data.Dataset (or pa.Table) to the table; one commit.
     With `branch`, commits to that ref instead of main (the WAP write step
-    — main readers never see the rows until fast_forward publishes)."""
+    — main readers never see the rows until fast_forward publishes).
+    `batch_size=None` (default) sizes batches by a BYTE budget, not rows —
+    wide `text` columns scale the row count down so writer heap stays
+    bounded (ops/rewrite.byte_capped_batch_size; SURVEY §7 hard part)."""
     import ray.data
 
+    from raylake.ops.rewrite import byte_capped_batch_size
+
+    if batch_size is None:
+        batch_size = byte_capped_batch_size(ds)
     if isinstance(ds, pa.Table):
         ds = ray.data.from_arrow(ds)
     entry_rows = ds.map_batches(

@@ -144,6 +144,11 @@ def _stage_source(table: Table, source, staging_dir: str) -> pd.DataFrame:
     import ray
     import ray.data
 
+    from raylake.ops.rewrite import byte_capped_batch_size
+
+    # byte-budgeted batches: a 64k-row batch of 100 KB turns would be ~6 GB
+    # in the staging worker's heap (SURVEY §7 wide-text hard part)
+    batch_size = byte_capped_batch_size(source)
     if isinstance(source, pa.Table):
         # split into one slice per CPU so staging parallelizes (a single
         # Arrow table otherwise becomes ONE block → ONE staging task)
@@ -157,7 +162,7 @@ def _stage_source(table: Table, source, staging_dir: str) -> pd.DataFrame:
         _stage_batch,
         fn_kwargs={"table_root": table.root, "staging_dir": staging_dir},
         batch_format="pyarrow",
-        batch_size=64 * 1024,
+        batch_size=batch_size,
         num_cpus=1,
     ).to_pandas()
     if len(stats) == 0:

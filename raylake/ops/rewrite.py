@@ -36,6 +36,41 @@ from raylake.state.ledger import Ledger
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
+#: per-batch heap budget for writer-side map_batches stages; 64 MiB keeps
+#: batch × concurrency far under a worker heap at any text width
+DEFAULT_BATCH_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def byte_capped_batch_size(
+    source,
+    default_rows: int = 64 * 1024,
+    budget_bytes: int = DEFAULT_BATCH_BUDGET_BYTES,
+) -> int:
+    """Rows per batch such that one batch ≈ `budget_bytes` for WIDE rows.
+
+    Ray's map_batches coalesces blocks to `batch_size` ROWS regardless of
+    bytes — a fixed 64k-row batch of 100 KB turns would put ~6 GB in one
+    worker heap (SURVEY §7 wide-`text` hazard). Estimate bytes/row from
+    the source itself (exact for an in-memory Arrow table; a bounded
+    256-row probe for a Dataset) and cap the row count accordingly. At the
+    fixture's ~1 KB texts this returns `default_rows` unchanged, so
+    normal-width workloads keep their historical batch shape."""
+    if isinstance(source, pa.Table):
+        if len(source) == 0:
+            return default_rows
+        bpr = source.nbytes / len(source)
+    else:
+        try:
+            probe = source.limit(256).take_batch(
+                256, batch_format="pyarrow")
+        except Exception:  # empty dataset → nothing to size against
+            return default_rows
+        if len(probe) == 0:
+            return default_rows
+        bpr = probe.nbytes / len(probe)
+    return max(1, min(default_rows, int(budget_bytes / max(1.0, bpr))))
+
+
 _THREADS_CAPPED = False
 
 
