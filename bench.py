@@ -196,6 +196,95 @@ def run_bench() -> dict:
     return out
 
 
+def run_hotkey() -> dict:
+    """Hot-key MERGE robustness (r04 verdict #4): merge wall-time with ONE
+    conv_id holding ~10% of the table (10⁶ turns at sf0.1) vs the uniform
+    Zipf layout, same total turns, same late-batch fractions. The plan's
+    turn-range skew split must keep the ratio ~flat (≤ ~1.3×) — a hot key
+    that serialized its bucket would read 2-10×. Merge-only timing (the
+    skew-sensitive op) over the fragmented fresh table, best-of-2 per
+    scenario, with the standard validity stamp."""
+    import shutil
+
+    import ray
+
+    probe_pre = _memcpy_probe()
+    sf = parse_sf(SF_DIR)
+    n_turns = max(10_000, int(TURNS_PER_SF * sf))
+    hot_turns = max(1_000, n_turns // 10)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
+    from raylake.fixtures.transcripts import (
+        conv_meta,
+        gen_late_from_meta,
+        hotkey_conv_meta,
+    )
+    from raylake.ops import merge_into
+    from raylake.pipelines.maintenance import build_bench_table
+
+    bench_base = ("/dev/shm/raylake_hotkey" if os.path.isdir("/dev/shm")
+                  else "/tmp/raylake_hotkey")
+    num_buckets = min(512, max(16, n_turns // 120_000))
+    scenarios = {
+        "uniform": conv_meta(n_turns, 42),
+        "hotkey": hotkey_conv_meta(n_turns, hot_turns, 42),
+    }
+    out_q: dict = {}
+    for label, meta in scenarios.items():
+        best = None
+        for _ in range(2):  # best-of-2: same co-tenancy insurance as --scaling
+            root = f"{bench_base}/{label}"
+            table, sizes = build_bench_table(
+                root, n_turns, num_buckets=num_buckets,
+                conv_meta_override=meta)
+            late = gen_late_from_meta(sizes, update_frac=0.05,
+                                      insert_frac=0.02, seed=7)
+            os.sync()
+            table.scan().count()  # warm
+            t0 = time.monotonic()
+            snap = merge_into(table, late,
+                              target_file_bytes=32 * 1024 * 1024)
+            sec = round(time.monotonic() - t0, 3)
+            rec = {
+                "sec": sec,
+                "late_rows": len(late),
+                "rewritten_rows": snap.summary["rewritten_rows"],
+                "task_cpu_s": round(snap.summary["task_wall_s"], 1),
+                "merge_tasks": snap.summary.get("tasks",
+                                                snap.summary["added_files"]),
+            }
+            if best is None or rec["sec"] < best["sec"]:
+                best = rec
+            shutil.rmtree(root, ignore_errors=True)
+        out_q[label] = best
+    ratio = round(out_q["hotkey"]["sec"] / out_q["uniform"]["sec"], 3)
+    out = {
+        "metric": "hotkey_merge_vs_uniform",
+        "value": ratio,
+        "unit": "ratio",
+        "queries": out_q,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "hot_turns": hot_turns,
+        "validity": {
+            "memcpy_gbps_pre": probe_pre,
+            "memcpy_gbps_post": _memcpy_probe(),
+        },
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     """Two-cluster-size criterion (sandbox proxy for N vs 4N nodes): the
     identical job in fresh processes at two N/4N CPU pairs.
@@ -314,5 +403,7 @@ def _update_baseline_md(rep: dict) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--hotkey" in sys.argv:
+        print(json.dumps(run_hotkey()))
     else:
         print(json.dumps(run_bench()))

@@ -222,17 +222,30 @@ def _gen_write_chunk(
     return pd.DataFrame({"entry_json": entries})
 
 
+def hotkey_conv_meta(
+    n_turns: int, hot_turns: int, seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """conv_meta variant where conversation 0 is a single HOT conv with
+    `hot_turns` turns (the merge skew-split workload: one conv_id holding
+    ~10% of the table must not serialize a merge partition)."""
+    sizes, starts = conv_meta(max(2, n_turns - hot_turns), seed)
+    return (np.concatenate([[np.int64(hot_turns)], sizes]),
+            np.concatenate([[np.int64(0)], starts]))
+
+
 def write_transcript_table_ray(
     root: str,
     n_turns: int,
     rows_per_file: int = 1024,
     num_buckets: int = 64,
     seed: int = 42,
+    conv_meta_override: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> "Table":
     """Distributed fixture writer: conv ranges are generated and written in
     parallel Ray tasks (pure per-conv generation → byte-identical to the
     serial writer), one append commit registers everything. Setup path for
-    bench-scale tables (10^6–10^7 turns)."""
+    bench-scale tables (10^6–10^7 turns). `conv_meta_override` supplies a
+    custom (sizes, starts) — e.g. hotkey_conv_meta's skewed layout."""
     import json
 
     import ray.data
@@ -240,7 +253,8 @@ def write_transcript_table_ray(
     from raylake.core.metadata import ManifestEntry
     from raylake.core.table import Table
 
-    sizes, starts = conv_meta(n_turns, seed)
+    sizes, starts = (conv_meta_override if conv_meta_override is not None
+                     else conv_meta(n_turns, seed))
     total = int(sizes.sum())
     n_chunks = max(8, min(512, total // 40_000))
     cum = np.cumsum(sizes)

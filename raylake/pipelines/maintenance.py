@@ -28,20 +28,23 @@ def build_bench_table(
     num_buckets: int = 64,
     seed: int = 42,
     rows_per_file: int = 1024,
+    conv_meta_override=None,
 ) -> tuple[Table, "object"]:
     """Create a fresh transcript table laid out as many small files (the
     compaction workload) via parallel Ray generation. Returns
     (table, conv_sizes). Setup only — not part of the timed pipeline.
     Deliberately fragmented input, exactly what an append-heavy bronze table
-    looks like (ref: _bronze_handler.py:50-56)."""
+    looks like (ref: _bronze_handler.py:50-56). `conv_meta_override` feeds a
+    custom (sizes, starts) layout, e.g. hotkey_conv_meta's skewed one."""
     from raylake.fixtures.transcripts import conv_meta, write_transcript_table_ray
 
     shutil.rmtree(root, ignore_errors=True)
     tbl = write_transcript_table_ray(
         root, n_turns, rows_per_file=rows_per_file, num_buckets=num_buckets,
-        seed=seed,
+        seed=seed, conv_meta_override=conv_meta_override,
     )
-    sizes, _ = conv_meta(n_turns, seed)
+    sizes = (conv_meta_override[0] if conv_meta_override is not None
+             else conv_meta(n_turns, seed)[0])
     return tbl, sizes
 
 
