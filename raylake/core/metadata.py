@@ -135,6 +135,10 @@ def manifest_envelope(entries: list["ManifestEntry"]) -> dict:
               max(e.partition for e in entries)],
         "n": len(entries),
         "rows": sum(e.rows for e in entries),
+        # seq_added range: incremental/CDC scans skip manifests whose
+        # commits all predate the requested window
+        "seq": [min(e.seq_added for e in entries),
+                max(e.seq_added for e in entries)],
         "stats": stats,
     }
 

@@ -457,11 +457,21 @@ class Table:
 
         Replaces the reference's data-column high-watermark reads
         (ref: src/elt/silver/_silver_handler.py:31-41) — the snapshot log
-        already records what each commit added (SURVEY §2.8 T8).
-        """
+        already records what each commit added (SURVEY §2.8 T8). Manifests
+        whose envelope seq_added range falls entirely outside the window
+        are skipped unopened — an incremental tail read over a long-lived
+        table touches only the manifests of the new commits."""
+        def mf(env: dict) -> bool:
+            s = env.get("seq")
+            if not s or s[0] is None:
+                return True
+            if s[1] <= after_seq:
+                return False
+            return until_seq is None or s[0] <= until_seq
+
         return [
             e
-            for e in self.live_entries(until_seq)
+            for e in self.live_entries(until_seq, manifest_filter=mf)
             if e.seq_added > after_seq
             and (until_seq is None or e.seq_added <= until_seq)
         ]
@@ -703,7 +713,16 @@ class Table:
         """O(metadata) count — no data scan (vs the reference's .count() probes
         that re-execute the whole Spark plan, ref: _silver_pipeline.py:84-87).
         With merge-on-read delete files present this is an UPPER BOUND (the
-        physical row count); apply_deletes restores exactness."""
+        physical row count); apply_deletes restores exactness. When every
+        manifest carries an envelope the count folds from envelope row
+        sums without opening a single manifest file — O(#manifests)
+        metadata, not O(#entries)."""
+        snap = self.snapshot(snapshot)
+        if snap is None:
+            return 0
+        metas = self._manifest_meta(snap)
+        if all(env is not None for env in metas):
+            return sum(env["rows"] for env in metas)
         return sum(e.rows for e in self.live_entries(snapshot))
 
     # ------------------------------------------------------------------ scan

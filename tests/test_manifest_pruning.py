@@ -147,6 +147,35 @@ def test_legacy_snapshot_without_envelopes_still_plans(many_manifest_table):
         e.path for e in t2.prune_point(conv, entries=full)}
 
 
+def test_incremental_scan_skips_pre_window_manifests(many_manifest_table):
+    from raylake.fixtures.transcripts import gen_transcripts
+    from raylake.ops.append import append
+
+    t = many_manifest_table
+    base_seq = t.current_seq
+    append(t, gen_transcripts(200, seed=77, salt=5))
+    append(t, gen_transcripts(200, seed=78, salt=6))
+    t.refresh()
+    got = t.added_entries(base_seq)
+    stats = dict(t.last_manifest_prune)
+    # only the two new appends' manifests open; the ≥10 base manifests skip
+    assert stats["opened"] == 2 and stats["total"] >= 12, stats
+    want = [e for e in t.live_entries() if e.seq_added > base_seq]
+    assert {e.path for e in got} == {e.path for e in want}
+    assert len(got) > 0
+
+
+def test_row_count_folds_from_envelopes(many_manifest_table, monkeypatch):
+    t = many_manifest_table
+    want = sum(e.rows for e in t.live_entries())
+    opened = []
+    real = md.read_manifest
+    monkeypatch.setattr(md, "read_manifest",
+                        lambda *a, **k: (opened.append(1), real(*a, **k))[1])
+    assert t.row_count() == want
+    assert opened == []  # fully-enveloped snapshot: zero manifest opens
+
+
 def test_range_prune_uses_envelopes(many_manifest_table):
     t = many_manifest_table
     full = t.live_entries()
