@@ -120,7 +120,9 @@ def manifest_envelope(entries: list["ManifestEntry"]) -> dict:
     for e in entries[1:]:
         common &= set(e.stats)
     for col in common:
-        if col.endswith("__bloom"):
+        # "__"-prefixed stats are structured (bloom filters, composite key
+        # bounds) — scalar envelope min/max semantics don't apply
+        if col.endswith("__bloom") or col.startswith("__"):
             continue
         los = [e.stats[col][0] for e in entries]
         his = [e.stats[col][1] for e in entries]

@@ -1709,6 +1709,27 @@ class Table:
         codec = self.meta.get("properties", {}).get("write.compression", "zstd")
         pq.write_table(table, abspath, compression=codec)
         stats = md.column_stats(table, self.stats_columns)
+        # Exact composite identifier-key bounds ("__key_lo"/"__key_hi",
+        # aligned with identifier_fields — the same pair ops.merge
+        # table_keys plans on). Independent per-column min/max make a file
+        # spanning several keys look like a RECTANGLE: a boundary file
+        # holding (conv_A tail + conv_B + conv_C) reads as covering
+        # (conv_A, turn_min_of_anyone)..(conv_C, turn_max_of_anyone), which
+        # glues every merge chain it touches — measured: one boundary file
+        # welded a 10^6-turn hot conversation into a single unsplittable
+        # merge task (2× wall vs uniform). The true lexicographic bounds
+        # are order-free and cheap: min k0, then min k1 among rows at that
+        # k0 (ditto max) — sound for sorted AND z-ordered files.
+        idf = self.identifier_fields
+        if (len(idf) >= 2 and idf[0] in table.column_names
+                and idf[1] in table.column_names and len(table)):
+            c0 = table[idf[0]].combine_chunks()
+            c1 = table[idf[1]].combine_chunks()
+            lo0, hi0 = pc.min(c0), pc.max(c0)
+            lo1 = pc.min(c1.filter(pc.equal(c0, lo0)))
+            hi1 = pc.max(c1.filter(pc.equal(c0, hi0)))
+            stats["__key_lo"] = [md._stat_value(lo0), md._stat_value(lo1)]
+            stats["__key_hi"] = [md._stat_value(hi0), md._stat_value(hi1)]
         # opt-in per-file bloom filters (`write.bloom_columns` property):
         # point-lookup pruning for columns min/max can't help (core/bloom.py)
         for c in self.meta.get("properties", {}).get("write.bloom_columns",

@@ -178,8 +178,18 @@ def _stage_source(table: Table, source, staging_dir: str) -> pd.DataFrame:
 
 
 def _file_interval(e, k0: str, k1: str | None) -> tuple[tuple, tuple]:
-    """Conservative composite (key0, key1) interval enclosing a file's keys,
-    derived from independent per-column manifest stats."""
+    """Composite (key0, key1) interval enclosing a file's keys. Prefers the
+    EXACT lexicographic bounds recorded at write time ("__key_lo"/"__key_hi",
+    Table.write_file — stored for the identifier fields, the same (k0, k1)
+    this planner receives from table_keys); falls back to the conservative
+    rectangle from independent per-column stats for pre-bounds files. The
+    rectangle over-approximation matters: a boundary file spanning several
+    convs glues every chain it touches, serializing hot-key merges."""
+    kl, kh = e.stats.get("__key_lo"), e.stats.get("__key_hi")
+    if (k1 is not None and kl and kh
+            and kl[0] is not None and kh[0] is not None):
+        return ((kl[0], kl[1] if kl[1] is not None else -(2**31)),
+                (kh[0], kh[1] if kh[1] is not None else 2**31))
     cs = e.stats.get(k0) or [None, None]
     ts = (e.stats.get(k1) if k1 else None) or [None, None]
     lo = (cs[0] if cs[0] is not None else "", ts[0] if ts[0] is not None else -(2**31))
@@ -228,6 +238,7 @@ def _plan_merge_tasks(
         )
 
     tasks: list[RewriteTask] = []
+    bucket_clusters: dict[int, list[dict]] = {}
     for bucket, grp in key_stats.groupby("bucket"):
         bucket = int(bucket)
         convs = None if coarse else sorted(grp["key0"].tolist())
@@ -247,38 +258,80 @@ def _plan_merge_tasks(
             if i < len(convs) and convs[i] <= cs[1]:
                 affected.append(e)
 
-        # cluster affected files by composite-interval overlap; split hot
-        # clusters at interval-disjoint boundaries (the skew split)
+        # Two-phase clustering. Phase 1 — CHAINS: files whose composite
+        # intervals overlap MUST share a task (a key's rows rewrite in one
+        # place); sorted-interval union. Phase 2 — pack adjacent chains
+        # into clusters up to `max_task_bytes` (locality for small files).
         files = sorted(affected, key=lambda e: _file_interval(e, k0, k1)[0])
-        clusters: list[dict] = []
+        chains: list[dict] = []
         for e in files:
             lo, hi = _file_interval(e, k0, k1)
-            cur = clusters[-1] if clusters else None
-            if cur is not None and (
-                lo <= cur["hi"]  # overlapping intervals MUST share a task
-                or cur["bytes"] + e.bytes <= max_task_bytes  # pack small ones
-            ):
-                cur["files"].append(e)
-                cur["hi"] = max(cur["hi"], hi)
-                cur["bytes"] += e.bytes
+            if chains and lo <= chains[-1]["hi"]:
+                c = chains[-1]
+                c["files"].append(e)
+                c["hi"] = max(c["hi"], hi)
+                c["bytes"] += e.bytes
+                c["rows"] += e.rows
             else:
-                # cut point: interval-disjoint AND size budget exceeded —
-                # this is the explicit skew split (a hot conv_id whose files
-                # cover disjoint turn ranges parallelizes here)
-                clusters.append({"files": [e], "lo": lo, "hi": hi, "bytes": e.bytes})
+                chains.append({"files": [e], "lo": lo, "hi": hi,
+                               "bytes": e.bytes, "rows": e.rows})
+        clusters: list[dict] = []
+        for ch in chains:
+            cur = clusters[-1] if clusters else None
+            if cur is not None and cur["bytes"] + ch["bytes"] <= max_task_bytes:
+                cur["chains"].append(ch)
+                cur["hi"] = max(cur["hi"], ch["hi"])
+                cur["bytes"] += ch["bytes"]
+                cur["rows"] += ch["rows"]
+            else:
+                clusters.append({"chains": [ch], "lo": ch["lo"],
+                                 "hi": ch["hi"], "bytes": ch["bytes"],
+                                 "rows": ch["rows"]})
         if not clusters:
-            clusters = [{"files": [], "lo": None, "hi": None, "bytes": 0}]
+            clusters = [{"chains": [], "lo": None, "hi": None,
+                         "bytes": 0, "rows": 0}]
+        bucket_clusters[bucket] = clusters
 
+    # Phase 3 — OUTLIER SKEW SPLIT (relative, not absolute): a hot conv_id
+    # whose bucket packs into one cluster far above the plan's typical task
+    # is a straggler even when it sits under the byte budget (measured:
+    # one 10⁶-turn conv made merge wall 2× the uniform case while Σ
+    # task-CPU stayed flat — pure parallelism loss). Any cluster over 2×
+    # the plan median re-packs its chains toward ~median rows; chains are
+    # interval-disjoint, so the split preserves the one-task-per-key rule.
+    med_src = [c["rows"] for cls in bucket_clusters.values()
+               for c in cls if c["rows"] > 0]
+    med = int(np.median(med_src)) if med_src else 0
+    for bucket, clusters in bucket_clusters.items():
+        if med:
+            split: list[dict] = []
+            for c in clusters:
+                if c["rows"] <= 2 * med or len(c["chains"]) <= 1:
+                    split.append(c)
+                    continue
+                for ch in c["chains"]:
+                    cur = split[-1] if split and split[-1].get("_sub") else None
+                    if cur is not None and cur["rows"] + ch["rows"] <= med:
+                        cur["chains"].append(ch)
+                        cur["hi"] = max(cur["hi"], ch["hi"])
+                        cur["bytes"] += ch["bytes"]
+                        cur["rows"] += ch["rows"]
+                    else:
+                        split.append({"chains": [ch], "lo": ch["lo"],
+                                      "hi": ch["hi"], "bytes": ch["bytes"],
+                                      "rows": ch["rows"], "_sub": True})
+            clusters = split
         for i, cl in enumerate(clusters):
+            cfiles = [e for ch in cl["chains"] for e in ch["files"]]
             lo = None if i == 0 else list(clusters[i]["lo"])
             hi = None if i == len(clusters) - 1 else list(clusters[i + 1]["lo"])
             tasks.append(
                 RewriteTask(
                     task_id=f"m{bucket:05d}-{i:04d}",
                     partition=bucket,
-                    input_paths=[e.path for e in cl["files"]],
-                    input_bytes=sum(e.bytes for e in cl["files"]),
-                    input_rows=sum(e.rows for e in cl["files"]),
+                    input_paths=[e.path for e in cfiles],
+                    input_bytes=sum(e.bytes for e in cfiles),
+                    input_rows=sum(e.rows for e in cfiles),
                     extra={"bucket": bucket, "lo": lo, "hi": hi},
                 )
             )

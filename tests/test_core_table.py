@@ -45,7 +45,14 @@ def test_manifest_stats_match_recomputed(tmp_table_root):
     for e in t.live_entries():
         actual = pq.read_table(os.path.join(t.root, e.path))
         assert e.rows == len(actual)
-        assert e.stats == column_stats(actual, t.stats_columns)
+        plain = {k: v for k, v in e.stats.items() if not k.startswith("__")}
+        assert plain == column_stats(actual, t.stats_columns)
+        # exact composite identifier-key bounds (write_file): true
+        # lexicographic first/last (conv_id, turn_idx) of the file
+        keys = sorted(zip(actual["conv_id"].to_pylist(),
+                          actual["turn_idx"].to_pylist()))
+        assert e.stats["__key_lo"] == list(keys[0])
+        assert e.stats["__key_hi"] == list(keys[-1])
 
 
 def test_time_travel_and_incremental(tmp_table_root):

@@ -130,6 +130,37 @@ def test_point_merge_plan_opens_under_10pct(many_manifest_table):
     assert other_pre.equals(other_post)
 
 
+def test_hot_conv_merge_plan_splits_to_median_tasks(tmp_table_root,
+                                                    ray_session):
+    """Skew-split regression (r04 verdict #4 follow-through): one conv
+    holding ~10% of the table must plan into ~median-row merge tasks, not
+    one straggler. Requires the exact composite key bounds written by
+    write_file — the per-column rectangle glued the hot conv's chains
+    through boundary files (measured 2× wall at sf0.1)."""
+    import tempfile
+
+    import numpy as np
+
+    from raylake.fixtures.transcripts import (
+        gen_late_from_meta,
+        hotkey_conv_meta,
+    )
+    from raylake.ops.merge import _plan_merge_tasks, _stage_source
+    from raylake.pipelines.maintenance import build_bench_table
+
+    meta = hotkey_conv_meta(120_000, 12_000, 42)
+    table, sizes = build_bench_table(
+        tmp_table_root, 120_000, num_buckets=8, conv_meta_override=meta)
+    late = gen_late_from_meta(sizes, 0.05, 0.02, 7)
+    staging = tempfile.mkdtemp()
+    ks = _stage_source(table, late, staging)
+    tasks = _plan_merge_tasks(table, ks, 32 * 1024 * 1024 * 4)
+    rows = np.array(sorted((t.input_rows for t in tasks), reverse=True))
+    med = float(np.median(rows))
+    # the hot bucket (~12k + its normal share) must not exceed ~2× median
+    assert rows[0] <= 2.2 * med, (rows[:5].tolist(), med)
+
+
 def test_legacy_snapshot_without_envelopes_still_plans(many_manifest_table):
     t = many_manifest_table
     seq = t.current_seq
