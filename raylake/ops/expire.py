@@ -109,6 +109,12 @@ def expire_snapshots(
             reachable_meta.add(entry["file"])
             snap = table.snapshot(entry["seq"])
             for m in snap.manifests:
+                if m in reachable_meta:
+                    # manifests are immutable and shared across snapshots
+                    # via commit carry-forward — walk each ONCE, not once
+                    # per retaining snapshot (O(manifests), not
+                    # O(snapshots × manifests), at metadata scale)
+                    continue
                 reachable_meta.add(m)
                 for fe in md.read_manifest(table.root, m):
                     reachable_data.add(fe.path)

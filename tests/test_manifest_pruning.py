@@ -207,6 +207,35 @@ def test_row_count_folds_from_envelopes(many_manifest_table, monkeypatch):
     assert opened == []  # fully-enveloped snapshot: zero manifest opens
 
 
+def test_expire_reachability_reads_each_manifest_once(many_manifest_table,
+                                                      monkeypatch):
+    """GC reachability walks shared (immutable, carried-forward) manifests
+    once total, not once per retaining snapshot."""
+    from collections import Counter
+
+    from raylake.fixtures.transcripts import gen_transcripts
+    from raylake.ops.append import append
+    from raylake.ops.expire import expire_snapshots
+
+    t = many_manifest_table
+    for s in (1, 2, 3):  # several snapshots sharing the base manifests
+        append(t, gen_transcripts(100, seed=80 + s, salt=s))
+    t.refresh()
+    reads: Counter = Counter()
+    real = md.read_manifest
+
+    def counting(root, rel):
+        reads[rel] += 1
+        return real(root, rel)
+
+    monkeypatch.setattr(md, "read_manifest", counting)
+    import raylake.ops.expire as ex
+    monkeypatch.setattr(ex.md, "read_manifest", counting)
+    rep = expire_snapshots(t, dry_run=True)
+    assert rep["retained_snapshots"]
+    assert reads and max(reads.values()) == 1, reads.most_common(3)
+
+
 def test_range_prune_uses_envelopes(many_manifest_table):
     t = many_manifest_table
     full = t.live_entries()
