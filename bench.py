@@ -239,33 +239,38 @@ def run_hotkey() -> dict:
         "hotkey": hotkey_conv_meta(n_turns, hot_turns, 42),
     }
     out_q: dict = {}
-    for label, meta in scenarios.items():
-        best = None
-        for _ in range(2):  # best-of-2: same co-tenancy insurance as --scaling
-            root = f"{bench_base}/{label}"
-            table, sizes = build_bench_table(
-                root, n_turns, num_buckets=num_buckets,
-                conv_meta_override=meta)
-            late = gen_late_from_meta(sizes, update_frac=0.05,
-                                      insert_frac=0.02, seed=7)
-            os.sync()
-            table.scan().count()  # warm
-            t0 = time.monotonic()
-            snap = merge_into(table, late,
-                              target_file_bytes=32 * 1024 * 1024)
-            sec = round(time.monotonic() - t0, 3)
-            rec = {
-                "sec": sec,
-                "late_rows": len(late),
-                "rewritten_rows": snap.summary["rewritten_rows"],
-                "task_cpu_s": round(snap.summary["task_wall_s"], 1),
-                "merge_tasks": snap.summary.get("tasks",
-                                                snap.summary["added_files"]),
-            }
-            if best is None or rec["sec"] < best["sec"]:
-                best = rec
-            shutil.rmtree(root, ignore_errors=True)
-        out_q[label] = best
+    try:
+        for label, meta in scenarios.items():
+            best = None
+            for _ in range(2):  # best-of-2: co-tenancy insurance as --scaling
+                root = f"{bench_base}/{label}"
+                table, sizes = build_bench_table(
+                    root, n_turns, num_buckets=num_buckets,
+                    conv_meta_override=meta)
+                late = gen_late_from_meta(sizes, update_frac=0.05,
+                                          insert_frac=0.02, seed=7)
+                os.sync()
+                table.scan().count()  # warm
+                t0 = time.monotonic()
+                snap = merge_into(table, late,
+                                  target_file_bytes=32 * 1024 * 1024)
+                sec = round(time.monotonic() - t0, 3)
+                rec = {
+                    "sec": sec,
+                    "late_rows": len(late),
+                    "rewritten_rows": snap.summary["rewritten_rows"],
+                    "task_cpu_s": round(snap.summary["task_wall_s"], 1),
+                    "merge_tasks": snap.summary.get(
+                        "tasks", snap.summary["added_files"]),
+                }
+                if best is None or rec["sec"] < best["sec"]:
+                    best = rec
+                shutil.rmtree(root, ignore_errors=True)
+            out_q[label] = best
+    finally:
+        # never leak multi-GB tmpfs tables or a live Ray session on a
+        # failed attempt (same guard as run_bench)
+        shutil.rmtree(bench_base, ignore_errors=True)
     ratio = round(out_q["hotkey"]["sec"] / out_q["uniform"]["sec"], 3)
     out = {
         "metric": "hotkey_merge_vs_uniform",

@@ -322,8 +322,17 @@ def _late_keys(
     ci = np.concatenate([ci, np.repeat(-1 - np.arange(n_new, dtype=np.int64), 3)])
     turn = np.concatenate([turn, np.tile(np.arange(3, dtype=np.int64), n_new)])
 
-    ts = (BASE_TS_US + 100 * 86400 * 1_000_000
-          + np.arange(len(ci), dtype=np.int64))
+    # Late ts must exceed EVERY base ts for last-writer-wins to pick the
+    # late rows deterministically. Base ts = conv start (≤30 days) +
+    # per-turn gaps of ≤121 s, so a conversation of L turns reaches
+    # ~30d + 121·L s. The historical +100-day offset covers the Zipf cap
+    # (L ≤ 2000 → ~2.8 d) — and stays bit-identical for such layouts —
+    # but a skewed layout (hotkey_conv_meta, 10⁶-turn conv ≈ +1400 d)
+    # needs the bound computed from the ACTUAL max conv length (review
+    # finding: most hot-conv updates silently lost the election).
+    span_us = (30 + 1) * 86400 * 1_000_000 + int(sizes.max()) * 121 * 1_000_000
+    offset_us = max(100 * 86400 * 1_000_000, span_us)
+    ts = BASE_TS_US + offset_us + np.arange(len(ci), dtype=np.int64)
     is_late = (ci < 0).astype(np.int64)
     idx = np.where(ci >= 0, ci, -1 - ci)
     order = np.lexsort((turn, idx, is_late))

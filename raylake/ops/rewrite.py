@@ -63,7 +63,12 @@ def byte_capped_batch_size(
         try:
             probe = source.limit(256).take_batch(
                 256, batch_format="pyarrow")
-        except Exception:  # empty dataset → nothing to size against
+        except ValueError:
+            # Ray's documented empty-dataset signal — nothing to size
+            # against. Anything else (actor startup, object-store
+            # pressure) must PROPAGATE: silently falling back to the
+            # 64k-row default would reinstate the exact wide-row heap
+            # hazard this function exists to prevent (review finding).
             return default_rows
         if len(probe) == 0:
             return default_rows

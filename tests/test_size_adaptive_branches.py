@@ -110,8 +110,14 @@ def test_adaptive_list_is_exhaustive():
     # path the sweep forces), so it is screened as known-but-not-zeroed.
     screened = re.compile(r"^_[A-Z_]*(BYTES|CAP|LIMIT|MAX|THRESH\w*)$")
     allowed_unzeroed = {"_PAIRS_DRIVER_MAX"}
-    consts = {t.id for node in tree.body if isinstance(node, ast.Assign)
-              for t in node.targets
+    def _targets(node):
+        if isinstance(node, ast.Assign):
+            return node.targets
+        if isinstance(node, ast.AnnAssign):  # `_FOO_BYTES: int = ...`
+            return [node.target]
+        return []
+
+    consts = {t.id for node in tree.body for t in _targets(node)
               if isinstance(t, ast.Name) and screened.match(t.id)}
     assert consts <= known | allowed_unzeroed, (
         f"unknown adaptive caps: {consts - known - allowed_unzeroed}")
