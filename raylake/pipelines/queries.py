@@ -1387,6 +1387,123 @@ LIMIT 20
 """
 
 
+def q_source_drift(sf_dir: str):
+    """Distribution-drift audit across corpus sources: the top-40
+    (source, token) cells by chi-square contribution — "which tokens are
+    most over-represented in which source vs the corpus-wide
+    expectation" — the diagnostic a training-data pipeline runs before
+    reweighting its source mix (domain skew shows up exactly here).
+
+    Bit-exact float oracle via the bm25/pmi precedent: every float op is
+    pointwise IEEE on INTEGER-derived aggregates in the same order as the
+    SQL — e = (n_s·n_t)/N, d = n_st − e, chi2 = (d·d)/e — and there are
+    NO cross-row float sums anywhere (counts aggregate as integers; the
+    ranking consumes pointwise doubles), so no rounding is needed.
+
+    Scale shape: per-batch Acero (source, token) count partials →
+    O(sources×vocab) integer shuffle; per-source totals are a tiny
+    aggregate; per-token totals attach SIZE-ADAPTIVELY (broadcast
+    searchsorted under _VERIFY_BCAST_BYTES, distributed hash join on the
+    token key over it — forced-branch-swept); per-batch top-40 partials
+    bound the final sort input."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                           columns=["source", "text"])
+
+    def st_partial(b: pa.Table) -> pa.Table:
+        flat, n = _tokens_and_counts(b)
+        src = np.repeat(
+            np.asarray(b["source"].to_pandas(), dtype=object), n)
+        g = (pa.table({"source": pa.array(src, pa.string()),
+                       "token": flat})
+             .group_by(["source", "token"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["source", "token", "n"])
+
+    st = (docs.map_batches(st_partial, batch_format="pyarrow")
+          .groupby(["source", "token"])
+          .aggregate(Sum("n", alias_name="n_st")).materialize())
+    totals = (st.groupby("source")
+              .aggregate(Sum("n_st", alias_name="n_s")).to_pandas())
+    spec = {"source": object, "token": object, "n_st": "int64",
+            "chi2": "float64"}
+    if totals.empty:
+        return _empty_frame(spec)
+    ns_map = {s: float(v) for s, v in
+              zip(totals["source"], totals["n_s"])}
+    N = float(totals["n_s"].sum())
+
+    def scored_topk(b: pa.Table) -> pa.Table:
+        nst = b["n_st"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = b["n_t"].to_numpy(zero_copy_only=False).astype(np.float64)
+        srcs = b["source"].to_numpy(zero_copy_only=False)
+        ns = np.array([ns_map[s] for s in srcs])
+        # mirrored op order: e = (ns*nt)/N; d = nst - e; chi2 = (d*d)/e
+        e = (ns * nt) / N
+        d = nst - e
+        c = (d * d) / e
+        t = pa.table({"source": b["source"], "token": b["token"],
+                      "n_st": pc.cast(b["n_st"], pa.int64()),
+                      "chi2": pa.array(c, pa.float64())})
+        if len(t) > 40:  # per-batch top-k partial
+            order = np.lexsort((
+                t["token"].to_numpy(zero_copy_only=False),
+                t["source"].to_numpy(zero_copy_only=False), -c))
+            t = t.take(pa.array(order[:40]))
+        return t
+
+    tok = (st.groupby("token")
+           .aggregate(Sum("n_st", alias_name="n_t")).materialize())
+    if (tok.size_bytes() or 0) <= _VERIFY_BCAST_BYTES:
+        tdf = tok.to_pandas().sort_values("token")
+        bcast = ray.put((tdf["token"].to_numpy(),
+                         tdf["n_t"].to_numpy().astype(np.int64)))
+
+        def attach(b: pa.Table) -> pa.Table:
+            vocab, cnt = ray.get(bcast)
+            nt = cnt[np.searchsorted(
+                vocab, b["token"].to_numpy(zero_copy_only=False))]
+            return b.append_column("n_t", pa.array(nt, pa.int64()))
+
+        joined = st.map_batches(attach, batch_format="pyarrow")
+    else:
+        # over-cap: the vocabulary no longer broadcasts — distributed
+        # hash join on the token key (pmi_bigrams precedent; the join is
+        # only reachable for a non-empty corpus, so no seeding needed)
+        joined = _hash_join(st, tok, on=("token",))
+
+    out = (joined.map_batches(scored_topk, batch_format="pyarrow")
+           .sort(["chi2", "source", "token"],
+                 descending=[True, False, False])
+           .limit(40).to_pandas())
+    if out.empty:
+        return _empty_frame(spec)
+    out["n_st"] = out["n_st"].astype("int64")
+    return out[["source", "token", "n_st", "chi2"]].reset_index(drop=True)
+
+
+SQL_SOURCE_DRIFT = """
+WITH t AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+tok AS (SELECT source, unnest(l) AS token FROM t),
+st AS (SELECT source, token, count(*)::BIGINT AS n_st FROM tok GROUP BY 1, 2),
+ns AS (SELECT source, sum(n_st)::BIGINT AS n_s FROM st GROUP BY 1),
+nt AS (SELECT token, sum(n_st)::BIGINT AS n_t FROM st GROUP BY 1),
+g AS (SELECT sum(n_st)::DOUBLE AS n FROM st)
+SELECT st.source, st.token, st.n_st,
+       (((st.n_st::DOUBLE - ((ns.n_s::DOUBLE * nt.n_t::DOUBLE) / g.n))
+         * (st.n_st::DOUBLE - ((ns.n_s::DOUBLE * nt.n_t::DOUBLE) / g.n)))
+        / ((ns.n_s::DOUBLE * nt.n_t::DOUBLE) / g.n)) AS chi2
+FROM st
+JOIN ns USING (source)
+JOIN nt USING (token)
+CROSS JOIN g
+ORDER BY chi2 DESC, st.source, st.token
+LIMIT 40
+"""
+
+
 _BPE_TRAIN_MERGES = 6
 
 
@@ -11893,6 +12010,7 @@ QUERIES = {
     # Rows-only entries (no oracle_sql) sit at the end of the unsampled
     # block: ann_ivf_pq / logreg_train / model_promote / rnn_train.
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "source_drift": q_source_drift,
     "stream_outer_join": q_stream_outer_join,
     "delete_where_scan": q_delete_where_scan,
     "update_where_scan": q_update_where_scan,
@@ -12100,6 +12218,7 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     # exhaustive-probe IVF is exact brute force → same result shape/values
     "ann_ivf_exhaustive": SQL_ANN_TOPK,
+    "source_drift": SQL_SOURCE_DRIFT,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "kmeans_step": SQL_KMEANS_STEP,
     "embed_neardup": SQL_EMBED_NEARDUP,

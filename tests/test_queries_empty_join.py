@@ -93,6 +93,8 @@ def empty_docs_dir(tmp_path_factory):
 
 
 _NEARDUP_EMPTY_COLS = {
+    "source_drift": {"source": "object", "token": "object",
+                     "n_st": "int64", "chi2": "float64"},
     "minhash_neardup": {"doc_a": "int64", "doc_b": "int64",
                         "jaccard": "float64"},
     "jaccard_neardup": {"doc_a": "int64", "doc_b": "int64",

@@ -38,6 +38,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 #   grep -n "_VERIFY_BCAST_BYTES\|_PAIRS_DRIVER_BYTES\|_CC_DRIVER_BYTES" \
 #       raylake/pipelines/queries.py
 ADAPTIVE_QUERIES = [
+    "source_drift",
     "pmi_bigrams",
     "minhash_neardup",
     "jaccard_neardup",
@@ -78,6 +79,7 @@ _KNOWN_CAP_FUNCS = {
     "_components_bsp", "_bucket_pair_indices", "_bucket_pairs_join",
     "_attach_pair_sigs", "_verify_jaccard",
     # queries with inline cap branches
+    "q_source_drift",
     "q_pmi_bigrams",
     "q_jaccard_neardup", "q_neardup_dedup", "q_column_profile",
     "q_tpch_q4", "q_tpch_q13", "q_tpch_q18", "q_tpch_q21", "q_tpch_q22",
