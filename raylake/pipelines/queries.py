@@ -1504,6 +1504,92 @@ LIMIT 40
 """
 
 
+def q_image_stats(sf_dir: str):
+    """REAL image decode under an exact oracle: each document becomes a
+    genuine binary PPM (P6) whose raster bytes are its ASCII text tiled to
+    w·h·3 (stages/multimodal.py:text_to_p6), and the actor-pool
+    PPMStatsExtractor PARSES the actual format — header token grammar,
+    raster frombuffer — then computes integer channel sums plus the byte
+    sum of a real 4×4 nearest-neighbor thumbnail (resize_nearest). Because
+    the raster derives from the text column, DuckDB recomputes every
+    output value from character codes — the decode/resize path is
+    value-hash-gated end-to-end, unlike the stubbed JPEG/MP4-class
+    decoders (no such codecs in this container). Scale shape: one row per
+    image, encode and decode both per-row vectorized-numpy inside
+    map_batches with SMALL batches (payloads are wide); output streams
+    through a Dataset sort."""
+    from raylake.stages.multimodal import PPMStatsExtractor, text_to_p6
+
+    rd = _rd()
+    docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        rows = [(int(i), t) for i, t in
+                zip(b["doc_id"].to_pylist(), b["text"].to_pylist()) if t]
+        return pa.table({
+            "item_id": pa.array([i for i, _ in rows], pa.int64()),
+            "payload": pa.array([text_to_p6(i, t) for i, t in rows],
+                                pa.binary()),
+        })
+
+    out = (docs.map_batches(enc, batch_format="pyarrow", batch_size=256)
+           .map_batches(PPMStatsExtractor, batch_format="pyarrow",
+                        batch_size=128, concurrency=(1, 4))
+           .sort("item_id").to_pandas())
+    if out.empty:
+        return _empty_frame({"item_id": "int64", "width": "int32",
+                             "height": "int32", "n_px": "int64",
+                             "sum_r": "int64", "sum_g": "int64",
+                             "sum_b": "int64", "thumb_sum": "int64"})
+    return out.reset_index(drop=True)
+
+
+SQL_IMAGE_STATS = """
+WITH d AS (
+  SELECT doc_id, text,
+         (8 + (doc_id % 24))::BIGINT AS w,
+         (8 + ((doc_id // 7) % 24))::BIGINT AS h,
+         length(text)::BIGINT AS tl
+  FROM documents WHERE length(text) > 0
+),
+px AS (
+  SELECT d.doc_id, i.i % 3 AS ch,
+         unicode(substr(d.text, (1 + (i.i % d.tl))::INT, 1))::BIGINT AS v
+  FROM d, LATERAL (SELECT unnest(range(0, d.w * d.h * 3)) AS i) i
+),
+sums AS (
+  SELECT doc_id,
+         sum(CASE WHEN ch = 0 THEN v ELSE 0 END)::BIGINT AS sum_r,
+         sum(CASE WHEN ch = 1 THEN v ELSE 0 END)::BIGINT AS sum_g,
+         sum(CASE WHEN ch = 2 THEN v ELSE 0 END)::BIGINT AS sum_b
+  FROM px GROUP BY doc_id
+),
+-- 4x4 nearest-neighbor thumbnail: source index floor((t+0.5)*dim/4),
+-- exactly resize_nearest's pixel-center convention (no clamp needed:
+-- (7*dim)/8 < dim)
+tpos AS (
+  SELECT d.doc_id, d.text, d.tl,
+         (((((ty.g * 2 + 1) * d.h) // 8) * d.w
+           + (((tx.g * 2 + 1) * d.w) // 8)) * 3 + ch.g) AS i
+  FROM d,
+       LATERAL (SELECT unnest(range(0, 4)) AS g) ty,
+       LATERAL (SELECT unnest(range(0, 4)) AS g) tx,
+       LATERAL (SELECT unnest(range(0, 3)) AS g) ch
+),
+thumb AS (
+  SELECT doc_id,
+         sum(unicode(substr(text, (1 + (i % tl))::INT, 1)))::BIGINT
+           AS thumb_sum
+  FROM tpos GROUP BY doc_id
+)
+SELECT d.doc_id AS item_id, d.w::INT AS width, d.h::INT AS height,
+       (d.w * d.h)::BIGINT AS n_px, s.sum_r, s.sum_g, s.sum_b, t.thumb_sum
+FROM d JOIN sums s USING (doc_id) JOIN thumb t USING (doc_id)
+ORDER BY item_id
+"""
+
+
 _BPE_TRAIN_MERGES = 6
 
 
@@ -12011,6 +12097,7 @@ QUERIES = {
     # block: ann_ivf_pq / logreg_train / model_promote / rnn_train.
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "source_drift": q_source_drift,
+    "image_stats": q_image_stats,
     "stream_outer_join": q_stream_outer_join,
     "delete_where_scan": q_delete_where_scan,
     "update_where_scan": q_update_where_scan,
@@ -12219,6 +12306,7 @@ ORACLES = {
     # exhaustive-probe IVF is exact brute force → same result shape/values
     "ann_ivf_exhaustive": SQL_ANN_TOPK,
     "source_drift": SQL_SOURCE_DRIFT,
+    "image_stats": SQL_IMAGE_STATS,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "kmeans_step": SQL_KMEANS_STEP,
     "embed_neardup": SQL_EMBED_NEARDUP,
