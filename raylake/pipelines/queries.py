@@ -1590,6 +1590,75 @@ ORDER BY item_id
 """
 
 
+def q_audio_stats(sf_dir: str):
+    """REAL audio decode under an exact oracle (the WAV sibling of
+    image_stats): each document becomes a genuine RIFF/WAVE PCM16 file
+    whose samples derive from its ASCII text
+    (stages/multimodal.py:text_to_wav), and the actor-pool
+    WavStatsExtractor walks the ACTUAL container (chunk iteration, fmt
+    validation, int16 frombuffer) then emits exact integer features:
+    Σ|x|, peak, strict zero-crossing count. DuckDB recomputes every value
+    from character codes, so the decode path is value-hash-gated
+    end-to-end. Scale shape: one row per clip, per-row numpy inside
+    map_batches with small batches (payloads are wide)."""
+    from raylake.stages.multimodal import WavStatsExtractor, text_to_wav
+
+    rd = _rd()
+    docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        rows = [(int(i), t) for i, t in
+                zip(b["doc_id"].to_pylist(), b["text"].to_pylist()) if t]
+        return pa.table({
+            "item_id": pa.array([i for i, _ in rows], pa.int64()),
+            "payload": pa.array([text_to_wav(i, t) for i, t in rows],
+                                pa.binary()),
+        })
+
+    out = (docs.map_batches(enc, batch_format="pyarrow", batch_size=256)
+           .map_batches(WavStatsExtractor, batch_format="pyarrow",
+                        batch_size=128, concurrency=(1, 4))
+           .sort("item_id").to_pandas())
+    if out.empty:
+        return _empty_frame({"item_id": "int64", "sample_rate": "int32",
+                             "n_samples": "int64", "sum_abs": "int64",
+                             "peak": "int64", "zero_crossings": "int64"})
+    return out.reset_index(drop=True)
+
+
+SQL_AUDIO_STATS = """
+WITH d AS (
+  SELECT doc_id, text,
+         (200 + doc_id % 300)::BIGINT AS n,
+         length(text)::BIGINT AS tl
+  FROM documents WHERE length(text) > 0
+),
+s AS (
+  SELECT d.doc_id, i.i,
+         (unicode(substr(d.text, (1 + ((2 * i.i) % d.tl))::INT, 1))
+          + 256 * unicode(substr(d.text, (1 + ((2 * i.i + 1) % d.tl))::INT, 1))
+          - 16384)::BIGINT AS x
+  FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i
+),
+w AS (
+  SELECT doc_id, i, x,
+         lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+  FROM s
+)
+SELECT d.doc_id AS item_id,
+       16000::INT AS sample_rate,
+       d.n AS n_samples,
+       sum(abs(w.x))::BIGINT AS sum_abs,
+       max(abs(w.x))::BIGINT AS peak,
+       sum(CASE WHEN w.px IS NOT NULL AND w.px * w.x < 0
+                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+FROM d JOIN w USING (doc_id)
+GROUP BY d.doc_id, d.n
+ORDER BY item_id
+"""
+
+
 _BPE_TRAIN_MERGES = 6
 
 
@@ -12098,6 +12167,7 @@ QUERIES = {
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "source_drift": q_source_drift,
     "image_stats": q_image_stats,
+    "audio_stats": q_audio_stats,
     "stream_outer_join": q_stream_outer_join,
     "delete_where_scan": q_delete_where_scan,
     "update_where_scan": q_update_where_scan,
@@ -12307,6 +12377,7 @@ ORACLES = {
     "ann_ivf_exhaustive": SQL_ANN_TOPK,
     "source_drift": SQL_SOURCE_DRIFT,
     "image_stats": SQL_IMAGE_STATS,
+    "audio_stats": SQL_AUDIO_STATS,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "kmeans_step": SQL_KMEANS_STEP,
     "embed_neardup": SQL_EMBED_NEARDUP,

