@@ -1659,6 +1659,70 @@ ORDER BY item_id
 """
 
 
+def q_video_frames(sf_dir: str):
+    """REAL video-container demux under an exact oracle: each document
+    becomes a genuine RIFF/AVI file (LIST hdrl/avih + movi with '00dc'
+    frame chunks and spec pad bytes) whose frame bytes read the ASCII text
+    circularly (stages/multimodal.py:text_to_avi); the actor-pool
+    AviFrameStats stage WALKS the actual nested RIFF tree and emits one
+    row per extracted frame with exact integer byte stats. The container
+    half of video decode is thereby value-hash-gated end-to-end; only the
+    intra-frame codec (JPEG/H.26x — no such library in this container)
+    remains stubbed. Flat one-row-per-frame output keeps downstream
+    stages ordinary map_batches."""
+    from raylake.stages.multimodal import AviFrameStats, text_to_avi
+
+    rd = _rd()
+    docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        rows = [(int(i), t) for i, t in
+                zip(b["doc_id"].to_pylist(), b["text"].to_pylist()) if t]
+        return pa.table({
+            "item_id": pa.array([i for i, _ in rows], pa.int64()),
+            "payload": pa.array([text_to_avi(i, t) for i, t in rows],
+                                pa.binary()),
+        })
+
+    out = (docs.map_batches(enc, batch_format="pyarrow", batch_size=256)
+           .map_batches(AviFrameStats, batch_format="pyarrow",
+                        batch_size=128, concurrency=(1, 4))
+           .sort(["item_id", "frame_idx"]).to_pandas())
+    if out.empty:
+        return _empty_frame({"item_id": "int64", "frame_idx": "int32",
+                             "frame_len": "int64", "frame_sum": "int64",
+                             "usec_per_frame": "int64"})
+    return out.reset_index(drop=True)
+
+
+SQL_VIDEO_FRAMES = """
+WITH d AS (
+  SELECT doc_id, text,
+         (2 + doc_id % 5)::BIGINT AS nf,
+         length(text)::BIGINT AS tl
+  FROM documents WHERE length(text) > 0
+),
+f AS (
+  SELECT d.doc_id, d.text, d.tl, k.k,
+         (64 + ((d.doc_id + 7 * k.k) % 100))::BIGINT AS flen
+  FROM d, LATERAL (SELECT unnest(range(0, d.nf)) AS k) k
+),
+b AS (
+  SELECT f.doc_id, f.k, f.flen,
+         sum(unicode(substr(f.text,
+                            (1 + ((f.k + j.j) % f.tl))::INT, 1)))::BIGINT
+           AS frame_sum
+  FROM f, LATERAL (SELECT unnest(range(0, f.flen)) AS j) j
+  GROUP BY f.doc_id, f.k, f.flen
+)
+SELECT doc_id AS item_id, k::INT AS frame_idx, flen AS frame_len,
+       frame_sum, 33333::BIGINT AS usec_per_frame
+FROM b
+ORDER BY item_id, frame_idx
+"""
+
+
 _BPE_TRAIN_MERGES = 6
 
 
@@ -12168,6 +12232,7 @@ QUERIES = {
     "source_drift": q_source_drift,
     "image_stats": q_image_stats,
     "audio_stats": q_audio_stats,
+    "video_frames": q_video_frames,
     "stream_outer_join": q_stream_outer_join,
     "delete_where_scan": q_delete_where_scan,
     "update_where_scan": q_update_where_scan,
@@ -12378,6 +12443,7 @@ ORACLES = {
     "source_drift": SQL_SOURCE_DRIFT,
     "image_stats": SQL_IMAGE_STATS,
     "audio_stats": SQL_AUDIO_STATS,
+    "video_frames": SQL_VIDEO_FRAMES,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "kmeans_step": SQL_KMEANS_STEP,
     "embed_neardup": SQL_EMBED_NEARDUP,

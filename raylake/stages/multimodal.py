@@ -259,6 +259,112 @@ class WavStatsExtractor:
         })
 
 
+# ---------------------------------------------------------------------------
+# REAL AVI (RIFF) container demux — frame EXTRACTION without a codec
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(frames: list[bytes], usec_per_frame: int = 33_333) -> bytes:
+    """Minimal real AVI: RIFF 'AVI ' with a LIST/hdrl (avih main header
+    carrying frame timing + count) and a LIST/movi of '00dc' video
+    chunks, spec pad bytes included."""
+    import struct
+
+    avih = struct.pack("<14I", usec_per_frame, 0, 0, 0, len(frames),
+                       0, 1, 0, 0, 0, 0, 0, 0, 0)
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi"
+    for f in frames:
+        movi_body += b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) & 1:
+            movi_body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi(payload: bytes) -> tuple[int, list[bytes]]:
+    """REAL AVI demux: walks the RIFF tree (nested LIST chunks, odd-size
+    pad bytes), reads frame timing from the avih header and extracts each
+    video frame's bytes from the movi list ('00dc'/'00db' chunks). This is
+    the container half of video decode — the intra-frame codec (JPEG/H.26x)
+    stays stubbed, since no such library exists in this container."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    usec, frames = None, []
+
+    def walk(buf: bytes):
+        nonlocal usec
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body = buf[pos + 8:pos + 8 + size]
+            if len(body) != size:
+                raise ValueError(f"truncated chunk {cid!r}")
+            if cid == b"LIST":
+                walk(body[4:])  # skip the list-type fourcc
+            elif cid == b"avih":
+                usec = struct.unpack("<I", body[:4])[0]
+            elif cid in (b"00dc", b"00db"):
+                frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:])
+    if usec is None:
+        raise ValueError("missing avih header")
+    return usec, frames
+
+
+def video_frame_plan(item_id: int) -> list[int]:
+    """Deterministic per-item frame lengths (the fixture/oracle contract):
+    2 + item_id % 5 frames, frame k of length 64 + ((item_id + 7k) % 100)."""
+    nf = 2 + item_id % 5
+    return [64 + ((item_id + 7 * k) % 100) for k in range(nf)]
+
+
+def text_to_avi(item_id: int, text: str) -> bytes:
+    """Deterministic REAL AVI whose frame k bytes are the document's ASCII
+    text read circularly from offset k — SQL recomputes per-frame byte
+    sums from character codes (the video_frames oracle contract)."""
+    buf = np.frombuffer(text.encode(), dtype=np.uint8)
+    frames = []
+    for k, ln in enumerate(video_frame_plan(item_id)):
+        idx = (k + np.arange(ln, dtype=np.int64)) % len(buf)
+        frames.append(buf[idx].tobytes())
+    return encode_avi(frames)
+
+
+class AviFrameStats:
+    """flat-map-shaped actor stage over REAL container demux: one input
+    video row → one output row per extracted frame with exact integer
+    byte statistics. The shape downstream stages need (flat rows, never
+    nested frame lists) — see FrameSampler's sizing notes."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, flen, fsum, usecs = [], [], [], [], []
+        for item_id, payload in zip(batch["item_id"].to_pylist(),
+                                    batch["payload"].to_pylist()):
+            usec, frames = demux_avi(payload)
+            for k, f in enumerate(frames):
+                ids.append(item_id)
+                fidx.append(k)
+                flen.append(len(f))
+                fsum.append(int(np.frombuffer(f, np.uint8)
+                                .sum(dtype=np.int64)))
+                usecs.append(usec)
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "frame_len": pa.array(flen, pa.int64()),
+            "frame_sum": pa.array(fsum, pa.int64()),
+            "usec_per_frame": pa.array(usecs, pa.int64()),
+        })
+
+
 def _fake_decode(payload: bytes) -> dict:
     """STUB — deterministic stand-in for a real image/audio decoder.
     Derives plausible metadata purely from the payload bytes."""

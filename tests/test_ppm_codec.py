@@ -143,6 +143,59 @@ def test_wav_stage_features_match_direct_numpy():
     assert out["zero_crossings"][1].as_py() == audio_len_for(ids[1]) - 1
 
 
+def test_avi_demux_roundtrip_and_nesting():
+    from raylake.stages.multimodal import demux_avi, encode_avi
+
+    frames = [b"abc", b"defgh", b"\x00\xff" * 7 + b"\x01"]  # odd sizes: pads
+    usec, out = demux_avi(encode_avi(frames, usec_per_frame=40_000))
+    assert usec == 40_000
+    assert out == frames
+
+
+def test_avi_corrupt_inputs_raise():
+    import struct
+
+    from raylake.stages.multimodal import demux_avi, encode_avi
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        demux_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    good = encode_avi([b"frame"])
+    with pytest.raises(ValueError, match="truncated"):
+        demux_avi(good[:-2])
+    # movi but no avih header
+    body = b"AVI " + b"LIST" + struct.pack("<I", 4 + 8 + 4) + b"movi" \
+        + b"00dc" + struct.pack("<I", 4) + b"aaaa"
+    with pytest.raises(ValueError, match="avih"):
+        demux_avi(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_avi_stage_matches_direct_numpy():
+    from raylake.stages.multimodal import (
+        AviFrameStats,
+        text_to_avi,
+        video_frame_plan,
+    )
+
+    ids, texts = [3, 11], ["0123456789abcdef" * 5, "zxy" * 40]
+    batch = pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([text_to_avi(i, t) for i, t in zip(ids, texts)],
+                            pa.binary()),
+    })
+    out = AviFrameStats()(batch)
+    row = 0
+    for item, text in zip(ids, texts):
+        buf = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
+        for k, ln in enumerate(video_frame_plan(item)):
+            assert out["item_id"][row].as_py() == item
+            assert out["frame_idx"][row].as_py() == k
+            assert out["frame_len"][row].as_py() == ln
+            idx = (k + np.arange(ln)) % len(buf)
+            assert out["frame_sum"][row].as_py() == int(buf[idx].sum())
+            row += 1
+    assert row == len(out)
+
+
 def test_stage_sums_match_direct_numpy():
     texts = ["deadbeef0123456789abcdef" * 4, "00ff7f" * 30]
     ids = [5, 40]
