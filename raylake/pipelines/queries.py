@@ -1504,6 +1504,22 @@ LIMIT 40
 """
 
 
+def _payload_enc(codec):
+    """Shared payload encoder for the multimodal pipelines: (doc_id, text)
+    rows with non-empty text become (item_id, payload) via `codec(i, t)` —
+    ONE definition so the empty-text filter can never diverge from the
+    oracles' WHERE length(text) > 0 (review finding: three copies)."""
+    def enc(b: pa.Table) -> pa.Table:
+        rows = [(int(i), t) for i, t in
+                zip(b["doc_id"].to_pylist(), b["text"].to_pylist()) if t]
+        return pa.table({
+            "item_id": pa.array([i for i, _ in rows], pa.int64()),
+            "payload": pa.array([codec(i, t) for i, t in rows],
+                                pa.binary()),
+        })
+    return enc
+
+
 def q_image_stats(sf_dir: str):
     """REAL image decode under an exact oracle: each document becomes a
     genuine binary PPM (P6) whose raster bytes are its ASCII text tiled to
@@ -1524,16 +1540,8 @@ def q_image_stats(sf_dir: str):
     docs = rd.read_parquet(_pq(sf_dir, "documents"),
                            columns=["doc_id", "text"])
 
-    def enc(b: pa.Table) -> pa.Table:
-        rows = [(int(i), t) for i, t in
-                zip(b["doc_id"].to_pylist(), b["text"].to_pylist()) if t]
-        return pa.table({
-            "item_id": pa.array([i for i, _ in rows], pa.int64()),
-            "payload": pa.array([text_to_p6(i, t) for i, t in rows],
-                                pa.binary()),
-        })
-
-    out = (docs.map_batches(enc, batch_format="pyarrow", batch_size=256)
+    out = (docs.map_batches(_payload_enc(text_to_p6),
+                            batch_format="pyarrow", batch_size=256)
            .map_batches(PPMStatsExtractor, batch_format="pyarrow",
                         batch_size=128, concurrency=(1, 4))
            .sort("item_id").to_pandas())
@@ -1607,16 +1615,8 @@ def q_audio_stats(sf_dir: str):
     docs = rd.read_parquet(_pq(sf_dir, "documents"),
                            columns=["doc_id", "text"])
 
-    def enc(b: pa.Table) -> pa.Table:
-        rows = [(int(i), t) for i, t in
-                zip(b["doc_id"].to_pylist(), b["text"].to_pylist()) if t]
-        return pa.table({
-            "item_id": pa.array([i for i, _ in rows], pa.int64()),
-            "payload": pa.array([text_to_wav(i, t) for i, t in rows],
-                                pa.binary()),
-        })
-
-    out = (docs.map_batches(enc, batch_format="pyarrow", batch_size=256)
+    out = (docs.map_batches(_payload_enc(text_to_wav),
+                            batch_format="pyarrow", batch_size=256)
            .map_batches(WavStatsExtractor, batch_format="pyarrow",
                         batch_size=128, concurrency=(1, 4))
            .sort("item_id").to_pandas())
@@ -1676,16 +1676,8 @@ def q_video_frames(sf_dir: str):
     docs = rd.read_parquet(_pq(sf_dir, "documents"),
                            columns=["doc_id", "text"])
 
-    def enc(b: pa.Table) -> pa.Table:
-        rows = [(int(i), t) for i, t in
-                zip(b["doc_id"].to_pylist(), b["text"].to_pylist()) if t]
-        return pa.table({
-            "item_id": pa.array([i for i, _ in rows], pa.int64()),
-            "payload": pa.array([text_to_avi(i, t) for i, t in rows],
-                                pa.binary()),
-        })
-
-    out = (docs.map_batches(enc, batch_format="pyarrow", batch_size=256)
+    out = (docs.map_batches(_payload_enc(text_to_avi),
+                            batch_format="pyarrow", batch_size=256)
            .map_batches(AviFrameStats, batch_format="pyarrow",
                         batch_size=128, concurrency=(1, 4))
            .sort(["item_id", "frame_idx"]).to_pandas())

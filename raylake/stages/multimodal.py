@@ -198,6 +198,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         if len(body) != size:
             raise ValueError(f"truncated chunk {cid!r}")
         if cid == b"fmt ":
+            if len(body) < 16:  # ValueError is the malformed-input contract
+                raise ValueError(f"fmt chunk too short ({len(body)} bytes)")
             audio_fmt, ch, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16])
             if audio_fmt != 1 or bits != 16:
@@ -308,6 +310,9 @@ def demux_avi(payload: bytes) -> tuple[int, list[bytes]]:
             if cid == b"LIST":
                 walk(body[4:])  # skip the list-type fourcc
             elif cid == b"avih":
+                if len(body) < 4:  # ValueError contract (see decode_wav)
+                    raise ValueError(
+                        f"avih chunk too short ({len(body)} bytes)")
                 usec = struct.unpack("<I", body[:4])[0]
             elif cid in (b"00dc", b"00db"):
                 frames.append(body)

@@ -95,6 +95,16 @@ def empty_docs_dir(tmp_path_factory):
 _NEARDUP_EMPTY_COLS = {
     "source_drift": {"source": "object", "token": "object",
                      "n_st": "int64", "chi2": "float64"},
+    "image_stats": {"item_id": "int64", "width": "int32",
+                    "height": "int32", "n_px": "int64", "sum_r": "int64",
+                    "sum_g": "int64", "sum_b": "int64",
+                    "thumb_sum": "int64"},
+    "audio_stats": {"item_id": "int64", "sample_rate": "int32",
+                    "n_samples": "int64", "sum_abs": "int64",
+                    "peak": "int64", "zero_crossings": "int64"},
+    "video_frames": {"item_id": "int64", "frame_idx": "int32",
+                     "frame_len": "int64", "frame_sum": "int64",
+                     "usec_per_frame": "int64"},
     "minhash_neardup": {"doc_a": "int64", "doc_b": "int64",
                         "jaccard": "float64"},
     "jaccard_neardup": {"doc_a": "int64", "doc_b": "int64",
