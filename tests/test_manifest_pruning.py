@@ -236,6 +236,34 @@ def test_expire_reachability_reads_each_manifest_once(many_manifest_table,
     assert reads and max(reads.values()) == 1, reads.most_common(3)
 
 
+def test_envelope_prune_across_partition_spec_evolution(tmp_table_root,
+                                                        ray_session):
+    """prune_point's manifest filter hashes with the spec ACTIVE AT the
+    scanned snapshot; after a re-bucket, envelope-filtered point lookups
+    must equal the entry-level path at BOTH the pre- and post-evolution
+    snapshots (old manifests carry old partition ids in their envelopes)."""
+    from raylake.ops import repartition_table
+
+    t = write_transcript_table(tmp_table_root, n_turns=3000,
+                               rows_per_file=64, num_buckets=4)
+    pre_seq = t.current_seq
+    rewrite_manifests(t, target_entries=6, min_manifests=1, force=True)
+    t.refresh()
+    mid_seq = t.current_seq
+    snap = repartition_table(t, 8, target_file_bytes=256 * 1024)
+    assert snap is not None
+    t.refresh()
+    convs = sorted({e.stats["conv_id"][0] for e in t.live_entries()
+                    if "conv_id" in e.stats})[:6]
+    for snapshot in (pre_seq, mid_seq, None):
+        full = t.live_entries(snapshot)
+        for conv in convs:
+            fast = t.prune_point(conv, snapshot=snapshot)
+            slow = t.prune_point(conv, entries=full, snapshot=snapshot)
+            assert {e.path for e in fast} == {e.path for e in slow}, \
+                (snapshot, conv)
+
+
 def test_range_prune_uses_envelopes(many_manifest_table):
     t = many_manifest_table
     full = t.live_entries()
