@@ -160,7 +160,9 @@ def run_bench() -> dict:
                   "neardup_dedup", "text_stats", "funnel_counts",
                   "normalize_text", "tpch_q10", "bloom_semi_join",
                   "pagerank_step", "column_profile", "rhp_neardup",
-                  "levenshtein_neardup", "triangle_count"):
+                  "levenshtein_neardup", "triangle_count",
+                  "source_drift", "image_stats", "audio_stats",
+                  "video_frames"):
         t = time.monotonic()
         try:
             qres = QUERIES[qname](SF_DIR)

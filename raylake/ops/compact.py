@@ -39,8 +39,21 @@ def plan_compaction(
 ) -> list[RewriteTask]:
     small_file_bytes = small_file_bytes or int(target_file_bytes * 0.75)
     max_task_bytes = max_task_bytes or target_file_bytes * 4
+    mf = None
+    if partitions is not None:
+        import bisect
+
+        psorted = sorted(partitions)
+
+        def mf(env: dict) -> bool:
+            p = env.get("p") or [None, None]
+            if p[0] is None:
+                return True
+            i = bisect.bisect_left(psorted, p[0])
+            return i < len(psorted) and psorted[i] <= p[1]
+
     by_part: dict[int, list] = defaultdict(list)
-    for e in table.live_entries(snapshot):
+    for e in table.live_entries(snapshot, manifest_filter=mf):
         if partitions is not None and e.partition not in partitions:
             continue
         if e.bytes < small_file_bytes:

@@ -272,3 +272,23 @@ def test_range_prune_uses_envelopes(many_manifest_table):
     slow = t.prune(entries=full, turn_idx=(lo, lo))
     assert {e.path for e in fast} == {e.path for e in slow}
     assert t.last_manifest_prune["total"] == len(t.snapshot().manifests)
+
+
+def test_partition_scoped_compaction_plan_skips_manifests(
+        many_manifest_table):
+    from raylake.ops import plan_compaction
+
+    t = many_manifest_table
+    full = t.live_entries()
+    one = {full[0].partition}
+    tasks = plan_compaction(t, target_file_bytes=512 * 1024,
+                            partitions=one)
+    stats = dict(t.last_manifest_prune)
+    assert stats["opened"] < stats["total"], stats
+    # equivalence: same plan inputs as the open-everything path
+    want = {e.path for e in full
+            if e.partition in one and e.bytes < int(512 * 1024 * 0.75)}
+    got = {p for task in tasks for p in task.input_paths}
+    assert got <= want
+    if len(want) >= 2:
+        assert got == want
